@@ -1,0 +1,150 @@
+"""Flux-corrected transport with the Zalesak limiter, fully vectorized.
+
+Re-designs the reference FCT step (``FCT_alg_ref``, helpers.py:1715-1872;
+legacy sign convention ``FCT_alg``, old_helpers.py:115-204) for TPUs: the
+per-node Python loops over sparse neighbor lists (flux assembly
+helpers.py:1818-1822, local extrema helpers.py:1831-1843, limiting
+helpers.py:1860-1866) become shifted-array arithmetic over the fixed
+7-point mesh footprint, and the SuperLU low-order solve becomes a
+matrix-free BiCGStab.
+
+Semantics (ref convention): one time step of
+    [M + dt (A + non_flux)] u^{n+1} = M u^n + dt rhs
+via
+  1. low-order solve  [M_L + dt (A - D + non_flux)] u_L = M_L u^n + dt rhs
+  2. raw antidiffusive fluxes F_ij = M_ij (du_i - du_j) + D_ij (u_i - u_j),
+     du/dt from 20-step Chebyshev on  M du = -A u_L + rhs
+  3. Zalesak limiter (P±, Q±, R±; pairing min(R+_i, R-_j))
+  4. explicit correction u^{n+1} = u_L + dt F̄ / m_i
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, opposite
+from fem_fct_pdeco_tpu.ops import stencil as st
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, chebsi, solve_stencil
+
+
+def artificial_diffusion(A: jnp.ndarray) -> jnp.ndarray:
+    """Discrete-upwind artificial diffusion for flux matrix ``-A``
+    (ref convention: ``D = artificial_diffusion_mat(-A)``,
+    helpers.py:206-242, 1769): off-diagonals D_ij = max(0, A_ij, A_ji),
+    diagonal = -sum of off-diagonals (row sums vanish)."""
+    D = jnp.zeros_like(A)
+    for d in range(9):
+        if d == CENTER:
+            continue
+        Atr = st.shift(A[opposite(d)], d)  # A_ji seen from row i
+        D = D.at[d].set(jnp.maximum(0.0, jnp.maximum(A[d], Atr)))
+    offsum = D.sum(axis=0)  # center plane is zero so this is the off-diag sum
+    return D.at[CENTER].set(-offsum)
+
+
+def low_order_matrix(
+    A: jnp.ndarray,
+    D: jnp.ndarray,
+    ML_diag: jnp.ndarray,
+    dt: float,
+    non_flux: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    Low = dt * (A - D)
+    if non_flux is not None:
+        Low = Low + dt * non_flux
+    return Low.at[CENTER].add(ML_diag)
+
+
+def zalesak_limit(
+    fluxes: jnp.ndarray,
+    u_low: jnp.ndarray,
+    ML_diag: jnp.ndarray,
+    dt: float,
+) -> jnp.ndarray:
+    """Zalesak limiter: fluxes (6, n, n) ordered per EDGE_NEIGHBOR_IDS ->
+    limited net antidiffusive flux F̄ (n, n). (helpers.py:1824-1867)"""
+    inf = jnp.inf
+    p_pos = jnp.zeros_like(u_low)
+    p_neg = jnp.zeros_like(u_low)
+    u_max = u_low
+    u_min = u_low
+    for k, d in enumerate(EDGE_NEIGHBOR_IDS):
+        F = fluxes[k]
+        p_pos = p_pos + jnp.maximum(F, 0.0)
+        p_neg = p_neg + jnp.minimum(F, 0.0)
+        u_max = jnp.maximum(u_max, st.shift_fill(u_low, d, -inf))
+        u_min = jnp.minimum(u_min, st.shift_fill(u_low, d, inf))
+
+    q_pos = u_max - u_low
+    q_neg = u_min - u_low
+    r_pos = jnp.where(
+        p_pos > 0.0,
+        jnp.minimum(1.0, ML_diag * q_pos / (dt * jnp.where(p_pos > 0.0, p_pos, 1.0))),
+        1.0,
+    )
+    r_neg = jnp.where(
+        p_neg < 0.0,
+        jnp.minimum(1.0, ML_diag * q_neg / (dt * jnp.where(p_neg < 0.0, p_neg, 1.0))),
+        1.0,
+    )
+
+    fbar = jnp.zeros_like(u_low)
+    for k, d in enumerate(EDGE_NEIGHBOR_IDS):
+        F = fluxes[k]
+        lim_pos = jnp.minimum(r_pos, st.shift_fill(r_neg, d, 1.0))
+        lim_neg = jnp.minimum(r_neg, st.shift_fill(r_pos, d, 1.0))
+        fbar = fbar + jnp.where(F > 0.0, lim_pos * F, jnp.where(F < 0.0, lim_neg * F, 0.0))
+    return fbar
+
+
+def fct_step(
+    A: jnp.ndarray,
+    rhs: jnp.ndarray,
+    u_n: jnp.ndarray,
+    dt: float,
+    M: jnp.ndarray,
+    M_diag: jnp.ndarray,
+    ML_diag: jnp.ndarray,
+    non_flux: jnp.ndarray | None = None,
+    solver: SolverOpts = SolverOpts(),
+    cheb_iters: int = 20,
+) -> jnp.ndarray:
+    """One flux-corrected transport step (``FCT_alg_ref``, helpers.py:1715).
+
+    Legacy-convention callers (``FCT_alg`` with flux matrix A_leg and
+    ``source_mat`` S, old_helpers.py:115-204) map to
+    ``fct_step(-A_leg, rhs, ..., non_flux=S)``.
+    """
+    D = artificial_diffusion(A)
+    Low = low_order_matrix(A, D, ML_diag, dt, non_flux)
+    b = ML_diag * u_n + dt * rhs
+    u_low = solve_stencil(Low, b, x0=u_n, opts=solver)
+
+    rdot = -st.apply(A, u_low) + rhs
+    du_dt = chebsi(rdot, M, M_diag, cheb_iters, 0.5, 2.0)
+
+    fluxes = []
+    for d in EDGE_NEIGHBOR_IDS:
+        F = M[d] * (du_dt - st.shift(du_dt, d)) + D[d] * (u_low - st.shift(u_low, d))
+        fluxes.append(F)
+    fbar = zalesak_limit(jnp.stack(fluxes), u_low, ML_diag, dt)
+
+    return u_low + dt * fbar / ML_diag
+
+
+def check_m_matrix_rowsums(Low_np: np.ndarray, A_np: np.ndarray, ML_diag_np: np.ndarray):
+    """Eager diagnostic replicating the reference's M-matrix row-sum check and
+    admissible-dt bounds (helpers.py:1796-1809). Returns (ok, dt_upper, dt_lower).
+    """
+    rowsums = Low_np.sum(axis=0).ravel()
+    ok = bool(np.all(rowsums > 0))
+    if ok:
+        return True, None, None
+    rsA = A_np.sum(axis=0).ravel()
+    ml = ML_diag_np.ravel()
+    upper = [-m / r for m, r in zip(ml, rsA) if r < 0]
+    lower = [-m / r for m, r in zip(ml, rsA) if r > 0]
+    dt_upper = min(upper) if upper else None
+    dt_lower = max(max(lower), 0.0) if lower else 0.0
+    return False, dt_upper, dt_lower

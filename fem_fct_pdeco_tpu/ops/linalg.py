@@ -1,0 +1,89 @@
+"""Matrix-free linear solvers on stencil operators.
+
+Replaces the reference's SuperLU ``spsolve`` calls (helpers.py:596, 686,
+1342, 1538, 1782) with Jacobi-preconditioned Krylov iterations, and ports the
+Chebyshev semi-iteration mass solve (``ChebSI``, helpers.py:143-185) 1:1.
+
+The FCT low-order matrix is a diagonally dominant M-matrix (the reference
+checks this each step, helpers.py:1796-1809) and the implicit
+reaction-diffusion matrices are mass + diffusion + reaction — both are
+well-conditioned at the reference time steps, so BiCGStab/CG converge to
+direct-solver accuracy (~1e-12 relative) in a few dozen stencil applies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fem_fct_pdeco_tpu.ops import stencil as st
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOpts:
+    """Krylov solve options. ``tol`` is relative to ||b||."""
+
+    tol: float = 1e-12
+    atol: float = 0.0
+    maxiter: int = 1000
+    symmetric: bool = False
+
+
+def chebsi(
+    b: jnp.ndarray,
+    M: jnp.ndarray,
+    M_diag: jnp.ndarray,
+    iters: int = 20,
+    lmin: float = 0.5,
+    lmax: float = 2.0,
+) -> jnp.ndarray:
+    """Chebyshev semi-iteration for M x = b with diagonal preconditioner.
+
+    Exact port of reference helpers.py:143-185 (same fixed iteration count,
+    eigenvalue bounds for the diagonally-scaled P1 mass matrix, and omega
+    recurrence), so the FCT antidiffusive fluxes match bit-for-bit in spirit.
+    """
+    rho = (lmax - lmin) / (lmax + lmin)
+    Md = (lmin + lmax) / 2.0 * M_diag
+
+    def body(k, carry):
+        yold, ymid, omega = carry
+        omega = jnp.where(
+            k == 2, 1.0 / (1.0 - rho**2 / 2.0), 1.0 / (1.0 - omega * rho**2 / 4.0)
+        )
+        r = b - st.apply(M, ymid)
+        z = r / Md
+        ynew = omega * (z + ymid - yold) + yold
+        return ymid, ynew, omega
+
+    zero = jnp.zeros_like(b)
+    _, y, _ = jax.lax.fori_loop(1, iters + 1, body, (zero, zero, jnp.asarray(0.0, b.dtype)))
+    return y
+
+
+def solve_stencil(
+    S: jnp.ndarray,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    opts: SolverOpts = SolverOpts(),
+) -> jnp.ndarray:
+    """Solve S x = b (S a (9, n, n) stencil) with Jacobi-preconditioned
+    CG (symmetric) or BiCGStab (general)."""
+    inv_diag = 1.0 / S[4]
+    matvec = partial(st.apply, S)
+    precond = lambda r: r * inv_diag
+    solver = (
+        jax.scipy.sparse.linalg.cg if opts.symmetric else jax.scipy.sparse.linalg.bicgstab
+    )
+    x, _ = solver(
+        matvec, b, x0=x0, tol=opts.tol, atol=opts.atol, maxiter=opts.maxiter, M=precond
+    )
+    return x
+
+
+def dot_omega(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Plain nodal dot product (full-precision accumulate)."""
+    return jnp.sum(x.astype(jnp.promote_types(x.dtype, jnp.float32)) * y)
