@@ -1,0 +1,184 @@
+"""Keller–Segel chemotaxis system (simplified-feathers form).
+
+State system (reference helpers.py:1250-1385):
+    du/dt + ∇·(-Dm ∇u + χ u e^{-ηu} ∇v) = 0          (FCT)
+    dv/dt + ∇·(-Df ∇v) + δ v = c u / r               (implicit solve)
+Adjoint system (helpers.py:1387-1581), σ = 1 for final-time, 0 for all-time:
+    -dp/dt + ∇·(-Dm ∇p) - χ(1-ηu)e^{-ηu} ∇p·∇v = c q / r + (1-σ)(û-u)
+    -dq/dt + ∇·(-Df ∇q + χ u e^{-ηu} ∇p) + δ q = (1-σ)(v̂-v)
+Gradient equation: β c - q u / r = 0
+(chemotaxis_FCT_PDECO_refactored.py:187).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.models.base import ModelBase
+from fem_fct_pdeco_tpu.ops import stencil as st
+from fem_fct_pdeco_tpu.ops.fct import fct_step
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, solve_stencil
+from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class ChemotaxisParams:
+    """Parameters from reference helpers.py:1197-1211."""
+
+    delta: float = 100.0  # decay of v
+    Dm: float = 0.05      # diffusion of u
+    Df: float = 0.05      # diffusion of v
+    chi: float = 0.25     # chemotaxis strength
+    gamma: float = 100.0  # true control value
+    eta: float = 0.5      # chemotactic saturation
+
+
+class ChemotaxisModel(ModelBase):
+    def __init__(self, grid, params: ChemotaxisParams = ChemotaxisParams(),
+                 rescaling: float = 1.0 / 10.0, dtype=jnp.float64,
+                 solver_opts: SolverOpts | None = None):
+        super().__init__(grid, dtype, solver_opts)
+        self.params = params
+        self.rescaling = rescaling
+
+    # ------------------------------------------------------------------
+
+    def ic(self) -> tuple[np.ndarray, np.ndarray]:
+        """Seeded-random IC with u0 = v0 (helpers.py:1213-1248)."""
+        n = self.grid.n
+        np.random.seed(5)
+        u0 = 1.5 + 0.1 * (0.5 - np.random.rand(n, n))
+        return u0, u0.copy()
+
+    # ------------------------------------------------------------------
+
+    def _rd_matrix(self, dt):
+        """M + dt (Df K + δ M) — the implicit v/q matrix (helpers.py:1308)."""
+        p = self.params
+        return self.M * (1.0 + dt * p.delta) + (dt * p.Df) * self.K
+
+    def _forward_step(self, dt):
+        p = self.params
+        asm = self.asm
+        Mat2 = self._rd_matrix(dt)
+        rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
+
+        def step(carry, c_i):
+            u_n, v_n = carry
+            # v-solve (helpers.py:1339-1342)
+            cu_q = asm.nodal_at_quad(c_i, 3) * asm.nodal_at_quad(u_n, 3)
+            rhs2 = st.apply(self.M, v_n) + dt * asm.linear_form(
+                cu_q / self.rescaling, 3
+            )
+            v_np1 = solve_stencil(Mat2, rhs2, x0=v_n, opts=rd_opts)
+            # u-solve via FCT (helpers.py:1350-1356)
+            u_q = asm.nodal_at_quad(u_n, 4)
+            Aa = asm.advective(asm.elem_grad(v_np1), jnp.exp(-p.eta * u_q), degree=4)
+            A_u = p.Dm * self.K - p.chi * Aa
+            u_np1 = fct_step(
+                A_u, jnp.zeros_like(u_n), u_n, dt, self.M, self.M_diag,
+                self.ML_diag, solver=self.solver_opts,
+            )
+            return (u_np1, v_np1)
+
+        return step
+
+    def forward(self, control_traj, u0, v0, dt):
+        """Forward sweep. control_traj: (num_steps+1, n, n); step i uses
+        control_traj[i] (helpers.py:1327-1333). Returns (u_traj, v_traj)."""
+        fn = self._jitted(("fwd", float(dt)), lambda: self._make_forward(dt))
+        return fn(control_traj, u0, v0)
+
+    def _make_forward(self, dt):
+        step = self._forward_step(dt)
+
+        def run(control_traj, u0, v0):
+            return forward_sweep(step, (u0, v0), control_traj[1:])
+
+        return run
+
+    # ------------------------------------------------------------------
+
+    def _adjoint_step(self, dt, optim: str):
+        p = self.params
+        asm = self.asm
+        Mat_q = self._rd_matrix(dt)
+        rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
+
+        def step(carry, x):
+            p_np1, q_np1 = carry
+            u_n, v_n, c_n, mis_u, mis_v = x
+            u_q = asm.nodal_at_quad(u_n, 4)
+            expu = jnp.exp(-p.eta * u_q)
+            # p-solve via FCT (helpers.py:1499-1510); the form differentiates
+            # the trial function, hence the transpose of the advective stencil
+            Aa = st.transpose(asm.advective(asm.elem_grad(v_n), (1.0 - p.eta * u_q) * expu, degree=5))
+            Mat_p = p.Dm * self.K - p.chi * Aa
+            rhs_p = asm.linear_form(
+                asm.nodal_at_quad(c_n, 3) * asm.nodal_at_quad(q_np1, 3) / self.rescaling, 3
+            )
+            if optim == "alltime":
+                # raw nodal misfit added to the assembled load, exactly as the
+                # reference does (helpers.py:1506-1507)
+                rhs_p = rhs_p + mis_u
+            p_n = fct_step(
+                Mat_p, rhs_p, p_np1, dt, self.M, self.M_diag, self.ML_diag,
+                solver=self.solver_opts,
+            )
+            # q-solve (helpers.py:1531-1538)
+            rhs_q = asm.advective_form(
+                asm.elem_grad(p_n), p.chi * asm.nodal_at_quad(u_n, 4) * expu, degree=4
+            )
+            if optim == "alltime":
+                rhs_q = rhs_q + mis_v
+            q_n = solve_stencil(
+                Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1, opts=rd_opts
+            )
+            return (p_n, q_n)
+
+        return step
+
+    def adjoint(self, u_traj, v_traj, uhat, vhat, control_traj, dt, optim="finaltime"):
+        """Adjoint sweep (helpers.py:1387-1581).
+
+        finaltime: uhat/vhat are (n, n) final-time targets; terminal
+        conditions p(T) = û_T - u(T), q(T) = v̂_T - v(T).
+        alltime: uhat/vhat are (num_steps+1, n, n); p(T) = q(T) = 0 and the
+        misfits enter the right-hand sides.
+        Returns (p_traj, q_traj).
+        """
+        fn = self._jitted(("adj", float(dt), optim), lambda: self._make_adjoint(dt, optim))
+        return fn(u_traj, v_traj, uhat, vhat, control_traj)
+
+    def _make_adjoint(self, dt, optim):
+        step = self._adjoint_step(dt, optim)
+
+        def run(u_traj, v_traj, uhat, vhat, control_traj):
+            if optim == "finaltime":
+                pT = uhat - u_traj[-1]
+                qT = vhat - v_traj[-1]
+                ns = u_traj.shape[0] - 1
+                zero = jnp.zeros_like(u_traj[:-1])
+                xs = (u_traj[:-1], v_traj[:-1], control_traj[:-1], zero, zero)
+            else:
+                pT = jnp.zeros_like(u_traj[-1])
+                qT = jnp.zeros_like(pT)
+                xs = (
+                    u_traj[:-1],
+                    v_traj[:-1],
+                    control_traj[:-1],
+                    uhat[:-1] - u_traj[:-1],
+                    vhat[:-1] - v_traj[:-1],
+                )
+            return adjoint_sweep(step, (pT, qT), xs)
+
+        return run
+
+    # ------------------------------------------------------------------
+
+    def descent_direction(self, beta, c_traj, u_traj, q_traj):
+        """dk = -(β c - q u / r) (chemotaxis_FCT_PDECO_refactored.py:187)."""
+        return -(beta * c_traj - q_traj * u_traj / self.rescaling)

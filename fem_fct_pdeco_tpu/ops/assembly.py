@@ -271,6 +271,31 @@ class P1Assembler:
         ev = detJ * jnp.einsum("qa,tqij->taij", wl, f_quad)
         return self._scatter_vector([ev[0], ev[1]])
 
+    def advective_form(
+        self,
+        G_quad: jnp.ndarray,
+        g_quad: jnp.ndarray | None = None,
+        degree: int = DEG_COEFF,
+    ) -> jnp.ndarray:
+        """b_a = ∫ g (G · ∇φ_a) dx — linear form with the gradient on the
+        test function.
+
+        Covers the adjoint chemotaxis source ``χ u e^{-ηu} ∇p_h · ∇w dx``
+        (helpers.py:1531-1532) with G = ∇p_h (per element), g = χ u e^{-ηu}.
+        """
+        _, wts, _ = self.rule(degree)
+        w = jnp.asarray(wts, dtype=self.dtype)
+        g = jnp.asarray(self.grads, dtype=self.dtype)  # (2, 3, 2)
+        detJ = self.h * self.h
+        if G_quad.ndim == 4:  # per-element constant vector (2, 2, nc, nc)
+            G_quad = G_quad[:, None, :, :, :]
+        if g_quad is None:
+            V = jnp.einsum("q,tqcij->tcij", w, G_quad)
+        else:
+            V = jnp.einsum("q,tqcij,tqij->tcij", w, G_quad, g_quad)
+        ev = detJ * jnp.einsum("tac,tcij->taij", g, V)
+        return self._scatter_vector([ev[0], ev[1]])
+
     def load_nodal(self, nodal: jnp.ndarray, degree: int = 2) -> jnp.ndarray:
         """∫ f_h φ_a dx for a P1 nodal field — equals mass @ nodal (exact)."""
         return self.weighted_mass_apply(nodal)
