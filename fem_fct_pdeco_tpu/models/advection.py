@@ -1,0 +1,237 @@
+"""Linear advection(-diffusion) models: source control and drift control.
+
+Source control (reference advection_FCT_PDECO_finaltime.py:15-29, 137-140):
+    du/dt - ε ∇²u + ∇·(w u) = c (+ g)
+    legacy matrices A_SE = (w·∇v, u), A_u = -ε Ad + A_SE; adjoint uses the
+    transposed convection A_AE = (w·∇u, v), A_p = -ε Ad + A_AE; legacy FCT
+    convention maps to ours via A -> -A (old_helpers.py:115-204).
+
+Drift-velocity control (advection_solidbody_FCT_PDECO_finaltime.py:11-35):
+    du/dt - ε ∇²u + ∇·( u (ω w_rot + c m) ) = 0
+    with per-step control-dependent matrices
+      Adrift1 = ((m·∇c_h) u, v)   pseudo-mass     (line 187)
+      Adrift2 = ((m·∇v) c_h, u)   pseudo-stiffness (line 188)
+    gradient equation: β c - u (m·∇p) = 0, solved with mass ChebSI (228-238).
+
+The solid-body rotation benchmark (advection_solidbody_FCT.py) is the
+forward-only case of either model with c = 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.models.base import ModelBase
+from fem_fct_pdeco_tpu.ops import stencil as st
+from fem_fct_pdeco_tpu.ops.fct import fct_step
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, chebsi
+from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+
+
+def vortex_wind(speed: float = 1.0):
+    """The [0,1]^2 vortex wind (helpers.py:876-878):
+    w = speed * 2 * ((y-1/2) x (1-x), -(x-1/2) y (1-y))."""
+    return lambda x, y: (
+        speed * 2.0 * (y - 0.5) * x * (1.0 - x),
+        -speed * 2.0 * (x - 0.5) * y * (1.0 - y),
+    )
+
+
+def rotation_wind(om: float):
+    """Solid-body rotation w = (1/om) (-y, x) (advection_solidbody_FCT.py:78)."""
+    return lambda x, y: (-y / om, x / om)
+
+
+def rotation_drift_wind(om: float, drift=(2.0, 2.0)):
+    """Rotation plus constant drift (advection_solidbody_FCT.py:77-80)."""
+    return lambda x, y: (-y / om + drift[0], x / om + drift[1])
+
+
+def slotted_cylinder_ic(grid, slit_width: float = 0.1) -> np.ndarray:
+    """Slotted-cylinder initial condition (advection_solidbody_FCT.py:62-75)."""
+    X, Y = grid.xy
+    R = np.sqrt(X**2 + (Y - 1.0 / 3.0) ** 2)
+    return np.where((R < 1.0 / 3.0) & ((np.abs(X) > slit_width) | (Y > 0.5)), 1.0, 0.0)
+
+
+class AdvectionModel(ModelBase):
+    """Source-controlled linear advection-diffusion with a stationary wind."""
+
+    def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
+                 solver_opts: SolverOpts | None = None):
+        super().__init__(grid, dtype, solver_opts)
+        self.eps = eps
+        self.N = self.asm.convection(wind_fn)  # (w·∇v, u)
+        # ref-convention flux matrices (du/dt + A u = rhs):
+        self.A_state = eps * self.K - self.N
+        self.A_adjoint = eps * self.K - st.transpose(self.N)
+
+    def _fct(self, A, rhs, u_n, dt):
+        return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
+                        solver=self.solver_opts)
+
+    def forward(self, control_traj, u0, dt, source_traj=None):
+        """State sweep; step i uses control_traj[i]
+        (advection_FCT_PDECO_finaltime.py:194-205). ``source_traj`` is the
+        optional known source g of the MMS drivers."""
+        key = ("fwd", float(dt), source_traj is not None)
+
+        def build():
+            def step(carry, x):
+                c_i = x[0] if isinstance(x, tuple) else x
+                rhs = st.apply(self.M, c_i)
+                if isinstance(x, tuple):
+                    rhs = rhs + st.apply(self.M, x[1])
+                return self._fct(self.A_state, rhs, carry, dt)
+
+            def run(control_traj, u0, source_traj=None):
+                xs = (
+                    control_traj[1:]
+                    if source_traj is None
+                    else (control_traj[1:], source_traj[1:])
+                )
+                return forward_sweep(step, u0, xs)
+
+            if source_traj is None:
+                return lambda c, u0: run(c, u0)
+            return lambda c, u0, g: run(c, u0, g)
+
+        fn = self._jitted(key, build)
+        args = (control_traj, u0) if source_traj is None else (control_traj, u0, source_traj)
+        return fn(*args)
+
+    def adjoint(self, u_traj, uhat, dt, optim="finaltime"):
+        """Adjoint sweep: -dp/dt - ε∇²p - w·∇p = (alltime: û - u), with
+        p(T) = û_T - u(T) (finaltime) or 0 (alltime)
+        (advection_FCT_PDECO_finaltime.py:212-231,
+        advection_FCT_PDECO_alltime_exact.py:253-268)."""
+        key = ("adj", float(dt), optim)
+
+        def build():
+            if optim == "finaltime":
+
+                def step(carry, _):
+                    return self._fct(self.A_adjoint, jnp.zeros_like(carry), carry, dt)
+
+                def run(u_traj, uhat):
+                    pT = uhat - u_traj[-1]
+                    return adjoint_sweep(step, pT, u_traj[:-1])
+
+                return run
+
+            def step_at(carry, x):
+                u_n, uhat_n = x
+                rhs = st.apply(self.M, uhat_n - u_n)
+                return self._fct(self.A_adjoint, rhs, carry, dt)
+
+            def run_at(u_traj, uhat):
+                pT = jnp.zeros_like(u_traj[-1])
+                return adjoint_sweep(step_at, pT, (u_traj[:-1], uhat[:-1]))
+
+            return run_at
+
+        fn = self._jitted(key, build)
+        return fn(u_traj, uhat)
+
+    def descent_direction(self, beta, c_traj, p_traj):
+        """dk = -(β c - p) (advection_FCT_PDECO_finaltime.py:237)."""
+        return -(beta * c_traj - p_traj)
+
+
+class DriftControlModel(ModelBase):
+    """Drift-velocity control over a rotating base flow (solid body)."""
+
+    def __init__(self, grid, eps: float, om: float, drift=(1.0, 1.0),
+                 dtype=jnp.float64, solver_opts: SolverOpts | None = None):
+        super().__init__(grid, dtype, solver_opts)
+        self.eps = eps
+        self.om = om
+        self.drift = drift
+        self.Nrot = self.asm.convection(rotation_wind(om))
+
+    def _drift_matrices(self, c_i):
+        """Adrift1 + Adrift2 for a control field
+        (advection_solidbody_FCT_PDECO_finaltime.py:187-188)."""
+        asm = self.asm
+        m = jnp.asarray(self.drift, dtype=self.dtype)
+        gc = asm.elem_grad(c_i)  # (2, 2, nc, nc)
+        mdotgc = m[0] * gc[:, 0] + m[1] * gc[:, 1]  # (2, nc, nc) per element
+        nq = asm.rule(2)[1].shape[0]
+        A1 = asm.weighted_mass(jnp.broadcast_to(mdotgc[:, None], (2, nq, asm.nc, asm.nc)), degree=2)
+        G = jnp.broadcast_to(
+            m[None, :, None, None], (2, 2, asm.nc, asm.nc)
+        )
+        A2 = asm.advective(G, asm.nodal_at_quad(c_i, 2), degree=2)
+        return A1 + A2
+
+    def _fct(self, A, rhs, u_n, dt):
+        return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
+                        solver=self.solver_opts)
+
+    def forward(self, control_traj, u0, dt):
+        """State sweep: legacy A_u = -ε Ad + Arot + Adrift1 + Adrift2 with
+        FCT_alg — ours: fct A = ε K - Arot - Adrift (sign flip)."""
+
+        def build():
+            def step(carry, c_i):
+                A = self.eps * self.K - self.Nrot - self._drift_matrices(c_i)
+                return self._fct(A, jnp.zeros_like(carry), carry, dt)
+
+            return lambda c, u0: forward_sweep(step, u0, c[1:])
+
+        return self._jitted(("fwd", float(dt)), build)(control_traj, u0)
+
+    def adjoint(self, u_traj, uhat, control_traj, dt, optim="finaltime"):
+        """Adjoint sweep: legacy A_p = -ε Ad - Arot - Adrift; FCT with -A_p
+        (advection_solidbody_FCT_PDECO_finaltime.py:206-227). For all-time the
+        misfit M(û-u) enters the rhs (advection_solidbody_FCT_PDECO_alltime.py).
+        """
+
+        def build():
+            def step(carry, x):
+                c_n, u_n, uhat_n = x
+                A = self.eps * self.K + self.Nrot + self._drift_matrices(c_n)
+                if optim == "finaltime":
+                    rhs = jnp.zeros_like(carry)
+                else:
+                    rhs = st.apply(self.M, uhat_n - u_n)
+                return self._fct(A, rhs, carry, dt)
+
+            def run(u_traj, uhat, control_traj):
+                if optim == "finaltime":
+                    pT = uhat - u_traj[-1]
+                    uh = jnp.zeros_like(u_traj[:-1])
+                else:
+                    pT = jnp.zeros_like(u_traj[-1])
+                    uh = uhat[:-1]
+                return adjoint_sweep(step, pT, (control_traj[:-1], u_traj[:-1], uh))
+
+            return run
+
+        return self._jitted(("adj", float(dt), optim), build)(u_traj, uhat, control_traj)
+
+    def descent_direction(self, beta, c_traj, u_traj, p_traj):
+        """dk = M^{-1}[-(β M c + (p_h (m·∇u_h), v))] via ChebSI
+        (advection_solidbody_FCT_PDECO_finaltime.py:228-238)."""
+
+        def build():
+            asm = self.asm
+            m = jnp.asarray(self.drift, dtype=self.dtype)
+
+            def one(c_i, u_i, p_i):
+                gu = asm.elem_grad(u_i)
+                mdotgu = m[0] * gu[:, 0] + m[1] * gu[:, 1]  # (2, nc, nc)
+                nq = asm.rule(2)[1].shape[0]
+                f = asm.nodal_at_quad(p_i, 2) * mdotgu[:, None]
+                b = asm.linear_form(f, degree=2)
+                rhs = -(beta * st.apply(self.M, c_i) + b)
+                return chebsi(rhs, self.M, self.M_diag, 20, 0.5, 2.0)
+
+            import jax
+
+            return lambda c, u, p: jax.vmap(one)(c, u, p)
+
+        return self._jitted(("desc", float(beta)), build)(c_traj, u_traj, p_traj)

@@ -63,8 +63,13 @@ def zalesak_limit(
     dt: float,
 ) -> jnp.ndarray:
     """Zalesak limiter: fluxes (6, n, n) ordered per EDGE_NEIGHBOR_IDS ->
-    limited net antidiffusive flux F̄ (n, n). (helpers.py:1824-1867)"""
-    inf = jnp.inf
+    limited net antidiffusive flux F̄ (n, n). (helpers.py:1824-1867)
+
+    Deliberately inf-free: out-of-domain neighbors take the center value in
+    the max/min (TPU extended-precision f64 emulation turns inf arithmetic
+    into NaN).
+    """
+    ones = jnp.ones_like(u_low)
     p_pos = jnp.zeros_like(u_low)
     p_neg = jnp.zeros_like(u_low)
     u_max = u_low
@@ -73,8 +78,10 @@ def zalesak_limit(
         F = fluxes[k]
         p_pos = p_pos + jnp.maximum(F, 0.0)
         p_neg = p_neg + jnp.minimum(F, 0.0)
-        u_max = jnp.maximum(u_max, st.shift_fill(u_low, d, -inf))
-        u_min = jnp.minimum(u_min, st.shift_fill(u_low, d, inf))
+        valid = st.shift(ones, d)  # 1 where the neighbor exists
+        nbr = st.shift(u_low, d) + (1.0 - valid) * u_low
+        u_max = jnp.maximum(u_max, nbr)
+        u_min = jnp.minimum(u_min, nbr)
 
     q_pos = u_max - u_low
     q_neg = u_min - u_low
