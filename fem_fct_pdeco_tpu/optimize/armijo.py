@@ -1,0 +1,68 @@
+"""Projected Armijo line search (reference ``armijo_line_search_ref``,
+helpers.py:1583-1713).
+
+The trial loop stays host-side (variial count varies run to run) and calls
+jit-compiled state sweeps and cost evaluations; every trial re-solves the
+(nonlinear) state system, or uses precomputed linear increments
+``var + s * w`` for linear problems (helpers.py:1684-1694).
+
+Acceptance: J(c_inc) - J(c) <= -(gam / s) ||c_inc - c||^2_{L^2(Q)}
+— the stationarity measure of Hinze p.107 (helpers.py:1696-1708).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArmijoResult:
+    state: tuple
+    control: jnp.ndarray
+    iterations: int
+    step_size: float
+    converged: bool
+    cost: float
+
+
+def armijo_line_search(
+    control: jnp.ndarray,
+    direction: jnp.ndarray,
+    state: tuple,
+    cost_init: float,
+    *,
+    cost_fn: Callable,          # (state_tuple, control) -> float
+    control_norm_sq: Callable,  # (control_diff_traj) -> float  (L2(Q)^2)
+    c_lower: float,
+    c_upper: float,
+    solver: Callable | None = None,     # (control) -> state_tuple
+    increments: tuple | None = None,    # linear increments (w1[, w2])
+    gam: float = 1e-4,
+    max_iter: int = 10,
+    s0: float = 1.0,
+) -> ArmijoResult:
+    s = s0
+    armijo = float("inf")
+    cdiff = 1.0
+    new_state, c_inc, cost2 = state, control, cost_init
+
+    for k in range(max_iter):
+        c_inc = jnp.clip(control + s * direction, c_lower, c_upper)
+        if increments is None:
+            new_state = solver(c_inc)
+        else:
+            new_state = tuple(
+                v if w is None else v + s * w for v, w in zip(state, increments)
+            )
+        cost2 = float(cost_fn(new_state, c_inc))
+        armijo = cost2 - cost_init
+        cdiff = float(control_norm_sq(c_inc - control))
+        if armijo <= -gam / s * cdiff:
+            return ArmijoResult(new_state, c_inc, k + 1, s, True, cost2)
+        s /= 2.0
+
+    return ArmijoResult(new_state, c_inc, max_iter, s, False, cost2)
