@@ -1,0 +1,164 @@
+"""Advective Schnakenberg (pattern-formation) system with source control.
+
+State system (reference helpers.py:485-597):
+    du/dt + ∇·(-Du ∇u + ω₁ w u) + γ(u - u²v) = γ c / r      (FCT)
+    dv/dt + ∇·(-Dv ∇v + ω₂ w u) + γ(u²v - b) = 0            (implicit)
+Adjoint (helpers.py:599-698), final-time conditions p(T)=û_T-u(T),
+q(T)=v̂_T-v(T):
+    -dp/dt + ∇·(-Du ∇p - ω₁ w p) + γp + 2γuv(q-p) = 0        (FCT)
+    -dq/dt + ∇·(-Dv ∇q - ω₂ w q) + γu²(q-p) = 0              (implicit)
+Gradient equation: β c - (γ/r) p = 0
+(Schnak_FCT_PDECO_refactored.py:166-167).
+
+The reference re-assembles the (stationary) vortex wind matrix every time
+step (helpers.py:581); here it is assembled once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.models.base import ModelBase
+from fem_fct_pdeco_tpu.ops import stencil as st
+from fem_fct_pdeco_tpu.ops.fct import fct_step
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, solve_stencil
+from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class SchnakenbergParams:
+    """Garzon-Alvarado et al (2011) constants (helpers.py:485-509)."""
+
+    Du: float = 1.0 / 100.0
+    Dv: float = 8.6676
+    c_a: float = 0.1      # constant "a" — the true control
+    c_b: float = 0.9
+    gamma: float = 230.82
+    omega1: float = 100.0
+    omega2: float = 0.6
+
+
+def schnak_wind(x, y):
+    """Stationary vortex wind (helpers.py:506-508)."""
+    return ((y - 0.5) * x * (1.0 - x), -(x - 0.5) * y * (1.0 - y))
+
+
+class SchnakenbergModel(ModelBase):
+    def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
+                 rescaling: float = 1.0, dtype=jnp.float64,
+                 solver_opts: SolverOpts | None = None):
+        super().__init__(grid, dtype, solver_opts)
+        self.params = params
+        self.rescaling = rescaling
+        self.N = self.asm.convection(schnak_wind)  # (w·∇v, u)
+        # u flux matrix: Du*Ad - ω₁*A (helpers.py:582-583)
+        self.A_u = params.Du * self.K - params.omega1 * self.N
+        # v implicit base: Dv*Ad - ω₂*A enters M + dt(...) (helpers.py:595)
+        self.B_v = params.Dv * self.K - params.omega2 * self.N
+        # The adjoint assembles convection with the gradient on the TRIAL
+        # function (helpers.py:681: dot(wind, grad(u)) * w * dx) — the
+        # transpose of the forward convection matrix.
+        Nt = st.transpose(self.N)
+        self.A_u_adj = params.Du * self.K - params.omega1 * Nt
+        self.B_v_adj = params.Dv * self.K - params.omega2 * Nt
+
+    def ic(self) -> tuple[np.ndarray, np.ndarray]:
+        """Cosine-perturbed steady state (helpers.py:443-483)."""
+        X, Y = self.grid.xy
+        p = self.params
+        con = 0.1
+        pert = con * np.cos(2 * np.pi * (X + Y)) + 0.01 * sum(
+            np.cos(2 * np.pi * X * i) for i in range(1, 9)
+        )
+        u0 = p.c_a + p.c_b + pert
+        v0 = p.c_b / (p.c_a + p.c_b) ** 2 + pert
+        return u0, v0
+
+    def _wm(self, g_quad):
+        return self.asm.weighted_mass(g_quad, degree=4)
+
+    def forward(self, control_traj, u0, v0, dt):
+        """Forward sweep (helpers.py:511-597). Step i uses control_traj[i]."""
+
+        def build():
+            p = self.params
+            gM = p.gamma * self.M
+
+            def step(carry, c_i):
+                u_n, v_n = carry
+                # u via FCT: rhs = γ(c/r + u_n² v_n), non_flux = γM
+                uq = self.asm.nodal_at_quad(u_n, 4)
+                vq = self.asm.nodal_at_quad(v_n, 4)
+                cq = self.asm.nodal_at_quad(c_i, 4)
+                rhs_u = self.asm.linear_form(
+                    p.gamma / self.rescaling * cq + p.gamma * uq**2 * vq, 4
+                )
+                u_np1 = fct_step(
+                    self.A_u, rhs_u, u_n, dt, self.M, self.M_diag,
+                    self.ML_diag, non_flux=gM, solver=self.solver_opts,
+                )
+                # v implicit with the *new* u (helpers.py:590-596)
+                Mu2 = self._wm(self.asm.nodal_at_quad(u_np1, 4) ** 2)
+                Mat_v = self.M + dt * (self.B_v + p.gamma * Mu2)
+                rhs_v = self.asm.linear_form(
+                    jnp.full_like(self.asm.nodal_at_quad(v_n, 4), p.gamma * p.c_b), 4
+                )
+                v_np1 = solve_stencil(
+                    Mat_v, st.apply(self.M, v_n) + dt * rhs_v, x0=v_n,
+                    opts=self.solver_opts,
+                )
+                return (u_np1, v_np1)
+
+            return lambda c, u0, v0: forward_sweep(step, (u0, v0), c[1:])
+
+        return self._jitted(("fwd", float(dt)), build)(control_traj, u0, v0)
+
+    def adjoint(self, u_traj, v_traj, uhat_T, vhat_T, dt):
+        """Backward sweep (helpers.py:599-698): q implicit first, then p FCT
+        with non_flux = γM - 2γM_{uv}."""
+
+        def build():
+            p = self.params
+            gM = p.gamma * self.M
+
+            def step(carry, x):
+                p_np1, q_np1 = carry
+                u_n, v_n = x
+                uq = self.asm.nodal_at_quad(u_n, 4)
+                vq = self.asm.nodal_at_quad(v_n, 4)
+                pq = self.asm.nodal_at_quad(p_np1, 4)
+                # q: [M + dt(Dv K - ω₂N + γ M_u²)] q = M q_np1 + dt γ (p_np1 u²)
+                Mu2 = self._wm(uq**2)
+                rhs_q = self.asm.linear_form(p.gamma * pq * uq**2, 4)
+                Mat_q = self.M + dt * (self.B_v_adj + p.gamma * Mu2)
+                q_n = solve_stencil(
+                    Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1,
+                    opts=self.solver_opts,
+                )
+                # p via FCT: rhs = -2γ u v q_n, non_flux = γM - 2γ M_uv
+                qq = self.asm.nodal_at_quad(q_n, 4)
+                rhs_p = self.asm.linear_form(-2.0 * p.gamma * uq * vq * qq, 4)
+                Muv = self._wm(uq * vq)
+                p_n = fct_step(
+                    self.A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
+                    self.ML_diag, non_flux=gM - 2.0 * p.gamma * Muv,
+                    solver=self.solver_opts,
+                )
+                return (p_n, q_n)
+
+            def run(u_traj, v_traj, uhat_T, vhat_T):
+                pT = uhat_T - u_traj[-1]
+                qT = vhat_T - v_traj[-1]
+                return adjoint_sweep(step, (pT, qT), (u_traj[:-1], v_traj[:-1]))
+
+            return run
+
+        return self._jitted(("adj", float(dt)), build)(u_traj, v_traj, uhat_T, vhat_T)
+
+    def descent_direction(self, beta, c_traj, p_traj):
+        """dk = -(β c - (γ/r) p) (Schnak_FCT_PDECO_refactored.py:166-167)."""
+        return -(beta * c_traj - self.params.gamma / self.rescaling * p_traj)
