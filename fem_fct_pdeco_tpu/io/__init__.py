@@ -1,0 +1,15 @@
+from fem_fct_pdeco_tpu.io.csvio import (
+    extract_frame,
+    import_data_final,
+    load_trajectory_csv,
+    save_trajectory_csv,
+)
+from fem_fct_pdeco_tpu.io.registry import append_results_row
+
+__all__ = [
+    "extract_frame",
+    "import_data_final",
+    "load_trajectory_csv",
+    "save_trajectory_csv",
+    "append_results_row",
+]

@@ -1,0 +1,62 @@
+import os
+
+import numpy as np
+import pytest
+
+from fem_fct_pdeco_tpu.grid import Grid
+from fem_fct_pdeco_tpu.io import (
+    extract_frame,
+    import_data_final,
+    load_trajectory_csv,
+    save_trajectory_csv,
+)
+
+
+def test_trajectory_roundtrip(tmp_path):
+    g = Grid(0.0, 1.0, 9)
+    rng = np.random.default_rng(0)
+    traj = rng.standard_normal((5, 9, 9))
+    p = str(tmp_path / "traj.csv")
+    save_trajectory_csv(p, traj, g)
+    back = load_trajectory_csv(p, g)
+    np.testing.assert_allclose(back, traj, rtol=1e-15)
+
+
+def test_import_data_final_and_extract(tmp_path):
+    g = Grid(0.0, 1.0, 9)
+    rng = np.random.default_rng(1)
+    traj = rng.standard_normal((5, 9, 9))
+    p = str(tmp_path / "run.csv")
+    save_trajectory_csv(p, traj, g)
+    # final frame slice
+    frame = import_data_final(p, g, num_steps=4)
+    np.testing.assert_allclose(frame, traj[4], rtol=1e-15)
+    full = import_data_final(p, g, num_steps=4, time_dep=True)
+    np.testing.assert_allclose(full, traj, rtol=1e-15)
+    # extract_frame writes a single-frame file loadable as the final target
+    out = extract_frame(str(tmp_path), "run", T=0.3, dt=0.1, grid=g)
+    frame3 = import_data_final(out, g, num_steps=0)
+    np.testing.assert_allclose(frame3, traj[3], rtol=1e-12)
+
+
+def test_fastcsv_matches_numpy(tmp_path):
+    from fem_fct_pdeco_tpu.io import _fastcsv
+
+    rng = np.random.default_rng(2)
+    vals = rng.standard_normal(10000) * 10.0 ** rng.integers(-8, 8, 10000).astype(float)
+    p = str(tmp_path / "x.csv")
+    vals.tofile(p, sep=",")
+    got = _fastcsv.parse_file(p)
+    want = np.genfromtxt(p, delimiter=",")
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fastcsv_reads_reference_fixture():
+    path = "/root/reference/data/solidbody_t0.25_u.csv"
+    if not os.path.exists(path):
+        pytest.skip("fixture unavailable")
+    from fem_fct_pdeco_tpu.io import _fastcsv
+
+    got = _fastcsv.parse_file(path)
+    want = np.genfromtxt(path, delimiter=",")
+    np.testing.assert_array_equal(got, want)
