@@ -1,0 +1,213 @@
+"""Benchmark: chemotaxis FCT time steps/sec at 256^2 on TPU vs the CPU
+reference implementation style.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's hot path is SciPy SuperLU spsolve plus per-node
+Python loops over sparse neighbor lists (helpers.py:1769-1872; SURVEY §3.1).
+``_reference_style_step`` reproduces that cost model faithfully (same sparse
+solves, same Python flux/limiter loops) on this machine's CPU, and the
+result is cached in BENCH_BASELINE.json so repeat runs don't pay for it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GRID_N = 256
+DT = 1e-3
+STEPS_PER_CALL = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+
+def tpu_steps_per_sec() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    g = Grid(0.0, 1.0, GRID_N)
+    model = ChemotaxisModel(
+        g, rescaling=1.0, dtype=jnp.float32,
+        solver_opts=SolverOpts(tol=1e-6, maxiter=200),
+    )
+    u0np, v0np = model.ic()
+    u0 = jnp.asarray(u0np, dtype=jnp.float32)
+    v0 = jnp.asarray(v0np, dtype=jnp.float32)
+    c = jnp.full((STEPS_PER_CALL + 1, GRID_N, GRID_N), model.params.gamma, jnp.float32)
+
+    # warmup + compile
+    u, v = model.forward(c, u0, v0, DT)
+    jax.block_until_ready((u, v))
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u, v = model.forward(c, u0, v0, DT)
+    jax.block_until_ready((u, v))
+    dt_total = time.perf_counter() - t0
+    return reps * STEPS_PER_CALL / dt_total
+
+
+def _reference_style_step(state, ops):
+    """One coupled chemotaxis step in the reference's implementation style:
+    scipy spsolve + per-node Python loops over neighbor lists."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve
+
+    u_n, v_n = state
+    (M, ML_diag, Mat_v, A_u_fn, nbrs, N) = ops
+    # v implicit solve
+    rhs_v = M @ v_n + DT * (100.0 * M @ (u_n))
+    v_np1 = spsolve(Mat_v, rhs_v)
+    # u FCT step, reference style (helpers.py:1769-1872)
+    A = A_u_fn(u_n, v_np1)
+    # artificial diffusion from -A
+    negA = -A.copy()
+    negA.setdiag(0)
+    D = -negA.minimum(0)
+    D = D.maximum(D.T)
+    D = D - sp.diags(np.ravel(D.sum(axis=1)))
+    Low = sp.diags(ML_diag) + DT * (A - D)
+    u_low = spsolve(Low.tocsr(), ML_diag * u_n)
+    # ChebSI du/dt
+    rhs_du = -A @ u_low
+    Md = M.diagonal()
+    ymid = np.zeros(N); yold = np.zeros(N); omega = 0.0
+    rho = (2 - 0.5) / (2 + 0.5)
+    Mdd = (0.5 + 2) / 2 * Md
+    for k in range(1, 21):
+        omega = 1 / (1 - rho**2 / 2) if k == 2 else 1 / (1 - omega * rho**2 / 4)
+        r = rhs_du - M @ ymid
+        ynew = omega * (r / Mdd + ymid - yold) + yold
+        yold, ymid = ymid, ynew
+    du_dt = ymid
+    # flux assembly: the reference's per-node Python loop (helpers.py:1818)
+    F = sp.lil_matrix((N, N))
+    Ml = M.tolil()
+    Dl = D.tolil()
+    for i in range(N):
+        for j in nbrs[i]:
+            F[i, j] = Ml[i, j] * (du_dt[i] - du_dt[j]) + Dl[i, j] * (u_low[i] - u_low[j])
+    F.setdiag(0)
+    p_pos = np.ravel(F.maximum(0).sum(axis=1))
+    p_neg = np.ravel(F.minimum(0).sum(axis=1))
+    u_max = np.empty(N); u_min = np.empty(N)
+    for i in range(N):
+        vals = [u_low[j] for j in nbrs[i]]
+        u_max[i] = max(vals); u_min[i] = min(vals)
+    q_pos = u_max - u_low; q_neg = u_min - u_low
+    r_pos = np.ones(N); r_neg = np.ones(N)
+    m = p_pos != 0
+    r_pos[m] = np.minimum(1, ML_diag[m] * q_pos[m] / (DT * p_pos[m]))
+    m = p_neg != 0
+    r_neg[m] = np.minimum(1, ML_diag[m] * q_neg[m] / (DT * p_neg[m]))
+    Fc = F.tocoo()
+    fbar = np.zeros(N)
+    for i, j, f in zip(Fc.row, Fc.col, Fc.data):
+        if f > 0:
+            fbar[i] += min(r_pos[i], r_neg[j]) * f
+        elif f < 0:
+            fbar[i] += min(r_neg[i], r_pos[j]) * f
+    u_np1 = u_low + DT * fbar / ML_diag
+    return u_np1, v_np1
+
+
+def cpu_baseline_steps_per_sec(measure_steps: int = 1) -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            d = json.load(f)
+        if d.get("grid_n") == GRID_N:
+            return d["steps_per_sec"]
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops import stencil as st
+
+    g = Grid(0.0, 1.0, GRID_N)
+    model = ChemotaxisModel(g, rescaling=1.0)
+    N = g.num_nodes
+    M = st.to_scipy(np.asarray(model.M))
+    K = st.to_scipy(np.asarray(model.K))
+    ML_diag = np.asarray(model.ML_diag).ravel()
+    p = model.params
+    Mat_v = (M + DT * (p.Df * K + p.delta * M)).tocsc()
+
+    # neighbor lists (reference find_node_neighbours semantics)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import oracles
+
+    nbrs = oracles.neighbors(GRID_N)
+
+    asm = model.asm
+
+    def A_u_fn(u_n, v_np1):
+        uq = asm.nodal_at_quad(jnp.asarray(u_n.reshape(GRID_N, GRID_N)), 4)
+        Aa = asm.advective(
+            asm.elem_grad(jnp.asarray(v_np1.reshape(GRID_N, GRID_N))),
+            jnp.exp(-p.eta * uq), degree=4,
+        )
+        return st.to_scipy(np.asarray(p.Dm * model.K - p.chi * Aa))
+
+    u0, v0 = model.ic()
+    state = (u0.ravel(), v0.ravel())
+    ops = (M.tocsr(), ML_diag, Mat_v, A_u_fn, nbrs, N)
+    # warm one partial pass is unnecessary; measure directly
+    t0 = time.perf_counter()
+    for _ in range(measure_steps):
+        state = _reference_style_step(state, ops)
+    elapsed = time.perf_counter() - t0
+    sps = measure_steps / elapsed
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {"grid_n": GRID_N, "steps_per_sec": sps, "measured_steps": measure_steps,
+             "seconds_per_step": elapsed / measure_steps}, f)
+    return sps
+
+
+def main():
+    # Baseline must run on the CPU backend, which can only be selected before
+    # JAX initializes — measure it in a subprocess unless already cached.
+    if not os.path.exists(BASELINE_CACHE):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--baseline-only"],
+            check=False, timeout=3600,
+        )
+    value = tpu_steps_per_sec()
+    try:
+        base = cpu_baseline_steps_per_sec()
+    except Exception:
+        base = None
+    out = {
+        "metric": f"chemotaxis_fct_steps_per_sec_{GRID_N}x{GRID_N}",
+        "value": round(value, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(value / base, 2) if base else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--baseline-only" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        cpu_baseline_steps_per_sec()
+    else:
+        main()

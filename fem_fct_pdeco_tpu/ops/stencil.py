@@ -99,6 +99,36 @@ def add_diag(S: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# SciPy interop (tests / CPU baselines only — never on the TPU hot path)
+# ---------------------------------------------------------------------------
+
+def to_scipy(S: np.ndarray):
+    """Stencil -> scipy CSR in flat row-major vertex ordering (vectorized)."""
+    import scipy.sparse as sp
+
+    S = np.asarray(S)
+    _, n0, n1 = S.shape
+    rows, cols, vals = [], [], []
+    ii, jj = np.meshgrid(np.arange(n0), np.arange(n1), indexing="ij")
+    for d, (di, dj) in enumerate(OFFSETS):
+        src = (
+            slice(max(0, -di), n0 - max(0, di)),
+            slice(max(0, -dj), n1 - max(0, dj)),
+        )
+        r = (ii[src] * n1 + jj[src]).ravel()
+        c = ((ii[src] + di) * n1 + (jj[src] + dj)).ravel()
+        v = S[d][src].ravel()
+        rows.append(r)
+        cols.append(c)
+        vals.append(v)
+    N = n0 * n1
+    return sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N),
+    ).tocsr()
+
+
+# ---------------------------------------------------------------------------
 # Dense interop (tests / debugging only — never on the TPU hot path)
 # ---------------------------------------------------------------------------
 
