@@ -60,6 +60,18 @@ class ChemotaxisModel(ModelBase):
         p = self.params
         return self.M * (1.0 + dt * p.delta) + (dt * p.Df) * self.K
 
+    # Reaction hooks for the Mimura/feathers variant (models/mimura.py);
+    # the base Keller-Segel system has no reaction in the u equation.
+    def _reaction_rhs(self, u_q):
+        """Explicit (IMEX) reaction source for the u equation, at quadrature
+        points; None for the base model."""
+        return None
+
+    def _reaction_nonflux_adj(self, u_q):
+        """Reaction linearization entering the adjoint p equation's non-flux
+        matrix; None for the base model."""
+        return None
+
     def _forward_step(self, dt):
         p = self.params
         asm = self.asm
@@ -78,8 +90,13 @@ class ChemotaxisModel(ModelBase):
             u_q = asm.nodal_at_quad(u_n, 4)
             Aa = asm.advective(asm.elem_grad(v_np1), jnp.exp(-p.eta * u_q), degree=4)
             A_u = p.Dm * self.K - p.chi * Aa
+            reaction = self._reaction_rhs(u_q)
+            rhs_u = (
+                jnp.zeros_like(u_n) if reaction is None
+                else asm.linear_form(reaction, 4)
+            )
             u_np1 = fct_step(
-                A_u, jnp.zeros_like(u_n), u_n, dt, self.M, self.M_diag,
+                A_u, rhs_u, u_n, dt, self.M, self.M_diag,
                 self.ML_diag, solver=self.solver_opts,
             )
             return (u_np1, v_np1)
@@ -124,9 +141,10 @@ class ChemotaxisModel(ModelBase):
                 # raw nodal misfit added to the assembled load, exactly as the
                 # reference does (helpers.py:1506-1507)
                 rhs_p = rhs_p + mis_u
+            nf = self._reaction_nonflux_adj(u_q)
             p_n = fct_step(
                 Mat_p, rhs_p, p_np1, dt, self.M, self.M_diag, self.ML_diag,
-                solver=self.solver_opts,
+                non_flux=nf, solver=self.solver_opts,
             )
             # q-solve (helpers.py:1531-1538)
             rhs_q = asm.advective_form(
