@@ -1,0 +1,149 @@
+"""Chemotaxis (Keller–Segel) PDECO driver.
+
+Reference: chemotaxis_FCT_PDECO_refactored.py (final-time; constants at its
+header: dx=0.025, dt=5e-4, T=0.1, beta=1e-4, c in [0,20], rescaling 1/10)
+and chemotaxis_FCT_PDECO_AT_refactored.py (all-time).
+
+CLI:  python -m fem_fct_pdeco_tpu.drivers.chemotaxis_pdeco [--optim finaltime]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.drivers.common import ExperimentConfig, PDECOProblem, run_pdeco
+from fem_fct_pdeco_tpu.io import import_data_final
+from fem_fct_pdeco_tpu.io.plots import plot_two_var_solution
+from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+from fem_fct_pdeco_tpu.optimize import cost_functional, l2_norm_sq_q
+
+DEFAULTS = dict(
+    a1=0.0, a2=1.0, dx=0.025, dt=5e-4, T=0.1, T_data=0.5,
+    beta=1e-4, c_lower=0.0, c_upper=20.0, tol=1e-3,
+    max_iter_armijo=10, max_iter_gd=50,
+)
+RESCALING = 1.0 / 10.0  # chemotaxis_FCT_PDECO_refactored.py rescaling r
+
+
+class ChemotaxisProblem(PDECOProblem):
+    name = "Chtxs"
+    num_vars = 2
+
+    def __init__(self, cfg: ExperimentConfig, rescaling: float = RESCALING):
+        super().__init__(cfg)
+        self.model = ChemotaxisModel(
+            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=1e-12)
+        )
+        self._targets = self._load_targets()
+        u0, v0 = self.model.ic()
+        self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
+
+    def _load_targets(self):
+        cfg = self.cfg
+        pm = os.path.join(cfg.data_dir, f"chtxs_m_t{cfg.T_data:g}.csv")
+        pf = os.path.join(cfg.data_dir, f"chtxs_f_t{cfg.T_data:g}.csv")
+        if not (os.path.exists(pm) and os.path.exists(pf)):
+            from fem_fct_pdeco_tpu.drivers.generate_targets import chemotaxis
+
+            chemotaxis(cfg.data_dir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
+        if cfg.optim == "finaltime":
+            k = cfg.num_steps_data
+            return (
+                jnp.asarray(import_data_final(pm, self.grid, num_steps=k)),
+                jnp.asarray(import_data_final(pf, self.grid, num_steps=k)),
+            )
+        k = cfg.num_steps
+        return (
+            jnp.asarray(import_data_final(pm, self.grid, num_steps=k, time_dep=True)),
+            jnp.asarray(import_data_final(pf, self.grid, num_steps=k, time_dep=True)),
+        )
+
+    def mass(self):
+        return self.model.M
+
+    def targets(self):
+        return self._targets
+
+    def solve_state(self, c):
+        return self.model.forward(c, self._u0, self._v0, self.cfg.dt)
+
+    def solve_adjoint(self, state, c):
+        return self.model.adjoint(
+            state[0], state[1], self._targets[0], self._targets[1], c,
+            self.cfg.dt, self.cfg.optim,
+        )
+
+    def descent_direction(self, c, state, adjoint):
+        return self.model.descent_direction(self.cfg.beta, c, state[0], adjoint[1])
+
+    def cost(self, state, c):
+        return cost_functional(
+            state[0], self._targets[0], c, self.cfg.dt, self.model.M,
+            self.cfg.beta, self.cfg.optim,
+            var2_traj=state[1], var2_target=self._targets[1],
+        )
+
+    def true_control_norm_sq(self):
+        steps = self.cfg.num_steps
+        ct = jnp.full((steps + 1, self.grid.n, self.grid.n), self.model.params.gamma)
+        return float(l2_norm_sq_q(ct, self.cfg.dt, self.model.M))
+
+    def plot(self, it, state, adjoint, c):
+        t0 = self._targets[0] if self.cfg.optim == "finaltime" else self._targets[0][-1]
+        t1 = self._targets[1] if self.cfg.optim == "finaltime" else self._targets[1][-1]
+        plot_two_var_solution(
+            np.asarray(state[0]), np.asarray(state[1]),
+            np.asarray(adjoint[0]), np.asarray(adjoint[1]), np.asarray(c),
+            np.asarray(t0), np.asarray(t1), self.cfg.T_data, it, self.cfg.dt,
+            self.cfg.out_folder, optim="finaltime",
+        )
+
+
+def build_config(**overrides) -> ExperimentConfig:
+    d = {**DEFAULTS, **overrides}
+    cfg = ExperimentConfig(**d)
+    if not overrides.get("out_folder"):
+        cfg.out_folder = (
+            f"Chtxs_{cfg.optim}_T{cfg.T}_Tdata{cfg.T_data}_beta{cfg.beta}"
+            f"_Ca{cfg.c_lower}_Cb{cfg.c_upper}_tol{cfg.tol}"
+        )
+    if cfg.registry_csv is None:
+        cfg.registry_csv = ("Chtx_FT" if cfg.optim == "finaltime" else "Chtx_AT") + \
+            "_simulation_results.csv"
+    return cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
+    ap.add_argument("--T", type=float, default=DEFAULTS["T"])
+    ap.add_argument("--T-data", type=float, default=None)
+    ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
+    ap.add_argument("--dx", type=float, default=DEFAULTS["dx"])
+    ap.add_argument("--beta", type=float, default=DEFAULTS["beta"])
+    ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
+    ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
+    ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+    T_data = args.T_data
+    if T_data is None:
+        # all-time tracks the trajectory over [0, T]; final-time tracks a
+        # stored pattern at T_data (reference default 0.5)
+        T_data = args.T if args.optim == "alltime" else DEFAULTS["T_data"]
+    cfg = build_config(
+        optim=args.optim, T=args.T, T_data=T_data, dt=args.dt, dx=args.dx,
+        beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
+        produce_plots=args.plots, out_folder=args.out,
+    )
+    problem = ChemotaxisProblem(cfg)
+    return run_pdeco(problem, cfg)
+
+
+if __name__ == "__main__":
+    main()

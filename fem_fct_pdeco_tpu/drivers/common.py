@@ -1,0 +1,208 @@
+"""Shared experiment harness for the PDECO drivers.
+
+Replaces the reference's per-script boilerplate (the anatomy of e.g.
+Schnak_FCT_PDECO_refactored.py: config constants, mesh setup, target import,
+initial state/adjoint solves, the PGD loop, fail/restart bookkeeping, CSV
+saves, results-registry row, progress plots) with one configurable runner.
+Each driver module supplies a ``Problem`` adapter and its reference-default
+config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.grid import Grid
+from fem_fct_pdeco_tpu.io import append_results_row, save_trajectory_csv
+from fem_fct_pdeco_tpu.io.plots import plot_progress
+from fem_fct_pdeco_tpu.optimize import (
+    PGDConfig,
+    l2_norm_sq_omega,
+    l2_norm_sq_q,
+    projected_gradient_descent,
+)
+from fem_fct_pdeco_tpu.utils.profiling import Timer
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Configuration fields shared by all PDECO drivers; defaults are each
+    driver's responsibility (taken verbatim from the reference scripts)."""
+
+    a1: float
+    a2: float
+    dx: float
+    dt: float
+    T: float
+    T_data: float
+    beta: float
+    c_lower: float
+    c_upper: float
+    optim: str = "finaltime"
+    tol: float = 1e-4
+    max_iter_armijo: int = 10
+    max_iter_gd: int = 50
+    gam: float = 1e-4
+    s0: float = 1.0
+    out_folder: str = "out"
+    data_dir: str = "data_generated"
+    produce_plots: bool = False
+    registry_csv: str | None = None
+    tag: str = ""
+
+    @property
+    def num_steps(self) -> int:
+        return round(self.T / self.dt)
+
+    @property
+    def num_steps_data(self) -> int:
+        return round(self.T_data / self.dt)
+
+    def grid(self) -> Grid:
+        return Grid.from_spacing(self.a1, self.a2, self.dx)
+
+
+class PDECOProblem:
+    """Adapter interface each driver implements around a model."""
+
+    name = "problem"
+    num_vars = 1
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.grid = cfg.grid()
+
+    # -- required hooks -------------------------------------------------
+    def initial_control(self):
+        n = self.grid.n
+        return jnp.zeros((self.cfg.num_steps + 1, n, n))
+
+    def solve_state(self, c):  # -> tuple of trajectories
+        raise NotImplementedError
+
+    def solve_adjoint(self, state, c):  # -> tuple of adjoint trajectories
+        raise NotImplementedError
+
+    def descent_direction(self, c, state, adjoint):
+        raise NotImplementedError
+
+    def cost(self, state, c) -> float:
+        raise NotImplementedError
+
+    def targets(self) -> tuple:  # target fields used for misfit reporting
+        raise NotImplementedError
+
+    def mass(self):
+        raise NotImplementedError
+
+    def true_control_norm_sq(self) -> float | None:
+        return None
+
+    def plot(self, it, state, adjoint, c):
+        pass
+
+
+def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
+    timer = Timer()
+    Path(cfg.out_folder).mkdir(parents=True, exist_ok=True)
+
+    M = problem.mass()
+    dt = cfg.dt
+    pgd_cfg = PGDConfig(
+        beta=cfg.beta, tol=cfg.tol, max_iter_gd=cfg.max_iter_gd,
+        max_iter_armijo=cfg.max_iter_armijo, c_lower=cfg.c_lower,
+        c_upper=cfg.c_upper, gam=cfg.gam, s0=cfg.s0,
+    )
+
+    targets = problem.targets()
+
+    def fidelity(state):
+        out = {}
+        for k, (traj, target) in enumerate(zip(state, targets)):
+            if target is None:
+                continue
+            if cfg.optim == "finaltime":
+                out[f"var{k+1}"] = float(l2_norm_sq_omega(traj[-1] - target, M))
+            else:
+                out[f"var{k+1}"] = float(l2_norm_sq_q(traj - target, dt, M))
+        return out
+
+    def callback(it, info):
+        print(
+            f"it={it} cost={info['cost']:.6e} stop_crit={info['stop_crit']:.3e} "
+            f"armijo_its={info['armijo_iters']}"
+        )
+        if cfg.produce_plots:
+            problem.plot(it, info["state"], info["adjoint"], info["control"])
+
+    with timer.phase("pgd"):
+        res = projected_gradient_descent(
+            config=pgd_cfg,
+            c0=problem.initial_control(),
+            solve_state=problem.solve_state,
+            solve_adjoint=problem.solve_adjoint,
+            descent_direction=problem.descent_direction,
+            cost_fn=problem.cost,
+            control_norm_sq=lambda c: l2_norm_sq_q(c, dt, M),
+            fidelity_fn=fidelity,
+            callback=callback,
+        )
+
+    # ---- post-run artifacts (reference driver tail) --------------------
+    area = (cfg.a2 - cfg.a1) ** 2
+    eval_sim = float(l2_norm_sq_q(res.control, dt, M)) / (cfg.T * area)
+    fid = fidelity(res.state)
+
+    names = ["u", "v"][: problem.num_vars]
+    for name, traj in zip(names, res.state):
+        save_trajectory_csv(
+            os.path.join(cfg.out_folder, f"{problem.name}_{name}.csv"), traj, problem.grid
+        )
+    for name, traj in zip(["p", "q"], res.adjoint):
+        save_trajectory_csv(
+            os.path.join(cfg.out_folder, f"{problem.name}_{name}.csv"), traj, problem.grid
+        )
+    save_trajectory_csv(
+        os.path.join(cfg.out_folder, f"{problem.name}_c.csv"), res.control, problem.grid
+    )
+
+    if res.history["cost"]:
+        fe = [f.get("var1", float("nan")) for f in res.history["fidelity"]]
+        fe2 = (
+            [f.get("var2", float("nan")) for f in res.history["fidelity"]]
+            if problem.num_vars == 2 else None
+        )
+        plot_progress(res.history["cost"], fe, res.history["control_norm_sq"],
+                      res.iterations, cfg.out_folder, fidelity_vals2=fe2)
+
+    jtrue = problem.true_control_norm_sq()
+    row = {
+        "Sim. duration": round(res.duration, 2),
+        "T": cfg.T, "T_data": cfg.T_data, "beta": cfg.beta, "tol": cfg.tol,
+        "GD its": res.iterations,
+        "Armijo its": res.history["armijo_iters"],
+        "C_ad": f"[{cfg.c_lower}, {cfg.c_upper}]",
+        "Mean c. in L^2(Q)^2": eval_sim,
+        **{f"Misfit norm {k}": v for k, v in fid.items()},
+        "J(c_true)": (cfg.beta / 2 * jtrue) if jtrue is not None else "",
+        "status": res.status,
+        "out_folder_name": cfg.out_folder,
+    }
+    if cfg.registry_csv:
+        append_results_row(cfg.registry_csv, row)
+
+    print("\nExit:")
+    print(f"  status={res.status} iterations={res.iterations} cost={res.cost:.6e}")
+    for k, v in fid.items():
+        print(f"  misfit {k}: {v:.6e}")
+    print(f"  average control in L^2(Q)^2: {eval_sim:.6e}")
+    if jtrue is not None:
+        print(f"  J(c_true) = {cfg.beta / 2 * jtrue:.6e}")
+    print(f"  duration: {res.duration:.1f}s  phases: {timer.summary()}")
+    return {"result": res, "registry_row": row}

@@ -1,0 +1,187 @@
+"""Target-state generation for every PDECO problem family.
+
+Covers the reference's forward-only generator scripts
+(advection_solidbody_FCT.py, advection_solidbodyGaussian_FCT.py,
+advection_generate_pattern_FCT.py, nonlinear_generate_pattern_FCT.py,
+chemotaxis_generate_pattern_FCT.py, advection_Schnak_generate_pattern_FCT.py,
+chemotaxis_mimura_FCT.py). Each function runs the forward model with the
+known true control and writes the trajectory CSV in the reference's layout;
+PDECO drivers call these on demand when target files are missing
+(inverse-crime setup, SURVEY §4.3).
+
+CLI:  python -m fem_fct_pdeco_tpu.drivers.generate_targets <name> [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.grid import Grid
+from fem_fct_pdeco_tpu.io import save_trajectory_csv
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+
+def _opts():
+    return SolverOpts(tol=1e-12)
+
+
+def solidbody(out_dir: str, slit: float = 0.05, T: float = 1.0, dt: float = 1e-3):
+    """Slotted-cylinder rotation+drift frames (advection_solidbody_FCT.py)."""
+    from fem_fct_pdeco_tpu.models.advection import (
+        AdvectionModel, rotation_drift_wind, slotted_cylinder_ic)
+
+    g = Grid.from_spacing(-1.0, 1.0, 0.025)
+    model = AdvectionModel(g, eps=0.0, wind_fn=rotation_drift_wind(np.pi / 40),
+                           solver_opts=_opts())
+    steps = round(T / dt)
+    u0 = jnp.asarray(slotted_cylinder_ic(g, slit))
+    traj = model.forward(jnp.zeros((steps + 1, g.n, g.n)), u0, dt)
+    os.makedirs(out_dir, exist_ok=True)
+    for t_out in {0.25, 0.5, 1.0, T}:
+        k = round(t_out / dt)
+        if k <= steps:
+            save_trajectory_csv(
+                os.path.join(out_dir, f"solidbody_t{t_out:g}_u.csv"),
+                np.asarray(traj[k])[None], g)
+    save_trajectory_csv(os.path.join(out_dir, "solidbody_u.csv"), traj, g)
+    return g, traj
+
+
+def gaussian_drift(out_dir: str, T: float = 1.0, dt: float = 1e-3, c: float = 2.0):
+    """Gaussian blob under constant drift (advection_solidbodyGaussian_FCT.py:
+    IC exp(-20((x+2/3)² + 5(y+5/6)²)), wind (c, c))."""
+    from fem_fct_pdeco_tpu.models.advection import AdvectionModel
+
+    g = Grid.from_spacing(-1.0, 1.0, 0.025)
+    model = AdvectionModel(g, eps=0.0,
+                           wind_fn=lambda x, y: (c * np.ones_like(x), c * np.ones_like(y)),
+                           solver_opts=_opts())
+    X, Y = g.xy
+    u0 = jnp.asarray(np.exp(-20.0 * ((X + 2.0 / 3.0) ** 2 + 5.0 * (Y + 5.0 / 6.0) ** 2)))
+    steps = round(T / dt)
+    traj = model.forward(jnp.zeros((steps + 1, g.n, g.n)), u0, dt)
+    os.makedirs(out_dir, exist_ok=True)
+    save_trajectory_csv(os.path.join(out_dir, "gaussian_u.csv"), traj, g)
+    return g, traj
+
+
+def advection_stripes(out_dir: str, T: float = 0.5, dt: float = 1e-3,
+                      dx: float = 0.0125):
+    """Stripes target for source-control advection
+    (advection_generate_pattern_FCT.py: eps=1e-4, wind2, sin·sin source,
+    nonlinear-equation IC)."""
+    from fem_fct_pdeco_tpu.models.advection import AdvectionModel
+
+    g = Grid.from_spacing(0.0, 1.0, dx)
+    wind2 = lambda x, y: (2 * (y - 0.5) * x * (1 - x), 2 * (x - 0.5) * y * (1 - y))
+    model = AdvectionModel(g, eps=1e-4, wind_fn=wind2, solver_opts=_opts())
+    X, Y = g.xy
+    u0 = jnp.asarray(5 * Y * (Y - 1) * X * (X - 1) * np.sin(4 * X * np.pi))
+    source = jnp.asarray(np.sin(2 * np.pi * X) * np.sin(2 * np.pi * Y))
+    steps = round(T / dt)
+    c = jnp.broadcast_to(source, (steps + 1, g.n, g.n))
+    traj = model.forward(c, u0, dt)
+    os.makedirs(out_dir, exist_ok=True)
+    save_trajectory_csv(os.path.join(out_dir, "advection_u.csv"), traj, g)
+    return g, traj
+
+
+def nonlinear(out_dir: str, T: float = 2.0, dt: float = 1e-3, dx: float = 0.025):
+    """Nonlinear-equation target via the sin·sin true control
+    (nonlinear_generate_pattern_FCT.py:48-50)."""
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+
+    g = Grid.from_spacing(0.0, 1.0, dx)
+    model = NonlinearModel(g, solver_opts=_opts())
+    steps = round(T / dt)
+    c = jnp.broadcast_to(jnp.asarray(model.true_control()), (steps + 1, g.n, g.n))
+    (traj,) = model.forward(c, jnp.asarray(model.ic()), dt)
+    os.makedirs(out_dir, exist_ok=True)
+    save_trajectory_csv(os.path.join(out_dir, "advection.csv"), traj, g)
+    return g, traj
+
+
+def chemotaxis(out_dir: str, T: float = 0.5, dt: float = 5e-4, dx: float = 0.025):
+    """Chemotaxis target with c = γ = 100
+    (chemotaxis_generate_pattern_FCT.py)."""
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+
+    g = Grid.from_spacing(0.0, 1.0, dx)
+    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=_opts())
+    steps = round(T / dt)
+    c = jnp.full((steps + 1, g.n, g.n), model.params.gamma)
+    u0, v0 = model.ic()
+    m, f = model.forward(c, jnp.asarray(u0), jnp.asarray(v0), dt)
+    os.makedirs(out_dir, exist_ok=True)
+    save_trajectory_csv(os.path.join(out_dir, f"chtxs_m_t{T:g}.csv"), m, g)
+    save_trajectory_csv(os.path.join(out_dir, f"chtxs_f_t{T:g}.csv"), f, g)
+    return g, (m, f)
+
+
+def schnakenberg(out_dir: str, T: float = 2.0, dt: float = 1e-3, dx: float = 0.025):
+    """Schnakenberg target with c = a = 0.1
+    (advection_Schnak_generate_pattern_FCT.py)."""
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+
+    g = Grid.from_spacing(0.0, 1.0, dx)
+    model = SchnakenbergModel(g, solver_opts=_opts())
+    steps = round(T / dt)
+    c = jnp.full((steps + 1, g.n, g.n), model.params.c_a)
+    u0, v0 = model.ic()
+    u, v = model.forward(c, jnp.asarray(u0), jnp.asarray(v0), dt)
+    os.makedirs(out_dir, exist_ok=True)
+    save_trajectory_csv(os.path.join(out_dir, "schnak_u.csv"), u, g)
+    save_trajectory_csv(os.path.join(out_dir, "schnak_v.csv"), v, g)
+    return g, (u, v)
+
+
+def mimura(out_dir: str, T: float = 30.0, dt: float = 1e-2,
+           a2: float = 16.0, dx: float = 0.125):
+    """Mimura/feathers pattern snapshots (chemotaxis_mimura_FCT.py:167-189)."""
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+
+    g = Grid.from_spacing(0.0, a2, dx)
+    model = MimuraModel(g, solver_opts=_opts())
+    steps = round(T / dt)
+    c = jnp.ones((steps + 1, g.n, g.n))
+    m0, f0 = model.ic()
+    m, f = model.forward(c, jnp.asarray(m0), jnp.asarray(f0), dt)
+    os.makedirs(out_dir, exist_ok=True)
+    for t_out in (14.0, 30.0):
+        k = round(t_out / dt)
+        if k <= steps:
+            save_trajectory_csv(
+                os.path.join(out_dir, f"mimura_tsujikawa_t{t_out:g}_m.csv"),
+                np.asarray(m[k])[None], g)
+            save_trajectory_csv(
+                os.path.join(out_dir, f"mimura_tsujikawa_t{t_out:g}_f.csv"),
+                np.asarray(f[k])[None], g)
+    return g, (m, f)
+
+
+GENERATORS = {
+    "solidbody": solidbody,
+    "gaussian": gaussian_drift,
+    "advection_stripes": advection_stripes,
+    "nonlinear": nonlinear,
+    "chemotaxis": chemotaxis,
+    "schnakenberg": schnakenberg,
+    "mimura": mimura,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("name", choices=sorted(GENERATORS))
+    ap.add_argument("--out", default="data_generated")
+    args = ap.parse_args()
+    GENERATORS[args.name](args.out)
+    print(f"wrote {args.name} targets to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Mimura–Tsujikawa / feathers chemotaxis PDECO driver.
+
+Reference: chemotaxis_mimura_FCT_PGD.py (final-time, target = stored t=14
+pattern) and chemotaxis_mimura_FCT_PGD_alltime.py (all-time, target = full
+trajectory). The reference scripts are stale (deleted legacy helpers —
+SURVEY §0); this driver re-expresses the problems on the current API with
+the MimuraModel adjoint.
+
+CLI:  python -m fem_fct_pdeco_tpu.drivers.mimura_pdeco [--optim finaltime]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.drivers.common import ExperimentConfig, PDECOProblem, run_pdeco
+from fem_fct_pdeco_tpu.io import import_data_final
+from fem_fct_pdeco_tpu.io.plots import plot_two_var_solution
+from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+from fem_fct_pdeco_tpu.optimize import cost_functional, l2_norm_sq_q
+
+# chemotaxis_mimura_FCT_PGD.py header: [0,16]^2, dx=1/8, dt=0.1, T=14 target
+DEFAULTS = dict(
+    a1=0.0, a2=16.0, dx=0.125, dt=0.1, T=2.0, T_data=14.0,
+    beta=1e-2, c_lower=0.0, c_upper=5.0, tol=1e-3,
+    max_iter_armijo=10, max_iter_gd=50,
+)
+
+
+class MimuraProblem(PDECOProblem):
+    name = "Mimura"
+    num_vars = 2
+
+    def __init__(self, cfg: ExperimentConfig):
+        super().__init__(cfg)
+        self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=1e-12))
+        self._targets = self._load_targets()
+        m0, f0 = self.model.ic()
+        self._u0, self._v0 = jnp.asarray(m0), jnp.asarray(f0)
+
+    def _load_targets(self):
+        cfg = self.cfg
+        # Prefer the stored reference fixtures when present (data/), else
+        # generate with the current model.
+        for base in (cfg.data_dir, "/root/reference/data"):
+            pm = os.path.join(base, f"mimura_tsujikawa_t{cfg.T_data:g}_m.csv")
+            pf = os.path.join(base, f"mimura_tsujikawa_t{cfg.T_data:g}_f.csv")
+            if os.path.exists(pm) and os.path.exists(pf):
+                break
+        else:
+            from fem_fct_pdeco_tpu.drivers.generate_targets import mimura
+
+            mimura(cfg.data_dir, T=cfg.T_data, dt=min(cfg.dt, 1e-2),
+                   a2=cfg.a2, dx=cfg.dx)
+            pm = os.path.join(cfg.data_dir, f"mimura_tsujikawa_t{cfg.T_data:g}_m.csv")
+            pf = os.path.join(cfg.data_dir, f"mimura_tsujikawa_t{cfg.T_data:g}_f.csv")
+        return (
+            jnp.asarray(import_data_final(pm, self.grid, num_steps=0)),
+            jnp.asarray(import_data_final(pf, self.grid, num_steps=0)),
+        )
+
+    def mass(self):
+        return self.model.M
+
+    def targets(self):
+        return self._targets
+
+    def solve_state(self, c):
+        return self.model.forward(c, self._u0, self._v0, self.cfg.dt)
+
+    def solve_adjoint(self, state, c):
+        return self.model.adjoint(
+            state[0], state[1], self._targets[0], self._targets[1], c,
+            self.cfg.dt, "finaltime",
+        )
+
+    def descent_direction(self, c, state, adjoint):
+        return self.model.descent_direction(self.cfg.beta, c, state[0], adjoint[1])
+
+    def cost(self, state, c):
+        return cost_functional(
+            state[0], self._targets[0], c, self.cfg.dt, self.model.M,
+            self.cfg.beta, "finaltime",
+            var2_traj=state[1], var2_target=self._targets[1],
+        )
+
+    def true_control_norm_sq(self):
+        steps = self.cfg.num_steps
+        ct = jnp.ones((steps + 1, self.grid.n, self.grid.n))
+        return float(l2_norm_sq_q(ct, self.cfg.dt, self.model.M))
+
+    def plot(self, it, state, adjoint, c):
+        plot_two_var_solution(
+            np.asarray(state[0]), np.asarray(state[1]),
+            np.asarray(adjoint[0]), np.asarray(adjoint[1]), np.asarray(c),
+            np.asarray(self._targets[0]), np.asarray(self._targets[1]),
+            self.cfg.T_data, it, self.cfg.dt, self.cfg.out_folder,
+        )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--T", type=float, default=DEFAULTS["T"])
+    ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
+    ap.add_argument("--beta", type=float, default=DEFAULTS["beta"])
+    ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
+    ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
+    ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+    d = {**DEFAULTS, "T": args.T, "dt": args.dt, "beta": args.beta,
+         "tol": args.tol, "max_iter_gd": args.max_iter_gd,
+         "produce_plots": args.plots}
+    cfg = ExperimentConfig(**d)
+    cfg.out_folder = args.out or f"Mimura_FT_T{cfg.T}_beta{cfg.beta}_tol{cfg.tol}"
+    cfg.registry_csv = "Mimura_FT_simulation_results.csv"
+    return run_pdeco(MimuraProblem(cfg), cfg)
+
+
+if __name__ == "__main__":
+    main()

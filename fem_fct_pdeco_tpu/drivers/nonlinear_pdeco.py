@@ -1,0 +1,130 @@
+"""Nonlinear reaction-advection PDECO driver.
+
+Reference: nonlinear_FCT_PDECO_refactored.py (final-time; defaults below are
+its constants at lines 38-65) and nonlinear_FCT_PDECO_alltime.py (all-time
+via --optim alltime).
+
+CLI:  python -m fem_fct_pdeco_tpu.drivers.nonlinear_pdeco [--optim finaltime]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.drivers.common import ExperimentConfig, PDECOProblem, run_pdeco
+from fem_fct_pdeco_tpu.io import import_data_final
+from fem_fct_pdeco_tpu.io.plots import plot_nonlinear_solution
+from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+from fem_fct_pdeco_tpu.optimize import cost_functional, l2_norm_sq_q
+
+
+DEFAULTS = dict(
+    a1=0.0, a2=1.0, dx=0.025, dt=1e-3, T=1.0, T_data=1.0,
+    beta=1e-1, c_lower=-1.0, c_upper=1.0, tol=1e-4,
+    max_iter_armijo=5, max_iter_gd=50,
+)
+
+
+class NonlinearProblem(PDECOProblem):
+    name = "NL"
+    num_vars = 1
+
+    def __init__(self, cfg: ExperimentConfig):
+        super().__init__(cfg)
+        self.model = NonlinearModel(self.grid, solver_opts=SolverOpts(tol=1e-12))
+        self._target = self._load_target()
+
+    def _load_target(self):
+        cfg = self.cfg
+        path = os.path.join(cfg.data_dir, "advection.csv")
+        if not os.path.exists(path):
+            from fem_fct_pdeco_tpu.drivers.generate_targets import nonlinear
+
+            nonlinear(cfg.data_dir, T=max(cfg.T_data, cfg.T), dt=cfg.dt, dx=cfg.dx)
+        if cfg.optim == "finaltime":
+            return jnp.asarray(
+                import_data_final(path, self.grid, num_steps=cfg.num_steps_data)
+            )
+        return jnp.asarray(
+            import_data_final(path, self.grid, num_steps=cfg.num_steps, time_dep=True)
+        )
+
+    def mass(self):
+        return self.model.M
+
+    def targets(self):
+        return (self._target,)
+
+    def solve_state(self, c):
+        return self.model.forward(c, jnp.asarray(self.model.ic()), self.cfg.dt)
+
+    def solve_adjoint(self, state, c):
+        return self.model.adjoint(state[0], self._target, self.cfg.dt, self.cfg.optim)
+
+    def descent_direction(self, c, state, adjoint):
+        return self.model.descent_direction(self.cfg.beta, c, adjoint[0])
+
+    def cost(self, state, c):
+        return cost_functional(
+            state[0], self._target, c, self.cfg.dt, self.model.M, self.cfg.beta,
+            self.cfg.optim,
+        )
+
+    def true_control_norm_sq(self):
+        steps = self.cfg.num_steps
+        ct = jnp.broadcast_to(
+            jnp.asarray(self.model.true_control()), (steps + 1, self.grid.n, self.grid.n)
+        )
+        return float(l2_norm_sq_q(ct, self.cfg.dt, self.model.M))
+
+    def plot(self, it, state, adjoint, c):
+        plot_nonlinear_solution(
+            np.asarray(state[0]), np.asarray(adjoint[0]), np.asarray(c),
+            np.asarray(self._target if self.cfg.optim == "finaltime" else self._target[-1]),
+            self.cfg.T_data, it, self.cfg.dt, self.cfg.out_folder,
+        )
+
+
+def build_config(**overrides) -> ExperimentConfig:
+    d = {**DEFAULTS, **overrides}
+    cfg = ExperimentConfig(**d)
+    if not overrides.get("out_folder"):
+        cfg.out_folder = (
+            f"NL_{cfg.optim}_T{cfg.T}_Tdata{cfg.T_data}_beta{cfg.beta}"
+            f"_Ca{cfg.c_lower}_Cb{cfg.c_upper}_tol{cfg.tol}"
+        )
+    if cfg.registry_csv is None:
+        cfg.registry_csv = "NL_FT_simulation_results.csv" if cfg.optim == "finaltime" \
+            else "NL_AT_simulation_results.csv"
+    return cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
+    ap.add_argument("--T", type=float, default=DEFAULTS["T"])
+    ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
+    ap.add_argument("--dx", type=float, default=DEFAULTS["dx"])
+    ap.add_argument("--beta", type=float, default=DEFAULTS["beta"])
+    ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
+    ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
+    ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+    cfg = build_config(
+        optim=args.optim, T=args.T, T_data=args.T, dt=args.dt, dx=args.dx,
+        beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
+        produce_plots=args.plots, out_folder=args.out,
+    )
+    problem = NonlinearProblem(cfg)
+    return run_pdeco(problem, cfg)
+
+
+if __name__ == "__main__":
+    main()

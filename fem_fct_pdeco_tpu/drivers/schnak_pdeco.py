@@ -1,0 +1,150 @@
+"""Advective Schnakenberg PDECO driver.
+
+Reference: Schnak_FCT_PDECO_refactored.py (final-time; constants at lines
+43-88: dx=0.025, dt=1e-3, T=0.5, T_data=1, beta=1e-1, c in [0,10]) and
+Schnak_FCT_PDECO_alltime.py (all-time with target subsampling).
+
+CLI:  python -m fem_fct_pdeco_tpu.drivers.schnak_pdeco [--optim finaltime]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_fct_pdeco_tpu.drivers.common import ExperimentConfig, PDECOProblem, run_pdeco
+from fem_fct_pdeco_tpu.io import import_data_final
+from fem_fct_pdeco_tpu.io.plots import plot_two_var_solution
+from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+from fem_fct_pdeco_tpu.optimize import cost_functional, l2_norm_sq_q
+
+DEFAULTS = dict(
+    a1=0.0, a2=1.0, dx=0.025, dt=1e-3, T=0.5, T_data=1.0,
+    beta=1e-1, c_lower=0.0, c_upper=10.0, tol=1e-3,
+    max_iter_armijo=10, max_iter_gd=50,
+)
+
+
+class SchnakProblem(PDECOProblem):
+    name = "AdvSchnak"
+    num_vars = 2
+
+    def __init__(self, cfg: ExperimentConfig, rescaling: float = 1.0):
+        super().__init__(cfg)
+        self.model = SchnakenbergModel(
+            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=1e-12)
+        )
+        self._targets = self._load_targets()
+        u0, v0 = self.model.ic()
+        self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
+
+    def _load_targets(self):
+        cfg = self.cfg
+        pu = os.path.join(cfg.data_dir, "schnak_u.csv")
+        pv = os.path.join(cfg.data_dir, "schnak_v.csv")
+        if not (os.path.exists(pu) and os.path.exists(pv)):
+            from fem_fct_pdeco_tpu.drivers.generate_targets import schnakenberg
+
+            schnakenberg(cfg.data_dir, T=max(cfg.T_data, cfg.T), dt=cfg.dt, dx=cfg.dx)
+        if cfg.optim == "finaltime":
+            k = cfg.num_steps_data
+            return (
+                jnp.asarray(import_data_final(pu, self.grid, num_steps=k)),
+                jnp.asarray(import_data_final(pv, self.grid, num_steps=k)),
+            )
+        k = cfg.num_steps
+        return (
+            jnp.asarray(import_data_final(pu, self.grid, num_steps=k, time_dep=True)),
+            jnp.asarray(import_data_final(pv, self.grid, num_steps=k, time_dep=True)),
+        )
+
+    def mass(self):
+        return self.model.M
+
+    def targets(self):
+        return self._targets
+
+    def solve_state(self, c):
+        return self.model.forward(c, self._u0, self._v0, self.cfg.dt)
+
+    def solve_adjoint(self, state, c):
+        # The reference's Schnakenberg adjoint is final-time only
+        # (helpers.py:599-698); the legacy all-time driver kept its own
+        # inline loops. We reuse the final-time conditions with the stored
+        # final-time targets.
+        return self.model.adjoint(
+            state[0], state[1], self._final_target(0), self._final_target(1), self.cfg.dt
+        )
+
+    def _final_target(self, k):
+        t = self._targets[k]
+        return t if t.ndim == 2 else t[-1]
+
+    def descent_direction(self, c, state, adjoint):
+        return self.model.descent_direction(self.cfg.beta, c, adjoint[0])
+
+    def cost(self, state, c):
+        return cost_functional(
+            state[0], self._targets[0], c, self.cfg.dt, self.model.M,
+            self.cfg.beta, self.cfg.optim,
+            var2_traj=state[1], var2_target=self._targets[1],
+        )
+
+    def true_control_norm_sq(self):
+        steps = self.cfg.num_steps
+        ct = jnp.full((steps + 1, self.grid.n, self.grid.n), self.model.params.c_a)
+        return float(l2_norm_sq_q(ct, self.cfg.dt, self.model.M))
+
+    def plot(self, it, state, adjoint, c):
+        plot_two_var_solution(
+            np.asarray(state[0]), np.asarray(state[1]),
+            np.asarray(adjoint[0]), np.asarray(adjoint[1]), np.asarray(c),
+            np.asarray(self._final_target(0)), np.asarray(self._final_target(1)),
+            self.cfg.T_data, it, self.cfg.dt, self.cfg.out_folder,
+        )
+
+
+def build_config(**overrides) -> ExperimentConfig:
+    d = {**DEFAULTS, **overrides}
+    cfg = ExperimentConfig(**d)
+    if not overrides.get("out_folder"):
+        cfg.out_folder = (
+            f"Sch_{cfg.optim}_T{cfg.T}_Tdata{cfg.T_data}_beta{cfg.beta}"
+            f"_Ca{cfg.c_lower}_Cb{cfg.c_upper}_tol{cfg.tol}"
+        )
+    if cfg.registry_csv is None:
+        cfg.registry_csv = "AdvSchnak_FT_simulation_results.csv" \
+            if cfg.optim == "finaltime" else "AdvSchnak_AT_simulation_results.csv"
+    return cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
+    ap.add_argument("--T", type=float, default=DEFAULTS["T"])
+    ap.add_argument("--T-data", type=float, default=None)
+    ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
+    ap.add_argument("--dx", type=float, default=DEFAULTS["dx"])
+    ap.add_argument("--beta", type=float, default=DEFAULTS["beta"])
+    ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
+    ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
+    ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+    T_data = args.T_data
+    if T_data is None:
+        T_data = args.T if args.optim == "alltime" else DEFAULTS["T_data"]
+    cfg = build_config(
+        optim=args.optim, T=args.T, T_data=T_data, dt=args.dt, dx=args.dx,
+        beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
+        produce_plots=args.plots, out_folder=args.out,
+    )
+    return run_pdeco(SchnakProblem(cfg), cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Smoke tests: every PDECO driver runs end-to-end at tiny sizes.
+
+Exercises the full driver surface (§2.5 of the reference inventory): target
+generation, data loading, PGD with Armijo, registry rows, CSV outputs.
+"""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _common(argv):
+    return argv + ["--max-iter-gd", "2", "--tol", "1e-8"]
+
+
+def test_nonlinear_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import nonlinear_pdeco as d
+
+    out = d.main(_common(["--T", "0.02", "--dx", "0.1"]))
+    assert out["result"].iterations >= 1
+    assert os.path.exists(out["registry_row"]["out_folder_name"])
+
+
+def test_nonlinear_driver_alltime(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import nonlinear_pdeco as d
+
+    out = d.main(_common(["--T", "0.02", "--dx", "0.1", "--optim", "alltime"]))
+    assert out["result"].iterations >= 1
+
+
+def test_chemotaxis_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+
+    out = d.main(_common(["--T", "0.005", "--T-data", "0.005", "--dx", "0.05"]))
+    assert out["result"].iterations >= 1
+
+
+def test_chemotaxis_driver_alltime(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+
+    out = d.main(_common(["--T", "0.005", "--dx", "0.05", "--optim", "alltime"]))
+    assert out["result"].iterations >= 1
+
+
+def test_schnak_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import schnak_pdeco as d
+
+    out = d.main(_common(["--T", "0.01", "--T-data", "0.01", "--dx", "0.05"]))
+    assert out["result"].iterations >= 1
+
+
+def test_advection_exact_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import advection_pdeco as d
+
+    out = d.main(_common(["--exact", "--optim", "alltime", "--T", "0.02", "--dx", "0.05"]))
+    assert "mms_errors" in out
+    errs = out["mms_errors"]
+    assert set(errs) == {"u", "c", "p"}
+
+
+def test_advection_stripes_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import advection_pdeco as d
+
+    out = d.main(_common(["--T", "0.02", "--dx", "0.05"]))
+    assert out["result"].iterations >= 1
+
+
+def test_solidbody_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import solidbody_pdeco as d
+
+    out = d.main(_common(["--T", "0.02"]))
+    assert out["result"].iterations >= 1
+
+
+def test_solidbody_garvie_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import solidbody_pdeco as d
+
+    out = d.main(_common(["--T", "0.02", "--garvie"]))
+    assert out["result"].iterations >= 1
+
+
+def test_generate_targets_cli(in_tmp):
+    from fem_fct_pdeco_tpu.drivers.generate_targets import chemotaxis
+
+    g, (m, f) = chemotaxis(str(in_tmp / "gen"), T=0.002, dt=1e-3, dx=0.1)
+    assert os.path.exists(in_tmp / "gen" / "chtxs_m_t0.002.csv")
