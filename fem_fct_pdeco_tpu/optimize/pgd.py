@@ -40,6 +40,8 @@ class PGDConfig:
     s0: float = 1.0
     fail_limit: int = 3
     restart_limit: int = 5
+    checkpoint_path: str | None = None  # enable save/resume when set
+    checkpoint_every: int = 1
 
 
 @dataclasses.dataclass
@@ -70,23 +72,45 @@ def projected_gradient_descent(
     cfg = config
     t_start = time.time()
 
-    ck = c0
-    state = solve_state(ck)
-    adj = solve_adjoint(state, ck)
-    cost_old = float(cost_fn(state, ck))
+    resumed = None
+    if cfg.checkpoint_path:
+        from fem_fct_pdeco_tpu.utils.checkpoint import load_pgd_checkpoint
 
-    history = {
-        "cost": [cost_old],
-        "fidelity": [],
-        "control_norm_sq": [],
-        "armijo_iters": [],
-    }
+        resumed = load_pgd_checkpoint(cfg.checkpoint_path)
 
-    it = 0
-    fail_count = 0
-    fail_restart_count = 0
-    fail_pass = False
-    backup = None
+    if resumed is not None:
+        ck = jnp.asarray(resumed["control"])
+        state = solve_state(ck)
+        adj = solve_adjoint(state, ck)
+        cost_old = resumed["cost_old"]
+        history = resumed["history"]
+        it = resumed["it"]
+        fail_count = resumed["fail_count"]
+        fail_restart_count = resumed["fail_restart_count"]
+        fail_pass = resumed["fail_pass"]
+        if "backup_control" in resumed:
+            bc = jnp.asarray(resumed["backup_control"])
+            bstate = solve_state(bc)
+            backup = (bstate, solve_adjoint(bstate, bc), bc, resumed["backup_it"])
+        else:
+            backup = None
+    else:
+        ck = c0
+        state = solve_state(ck)
+        adj = solve_adjoint(state, ck)
+        cost_old = float(cost_fn(state, ck))
+        history = {
+            "cost": [cost_old],
+            "fidelity": [],
+            "control_norm_sq": [],
+            "armijo_iters": [],
+        }
+        it = 0
+        fail_count = 0
+        fail_restart_count = 0
+        fail_pass = False
+        backup = None
+
     status = "converged"
     stop_crit = (2.0 + cfg.tol)  # mirrors the reference's warm start value
 
@@ -141,6 +165,17 @@ def projected_gradient_descent(
                               state=state, adjoint=adj))
         it += 1
         cost_old = cost_new
+
+        if cfg.checkpoint_path and it % cfg.checkpoint_every == 0:
+            from fem_fct_pdeco_tpu.utils.checkpoint import save_pgd_checkpoint
+
+            save_pgd_checkpoint(
+                cfg.checkpoint_path, control=ck, it=it, cost_old=cost_old,
+                history=history, fail_count=fail_count,
+                fail_restart_count=fail_restart_count, fail_pass=fail_pass,
+                backup_control=backup[2] if backup else None,
+                backup_it=backup[3] if backup else None,
+            )
 
     if it >= cfg.max_iter_gd and status == "converged" and stop_crit >= cfg.tol:
         status = "max_iterations"
