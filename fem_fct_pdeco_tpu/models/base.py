@@ -26,9 +26,11 @@ class ModelBase:
         grid: Grid,
         dtype=jnp.float64,
         solver_opts: SolverOpts | None = None,
+        backend: str = "xla",
     ):
         self.grid = grid
         self.dtype = dtype
+        self.backend = backend
         self.asm = P1Assembler(grid, dtype)
         self.M = self.asm.mass
         self.M_diag = self.asm.mass_diag

@@ -39,8 +39,8 @@ class ChemotaxisParams:
 class ChemotaxisModel(ModelBase):
     def __init__(self, grid, params: ChemotaxisParams = ChemotaxisParams(),
                  rescaling: float = 1.0 / 10.0, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None):
-        super().__init__(grid, dtype, solver_opts)
+                 solver_opts: SolverOpts | None = None, backend: str = "xla"):
+        super().__init__(grid, dtype, solver_opts, backend)
         self.params = params
         self.rescaling = rescaling
 
@@ -85,7 +85,12 @@ class ChemotaxisModel(ModelBase):
             rhs2 = st.apply(self.M, v_n) + dt * asm.linear_form(
                 cu_q / self.rescaling, 3
             )
-            v_np1 = solve_stencil(Mat2, rhs2, x0=v_n, opts=rd_opts)
+            if self.backend == "pallas":
+                from fem_fct_pdeco_tpu.ops import pallas_kernels as pk
+
+                v_np1 = pk.cg_pallas(Mat2, rhs2, x0=v_n, tol=self.solver_opts.tol)
+            else:
+                v_np1 = solve_stencil(Mat2, rhs2, x0=v_n, opts=rd_opts)
             # u-solve via FCT (helpers.py:1350-1356)
             u_q = asm.nodal_at_quad(u_n, 4)
             Aa = asm.advective(asm.elem_grad(v_np1), jnp.exp(-p.eta * u_q), degree=4)
@@ -97,7 +102,7 @@ class ChemotaxisModel(ModelBase):
             )
             u_np1 = fct_step(
                 A_u, rhs_u, u_n, dt, self.M, self.M_diag,
-                self.ML_diag, solver=self.solver_opts,
+                self.ML_diag, solver=self.solver_opts, backend=self.backend,
             )
             return (u_np1, v_np1)
 

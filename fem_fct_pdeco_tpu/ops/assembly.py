@@ -232,8 +232,17 @@ class P1Assembler:
         b = jnp.asarray(bary, dtype=self.dtype)
         g = jnp.asarray(self.grads, dtype=self.dtype)  # (2, 3, 2)
         detJ = self.h * self.h
-        if G_quad.ndim == 4:  # per-element constant vector (2, 2, nc, nc)
-            G_quad = G_quad[:, None, :, :, :]
+        if G_quad.ndim == 4:
+            # fast path: per-element constant vector (2, 2, nc, nc) — the
+            # (G·∇λa) factor leaves the quadrature sum entirely
+            ga = jnp.einsum("tac,tcij->taij", g, G_quad)  # (2, 3, nc, nc)
+            if g_quad is None:
+                Vb = jnp.einsum("q,qb->b", w, b)[None, :, None, None]
+                Vb = jnp.broadcast_to(Vb, (2, 3) + G_quad.shape[-2:])
+            else:
+                Vb = jnp.einsum("q,tqij,qb->tbij", w, g_quad, b)
+            E = detJ * ga[:, :, None] * Vb[:, None, :]
+            return self._scatter([E[0], E[1]])
         if g_quad is None:
             # E[a,b] = detJ * (∇λa · sum_q w_q G_q λb(q))
             V = jnp.einsum("q,tqcij,qb->tcbij", w, G_quad, b)

@@ -116,16 +116,32 @@ def fct_step(
     non_flux: jnp.ndarray | None = None,
     solver: SolverOpts = SolverOpts(),
     cheb_iters: int = 20,
+    backend: str = "xla",
+    pallas_solver_iters: int = 60,
 ) -> jnp.ndarray:
     """One flux-corrected transport step (``FCT_alg_ref``, helpers.py:1715).
 
     Legacy-convention callers (``FCT_alg`` with flux matrix A_leg and
     ``source_mat`` S, old_helpers.py:115-204) map to
     ``fct_step(-A_leg, rhs, ..., non_flux=S)``.
+
+    ``backend="pallas"`` runs the solver loops and the flux/limiter stage as
+    VMEM-resident Pallas kernels (fixed ``pallas_solver_iters`` BiCGStab
+    iterations instead of a tolerance-based while loop).
     """
     D = artificial_diffusion(A)
     Low = low_order_matrix(A, D, ML_diag, dt, non_flux)
     b = ML_diag * u_n + dt * rhs
+
+    if backend == "pallas":
+        from fem_fct_pdeco_tpu.ops import pallas_kernels as pk
+
+        u_low = pk.bicgstab_pallas(Low, b, x0=u_n, iters=pallas_solver_iters,
+                                   tol=solver.tol)
+        rdot = -st.apply(A, u_low) + rhs
+        du_dt = pk.chebsi_pallas(rdot, M, M_diag, cheb_iters, 0.5, 2.0)
+        return pk.flux_zalesak_pallas(M, D, du_dt, u_low, ML_diag, dt)
+
     u_low = solve_stencil(Low, b, x0=u_n, opts=solver)
 
     rdot = -st.apply(A, u_low) + rhs

@@ -1,0 +1,85 @@
+"""Pallas kernels vs their XLA counterparts (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_fct_pdeco_tpu.grid import Grid, EDGE_NEIGHBOR_IDS
+from fem_fct_pdeco_tpu.models.advection import AdvectionModel, vortex_wind
+from fem_fct_pdeco_tpu.ops import pallas_kernels as pk
+from fem_fct_pdeco_tpu.ops import stencil as st
+from fem_fct_pdeco_tpu.ops.fct import artificial_diffusion, fct_step, low_order_matrix, zalesak_limit
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, chebsi, solve_stencil
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = Grid(0.0, 1.0, 32)
+    model = AdvectionModel(g, eps=1e-3, wind_fn=vortex_wind(1.0),
+                           solver_opts=SolverOpts(tol=1e-13))
+    return g, model
+
+
+def test_chebsi_pallas_matches(setup):
+    g, model = setup
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((g.n, g.n)))
+    got = pk.chebsi_pallas(b, model.M, model.M_diag)
+    want = chebsi(b, model.M, model.M_diag)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-11, atol=1e-12)
+
+
+def test_bicgstab_pallas_solves(setup):
+    g, model = setup
+    dt = 1e-3
+    A = model.A_state
+    D = artificial_diffusion(A)
+    Low = low_order_matrix(A, D, model.ML_diag, dt)
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((g.n, g.n))) * float(model.ML_diag.mean())
+    x = pk.bicgstab_pallas(Low, b, iters=30, tol=1e-13)
+    r = st.apply(Low, x) - b
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < 1e-10, rel
+
+
+def test_cg_pallas_solves(setup):
+    g, model = setup
+    Mat = model.M + 1e-3 * model.K
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((g.n, g.n))) * float(model.M_diag.mean())
+    x = pk.cg_pallas(Mat, b, iters=40, tol=1e-13)
+    r = st.apply(Mat, x) - b
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
+    assert rel < 1e-9, rel
+
+
+def test_flux_zalesak_pallas_matches(setup):
+    g, model = setup
+    dt = 1e-3
+    rng = np.random.default_rng(3)
+    A = model.A_state
+    D = artificial_diffusion(A)
+    u_low = jnp.asarray(rng.uniform(0, 1, (g.n, g.n)))
+    du = jnp.asarray(rng.standard_normal((g.n, g.n)))
+    got = pk.flux_zalesak_pallas(model.M, D, du, u_low, model.ML_diag, dt)
+    fluxes = jnp.stack([
+        model.M[d] * (du - st.shift(du, d)) + D[d] * (u_low - st.shift(u_low, d))
+        for d in EDGE_NEIGHBOR_IDS
+    ])
+    fbar = zalesak_limit(fluxes, u_low, model.ML_diag, dt)
+    want = u_low + dt * fbar / model.ML_diag
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-11, atol=1e-12)
+
+
+def test_fct_step_pallas_backend_matches(setup):
+    g, model = setup
+    dt = 1e-3
+    rng = np.random.default_rng(4)
+    u_n = jnp.asarray(rng.uniform(0, 1, (g.n, g.n)))
+    rhs = jnp.asarray(rng.standard_normal((g.n, g.n)))
+    a = fct_step(model.A_state, rhs, u_n, dt, model.M, model.M_diag,
+                 model.ML_diag, solver=SolverOpts(tol=1e-13))
+    b = fct_step(model.A_state, rhs, u_n, dt, model.M, model.M_diag,
+                 model.ML_diag, backend="pallas", pallas_solver_iters=40)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10)
