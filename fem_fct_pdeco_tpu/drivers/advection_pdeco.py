@@ -90,10 +90,13 @@ class MMSFields:
 class AdvectionProblem(PDECOProblem):
     name = "Adv"
     num_vars = 1
+    use_linear_increments = False  # set True for w-equation Armijo trials
 
-    def __init__(self, cfg: ExperimentConfig, exact: bool = False):
+    def __init__(self, cfg: ExperimentConfig, exact: bool = False,
+                 linear_armijo: bool = False):
         super().__init__(cfg)
         self.exact = exact
+        self.use_linear_increments = linear_armijo
         wf = vortex_wind(1.0) if exact else wind2
         self.wind_fn = wf
         self.model = AdvectionModel(self.grid, eps=EPS, wind_fn=wf,
@@ -188,6 +191,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
     ap.add_argument("--exact", action="store_true", help="manufactured-solution mode")
+    ap.add_argument("--linear-armijo", action="store_true",
+                    help="w-equation linear-increment Armijo trials")
     ap.add_argument("--T", type=float, default=DEFAULTS["T"])
     ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
     ap.add_argument("--dx", type=float, default=DEFAULTS["dx"])
@@ -206,7 +211,7 @@ def main(argv=None):
     tagexact = "_exact" if args.exact else ""
     cfg.out_folder = args.out or f"Adv_{cfg.optim}{tagexact}_T{cfg.T}_beta{cfg.beta}"
     cfg.registry_csv = f"Adv_{cfg.optim}{tagexact}_simulation_results.csv"
-    problem = AdvectionProblem(cfg, exact=args.exact)
+    problem = AdvectionProblem(cfg, exact=args.exact, linear_armijo=args.linear_armijo)
     out = run_pdeco(problem, cfg)
     if args.exact:
         res = out["result"]

@@ -141,6 +141,11 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         if cfg.produce_plots:
             problem.plot(it, info["state"], info["adjoint"], info["control"])
 
+    # linear problems provide state increments u(c + s d) = u(c) + s w via an
+    # auxiliary sweep (advection_FCT_PDECO_finaltime.py:242-266), avoiding a
+    # re-solve per Armijo trial
+    lin = getattr(problem, "linear_increments", None)
+
     with timer.phase("pgd"):
         res = projected_gradient_descent(
             config=pgd_cfg,
@@ -152,6 +157,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             control_norm_sq=lambda c: l2_norm_sq_q(c, dt, M),
             fidelity_fn=fidelity,
             callback=callback,
+            linear_increments=lin if getattr(problem, "use_linear_increments", False) else None,
         )
 
     # ---- post-run artifacts (reference driver tail) --------------------

@@ -127,6 +127,11 @@ def projected_gradient_descent(
             gam=cfg.gam, max_iter=cfg.max_iter_armijo, s0=cfg.s0,
         )
         state, ck = res.state, res.control
+        if linear_increments is not None:
+            # the increment state u + s w is exact only for truly linear
+            # solves; FCT's limiter is nonlinear, so refresh the state at the
+            # accepted control before the adjoint solve
+            state = solve_state(ck)
         adj = solve_adjoint(state, ck)
 
         if not res.converged:
