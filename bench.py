@@ -40,7 +40,7 @@ def tpu_steps_per_sec() -> float:
     model = ChemotaxisModel(
         g, rescaling=1.0, dtype=jnp.float32,
         solver_opts=SolverOpts(tol=1e-6, maxiter=200),
-        backend="pallas",  # VMEM-resident solver/limiter kernels
+        backend="pallas_fused",  # whole-step VMEM-resident kernels
     )
     u0np, v0np = model.ic()
     u0 = jnp.asarray(u0np, dtype=jnp.float32)

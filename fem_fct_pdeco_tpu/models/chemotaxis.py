@@ -73,6 +73,11 @@ class ChemotaxisModel(ModelBase):
         return None
 
     def _forward_step(self, dt):
+        if (
+            self.backend == "pallas_fused"
+            and type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
+        ):
+            return self._forward_step_fused(dt)
         p = self.params
         asm = self.asm
         Mat2 = self._rd_matrix(dt)
@@ -103,6 +108,32 @@ class ChemotaxisModel(ModelBase):
             u_np1 = fct_step(
                 A_u, rhs_u, u_n, dt, self.M, self.M_diag,
                 self.ML_diag, solver=self.solver_opts, backend=self.backend,
+            )
+            return (u_np1, v_np1)
+
+        return step
+
+    def _forward_step_fused(self, dt):
+        """Whole-step Pallas path: each half-step is ONE VMEM-resident kernel
+        (ops/pallas_fused.py)."""
+        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+            fused_chemotaxis_u_step, fused_chemotaxis_v_step)
+
+        p = self.params
+        Mat2 = self._rd_matrix(dt)
+        h = self.grid.h
+        tol = self.solver_opts.tol
+
+        def step(carry, c_i):
+            u_n, v_n = carry
+            v_np1 = fused_chemotaxis_v_step(
+                c_i, u_n, v_n, Mat2, self.M, h=h, dt=dt,
+                rescaling=self.rescaling, tol=tol,
+            )
+            u_np1 = fused_chemotaxis_u_step(
+                u_n, v_np1, self.K, self.M, self.M_diag, self.ML_diag,
+                jnp.zeros_like(u_n), h=h, dt=dt, Dm=p.Dm, chi=p.chi,
+                eta=p.eta, tol=tol,
             )
             return (u_np1, v_np1)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from functools import cached_property
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,14 +117,14 @@ class P1Assembler:
         _, _, bary = self.rule(degree)
         cv = self.corner_values(nodal)  # (2, 3, nc, nc)
         b = jnp.asarray(bary, dtype=self.dtype)  # (nq, 3)
-        return jnp.einsum("qa,taij->tqij", b, cv)
+        return jnp.einsum("qa,taij->tqij", b, cv, precision=jax.lax.Precision.HIGHEST)
 
     def elem_grad(self, nodal: jnp.ndarray) -> jnp.ndarray:
         """Per-element (constant) gradient of the P1 interpolant:
         (2, 2 components (gx, gy), nc, nc)."""
         cv = self.corner_values(nodal)  # (2, 3, nc, nc)
         g = jnp.asarray(self.grads, dtype=self.dtype)  # (2, 3, 2)
-        return jnp.einsum("tac,taij->tcij", g, cv)
+        return jnp.einsum("tac,taij->tcij", g, cv, precision=jax.lax.Precision.HIGHEST)
 
     def analytic_at_quad(self, fn, degree: int) -> np.ndarray:
         """Evaluate f(x, y) (numpy-vectorized) at quad points: (2, nq, nc, nc).
@@ -203,7 +204,7 @@ class P1Assembler:
         b = jnp.asarray(bary, dtype=self.dtype)
         detJ = self.h * self.h
         # E[a,b] = detJ * sum_q w_q g_q λa(q) λb(q)
-        E = detJ * jnp.einsum("qa,tqij,qb->tabij", wl, g_quad, b)
+        E = detJ * jnp.einsum("qa,tqij,qb->tabij", wl, g_quad, b, precision=jax.lax.Precision.HIGHEST)
         return self._scatter([E[0], E[1]])
 
     def advective(
@@ -235,20 +236,20 @@ class P1Assembler:
         if G_quad.ndim == 4:
             # fast path: per-element constant vector (2, 2, nc, nc) — the
             # (G·∇λa) factor leaves the quadrature sum entirely
-            ga = jnp.einsum("tac,tcij->taij", g, G_quad)  # (2, 3, nc, nc)
+            ga = jnp.einsum("tac,tcij->taij", g, G_quad, precision=jax.lax.Precision.HIGHEST)  # (2, 3, nc, nc)
             if g_quad is None:
-                Vb = jnp.einsum("q,qb->b", w, b)[None, :, None, None]
+                Vb = jnp.einsum("q,qb->b", w, b, precision=jax.lax.Precision.HIGHEST)[None, :, None, None]
                 Vb = jnp.broadcast_to(Vb, (2, 3) + G_quad.shape[-2:])
             else:
-                Vb = jnp.einsum("q,tqij,qb->tbij", w, g_quad, b)
+                Vb = jnp.einsum("q,tqij,qb->tbij", w, g_quad, b, precision=jax.lax.Precision.HIGHEST)
             E = detJ * ga[:, :, None] * Vb[:, None, :]
             return self._scatter([E[0], E[1]])
         if g_quad is None:
             # E[a,b] = detJ * (∇λa · sum_q w_q G_q λb(q))
-            V = jnp.einsum("q,tqcij,qb->tcbij", w, G_quad, b)
+            V = jnp.einsum("q,tqcij,qb->tcbij", w, G_quad, b, precision=jax.lax.Precision.HIGHEST)
         else:
-            V = jnp.einsum("q,tqcij,tqij,qb->tcbij", w, G_quad, g_quad, b)
-        E = detJ * jnp.einsum("tac,tcbij->tabij", g, V)
+            V = jnp.einsum("q,tqcij,tqij,qb->tcbij", w, G_quad, g_quad, b, precision=jax.lax.Precision.HIGHEST)
+        E = detJ * jnp.einsum("tac,tcbij->tabij", g, V, precision=jax.lax.Precision.HIGHEST)
         return self._scatter([E[0], E[1]])
 
     def convection(self, wind_fn, degree: int = DEG_CONVECTION) -> jnp.ndarray:
@@ -277,7 +278,7 @@ class P1Assembler:
         _, wts, bary = self.rule(degree)
         wl = jnp.asarray(wts[:, None] * bary, dtype=self.dtype)  # (nq, 3)
         detJ = self.h * self.h
-        ev = detJ * jnp.einsum("qa,tqij->taij", wl, f_quad)
+        ev = detJ * jnp.einsum("qa,tqij->taij", wl, f_quad, precision=jax.lax.Precision.HIGHEST)
         return self._scatter_vector([ev[0], ev[1]])
 
     def advective_form(
@@ -299,10 +300,10 @@ class P1Assembler:
         if G_quad.ndim == 4:  # per-element constant vector (2, 2, nc, nc)
             G_quad = G_quad[:, None, :, :, :]
         if g_quad is None:
-            V = jnp.einsum("q,tqcij->tcij", w, G_quad)
+            V = jnp.einsum("q,tqcij->tcij", w, G_quad, precision=jax.lax.Precision.HIGHEST)
         else:
-            V = jnp.einsum("q,tqcij,tqij->tcij", w, G_quad, g_quad)
-        ev = detJ * jnp.einsum("tac,tcij->taij", g, V)
+            V = jnp.einsum("q,tqcij,tqij->tcij", w, G_quad, g_quad, precision=jax.lax.Precision.HIGHEST)
+        ev = detJ * jnp.einsum("tac,tcij->taij", g, V, precision=jax.lax.Precision.HIGHEST)
         return self._scatter_vector([ev[0], ev[1]])
 
     def load_nodal(self, nodal: jnp.ndarray, degree: int = 2) -> jnp.ndarray:

@@ -72,6 +72,23 @@ def test_flux_zalesak_pallas_matches(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-11, atol=1e-12)
 
 
+def test_fused_chemotaxis_step_matches_xla():
+    """Whole-step fused kernels vs the XLA path (interpret mode, f64)."""
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+
+    g = Grid(0.0, 1.0, 32)
+    mx = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    mf = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                         backend="pallas_fused")
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((4, g.n, g.n), 100.0)
+    ux, vx = mx.forward(c, u0, v0, 1e-3)
+    uf, vf = mf.forward(c, u0, v0, 1e-3)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ux), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vx), rtol=1e-10, atol=1e-12)
+
+
 def test_fct_step_pallas_backend_matches(setup):
     g, model = setup
     dt = 1e-3
