@@ -33,11 +33,24 @@ class SchnakProblem(PDECOProblem):
     name = "AdvSchnak"
     num_vars = 2
 
-    def __init__(self, cfg: ExperimentConfig, rescaling: float = 1.0):
+    def __init__(self, cfg: ExperimentConfig, rescaling: float = 1.0,
+                 dt_data: float | None = None, td_wind: bool = False):
         super().__init__(cfg)
+        # time-dependent vortex of Schnak_FCT_PDECO_alltime.py:56
+        td_fn = None
+        if td_wind:
+            td_fn = lambda x, y, t: (
+                -(y - 0.5) * jnp.sin(2 * jnp.pi * t),
+                (x - 0.5) * jnp.sin(2 * jnp.pi * t),
+            )
         self.model = SchnakenbergModel(
-            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=1e-12)
+            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=1e-12),
+            td_wind_fn=td_fn,
         )
+        # target stored at dt_data resolution; subsample by skip = dt/dt_data
+        # (Schnak_FCT_PDECO_alltime.py:45-48, 116-119)
+        self.dt_data = dt_data or cfg.dt
+        self.skip = round(cfg.dt / self.dt_data)
         self._targets = self._load_targets()
         u0, v0 = self.model.ic()
         self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
@@ -49,18 +62,18 @@ class SchnakProblem(PDECOProblem):
         if not (os.path.exists(pu) and os.path.exists(pv)):
             from fem_fct_pdeco_tpu.drivers.generate_targets import schnakenberg
 
-            schnakenberg(cfg.data_dir, T=max(cfg.T_data, cfg.T), dt=cfg.dt, dx=cfg.dx)
+            schnakenberg(cfg.data_dir, T=max(cfg.T_data, cfg.T), dt=self.dt_data,
+                         dx=cfg.dx)
         if cfg.optim == "finaltime":
-            k = cfg.num_steps_data
+            k = round(cfg.T_data / self.dt_data)
             return (
                 jnp.asarray(import_data_final(pu, self.grid, num_steps=k)),
                 jnp.asarray(import_data_final(pv, self.grid, num_steps=k)),
             )
-        k = cfg.num_steps
-        return (
-            jnp.asarray(import_data_final(pu, self.grid, num_steps=k, time_dep=True)),
-            jnp.asarray(import_data_final(pv, self.grid, num_steps=k, time_dep=True)),
-        )
+        k = round(cfg.T / self.dt_data)
+        u = import_data_final(pu, self.grid, num_steps=k, time_dep=True)[:: self.skip]
+        v = import_data_final(pv, self.grid, num_steps=k, time_dep=True)[:: self.skip]
+        return jnp.asarray(u), jnp.asarray(v)
 
     def mass(self):
         return self.model.M
@@ -72,10 +85,11 @@ class SchnakProblem(PDECOProblem):
         return self.model.forward(c, self._u0, self._v0, self.cfg.dt)
 
     def solve_adjoint(self, state, c):
-        # The reference's Schnakenberg adjoint is final-time only
-        # (helpers.py:599-698); the legacy all-time driver kept its own
-        # inline loops. We reuse the final-time conditions with the stored
-        # final-time targets.
+        if self.cfg.optim == "alltime":
+            return self.model.adjoint(
+                state[0], state[1], self._targets[0], self._targets[1],
+                self.cfg.dt, "alltime",
+            )
         return self.model.adjoint(
             state[0], state[1], self._final_target(0), self._final_target(1), self.cfg.dt
         )
@@ -125,6 +139,10 @@ def build_config(**overrides) -> ExperimentConfig:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
+    ap.add_argument("--td-wind", action="store_true",
+                    help="time-dependent sin(2πt) vortex wind")
+    ap.add_argument("--dt-data", type=float, default=None,
+                    help="target data resolution; subsample by dt/dt_data")
     ap.add_argument("--T", type=float, default=DEFAULTS["T"])
     ap.add_argument("--T-data", type=float, default=None)
     ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
@@ -143,7 +161,7 @@ def main(argv=None):
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
     )
-    return run_pdeco(SchnakProblem(cfg), cfg)
+    return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data, td_wind=args.td_wind), cfg)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -232,6 +233,82 @@ class ChemotaxisModel(ModelBase):
         return run
 
     # ------------------------------------------------------------------
+    # Segmented checkpoint/recompute adjoint — the long-trajectory mechanism
+    # (SURVEY §5): when (num_steps+1)·n² trajectories exceed HBM, store only
+    # segment-boundary states during the forward pass and recompute each
+    # segment's states on the fly during the backward sweep. Memory scales
+    # with num_steps/num_segments instead of num_steps.
+    # ------------------------------------------------------------------
+
+    def adjoint_checkpointed(self, control_traj, u0, v0, uhat, vhat, dt,
+                             optim="finaltime", num_segments: int = 8):
+        """Adjoint sweep without a stored forward trajectory.
+
+        Returns (p_traj, q_traj) identical (to solver tolerance) to
+        ``adjoint(forward(...))``. ``num_steps`` must be divisible by
+        ``num_segments``.
+        """
+        key = ("adjck", float(dt), optim, num_segments)
+
+        def build():
+            fwd_step = self._forward_step(dt)
+            adj_step = self._adjoint_step(dt, optim)
+
+            def run(control_traj, u0, v0, uhat, vhat):
+                steps = control_traj.shape[0] - 1
+                assert steps % num_segments == 0
+                seg = steps // num_segments
+
+                # 1. forward, keeping only segment-boundary states
+                def seg_fwd(carry, cs):
+                    def body(c2, c_i):
+                        return fwd_step(c2, c_i), None
+
+                    out, _ = jax.lax.scan(body, carry, cs)
+                    return out, carry
+
+                cs = control_traj[1:].reshape(num_segments, seg, *control_traj.shape[1:])
+                (uT, vT), bounds = jax.lax.scan(seg_fwd, (u0, v0), cs)
+
+                # terminal conditions
+                if optim == "finaltime":
+                    pT, qT = uhat - uT, vhat - vT
+                else:
+                    pT = jnp.zeros_like(uT)
+                    qT = jnp.zeros_like(vT)
+
+                # 2. backward over segments (static Python loop): recompute
+                # the segment's forward states, then adjoint-sweep it
+                p_next, q_next = pT, qT
+                p_chunks, q_chunks = [], []
+                for s in reversed(range(num_segments)):
+                    ub0 = jax.tree.map(lambda b: b[s], bounds)
+                    cseg = jax.lax.dynamic_slice_in_dim(
+                        control_traj, s * seg, seg + 1, axis=0
+                    )
+                    u_seg, v_seg = forward_sweep(fwd_step, ub0, cseg[1:])
+                    if optim == "finaltime":
+                        zero = jnp.zeros_like(u_seg[:-1])
+                        xs = (u_seg[:-1], v_seg[:-1], cseg[:-1], zero, zero)
+                    else:
+                        uh = jax.lax.dynamic_slice_in_dim(uhat, s * seg, seg, axis=0)
+                        vh = jax.lax.dynamic_slice_in_dim(vhat, s * seg, seg, axis=0)
+                        xs = (u_seg[:-1], v_seg[:-1], cseg[:-1],
+                              uh - u_seg[:-1], vh - v_seg[:-1])
+                    p_seg, q_seg = adjoint_sweep(adj_step, (p_next, q_next), xs)
+                    # segment s covers global indices s*seg..(s+1)*seg; its
+                    # first entry duplicates segment s-1's last — keep the
+                    # full chunk only for s = 0
+                    p_chunks.append(p_seg[1:] if s > 0 else p_seg)
+                    q_chunks.append(q_seg[1:] if s > 0 else q_seg)
+                    p_next, q_next = p_seg[0], q_seg[0]
+                p_traj = jnp.concatenate(list(reversed(p_chunks)), axis=0)
+                q_traj = jnp.concatenate(list(reversed(q_chunks)), axis=0)
+                return p_traj, q_traj
+
+            return run
+
+        return self._jitted(key, build)(control_traj, u0, v0, uhat, vhat)
 
     def descent_direction(self, beta, c_traj, u_traj, q_traj):
         """dk = -(β c - q u / r) (chemotaxis_FCT_PDECO_refactored.py:187)."""

@@ -50,10 +50,14 @@ def schnak_wind(x, y):
 class SchnakenbergModel(ModelBase):
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None):
+                 solver_opts: SolverOpts | None = None, td_wind_fn=None):
+        """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind
+        (Schnak_FCT_PDECO_alltime.py's sin(2πt) vortex); convection is then
+        re-assembled each step inside the scan."""
         super().__init__(grid, dtype, solver_opts)
         self.params = params
         self.rescaling = rescaling
+        self.td_wind_fn = td_wind_fn
         self.N = self.asm.convection(schnak_wind)  # (w·∇v, u)
         # u flux matrix: Du*Ad - ω₁*A (helpers.py:582-583)
         self.A_u = params.Du * self.K - params.omega1 * self.N
@@ -88,8 +92,15 @@ class SchnakenbergModel(ModelBase):
             p = self.params
             gM = p.gamma * self.M
 
-            def step(carry, c_i):
+            def step(carry, x):
+                c_i, t_i = x
                 u_n, v_n = carry
+                if self.td_wind_fn is None:
+                    A_u, B_v = self.A_u, self.B_v
+                else:
+                    N = self.asm.convection_td(self.td_wind_fn, t_i)
+                    A_u = p.Du * self.K - p.omega1 * N
+                    B_v = p.Dv * self.K - p.omega2 * N
                 # u via FCT: rhs = γ(c/r + u_n² v_n), non_flux = γM
                 uq = self.asm.nodal_at_quad(u_n, 4)
                 vq = self.asm.nodal_at_quad(v_n, 4)
@@ -98,12 +109,12 @@ class SchnakenbergModel(ModelBase):
                     p.gamma / self.rescaling * cq + p.gamma * uq**2 * vq, 4
                 )
                 u_np1 = fct_step(
-                    self.A_u, rhs_u, u_n, dt, self.M, self.M_diag,
+                    A_u, rhs_u, u_n, dt, self.M, self.M_diag,
                     self.ML_diag, non_flux=gM, solver=self.solver_opts,
                 )
                 # v implicit with the *new* u (helpers.py:590-596)
                 Mu2 = self._wm(self.asm.nodal_at_quad(u_np1, 4) ** 2)
-                Mat_v = self.M + dt * (self.B_v + p.gamma * Mu2)
+                Mat_v = self.M + dt * (B_v + p.gamma * Mu2)
                 rhs_v = self.asm.linear_form(
                     jnp.full_like(self.asm.nodal_at_quad(v_n, 4), p.gamma * p.c_b), 4
                 )
@@ -113,13 +124,24 @@ class SchnakenbergModel(ModelBase):
                 )
                 return (u_np1, v_np1)
 
-            return lambda c, u0, v0: forward_sweep(step, (u0, v0), c[1:])
+            def run(c, u0, v0):
+                steps = c.shape[0] - 1
+                times = (jnp.arange(1, steps + 1, dtype=c.dtype)) * dt
+                return forward_sweep(step, (u0, v0), (c[1:], times))
+
+            return run
 
         return self._jitted(("fwd", float(dt)), build)(control_traj, u0, v0)
 
-    def adjoint(self, u_traj, v_traj, uhat_T, vhat_T, dt):
+    def adjoint(self, u_traj, v_traj, uhat, vhat, dt, optim="finaltime"):
         """Backward sweep (helpers.py:599-698): q implicit first, then p FCT
-        with non_flux = γM - 2γM_{uv}."""
+        with non_flux = γM - 2γM_{uv}.
+
+        finaltime: uhat/vhat are final-time fields, p(T) = û_T - u(T).
+        alltime (Schnak_FCT_PDECO_alltime.py:216-257): uhat/vhat are
+        trajectories; p(T) = q(T) = 0 and mass-weighted misfits M(û-u),
+        M(v̂-v) are added to the right-hand sides.
+        """
 
         def build():
             p = self.params
@@ -127,37 +149,61 @@ class SchnakenbergModel(ModelBase):
 
             def step(carry, x):
                 p_np1, q_np1 = carry
-                u_n, v_n = x
+                u_n, v_n, t_n, mis_u, mis_v = x
+                if self.td_wind_fn is None:
+                    A_u_adj, B_v_adj = self.A_u_adj, self.B_v_adj
+                else:
+                    N = self.asm.convection_td(self.td_wind_fn, t_n)
+                    Nt = st.transpose(N)
+                    A_u_adj = p.Du * self.K - p.omega1 * Nt
+                    B_v_adj = p.Dv * self.K - p.omega2 * Nt
                 uq = self.asm.nodal_at_quad(u_n, 4)
                 vq = self.asm.nodal_at_quad(v_n, 4)
                 pq = self.asm.nodal_at_quad(p_np1, 4)
                 # q: [M + dt(Dv K - ω₂N + γ M_u²)] q = M q_np1 + dt γ (p_np1 u²)
                 Mu2 = self._wm(uq**2)
-                rhs_q = self.asm.linear_form(p.gamma * pq * uq**2, 4)
-                Mat_q = self.M + dt * (self.B_v_adj + p.gamma * Mu2)
+                rhs_q = self.asm.linear_form(p.gamma * pq * uq**2, 4) + mis_v
+                Mat_q = self.M + dt * (B_v_adj + p.gamma * Mu2)
                 q_n = solve_stencil(
                     Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1,
                     opts=self.solver_opts,
                 )
                 # p via FCT: rhs = -2γ u v q_n, non_flux = γM - 2γ M_uv
                 qq = self.asm.nodal_at_quad(q_n, 4)
-                rhs_p = self.asm.linear_form(-2.0 * p.gamma * uq * vq * qq, 4)
+                rhs_p = self.asm.linear_form(-2.0 * p.gamma * uq * vq * qq, 4) + mis_u
                 Muv = self._wm(uq * vq)
                 p_n = fct_step(
-                    self.A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
+                    A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
                     self.ML_diag, non_flux=gM - 2.0 * p.gamma * Muv,
                     solver=self.solver_opts,
                 )
                 return (p_n, q_n)
 
-            def run(u_traj, v_traj, uhat_T, vhat_T):
-                pT = uhat_T - u_traj[-1]
-                qT = vhat_T - v_traj[-1]
-                return adjoint_sweep(step, (pT, qT), (u_traj[:-1], v_traj[:-1]))
+            def run(u_traj, v_traj, uhat, vhat):
+                steps = u_traj.shape[0] - 1
+                times = jnp.arange(steps, dtype=u_traj.dtype) * dt
+                if optim == "finaltime":
+                    pT = uhat - u_traj[-1]
+                    qT = vhat - v_traj[-1]
+                    zero = jnp.zeros_like(u_traj[:-1])
+                    xs = (u_traj[:-1], v_traj[:-1], times, zero, zero)
+                else:
+                    import jax
+
+                    pT = jnp.zeros_like(u_traj[-1])
+                    qT = jnp.zeros_like(pT)
+                    mis_u = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                        uhat[:-1], u_traj[:-1]
+                    )
+                    mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                        vhat[:-1], v_traj[:-1]
+                    )
+                    xs = (u_traj[:-1], v_traj[:-1], times, mis_u, mis_v)
+                return adjoint_sweep(step, (pT, qT), xs)
 
             return run
 
-        return self._jitted(("adj", float(dt)), build)(u_traj, v_traj, uhat_T, vhat_T)
+        return self._jitted(("adj", float(dt), optim), build)(u_traj, v_traj, uhat, vhat)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - (γ/r) p) (Schnak_FCT_PDECO_refactored.py:166-167)."""

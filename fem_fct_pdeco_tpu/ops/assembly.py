@@ -252,6 +252,20 @@ class P1Assembler:
         E = detJ * jnp.einsum("tac,tcbij->tabij", g, V, precision=jax.lax.Precision.HIGHEST)
         return self._scatter([E[0], E[1]])
 
+    def convection_td(self, wind_fn, t, degree: int = DEG_CONVECTION) -> jnp.ndarray:
+        """∫ (w(x, t) · ∇φ_a) φ_b dx for a time-dependent analytic wind
+        ``wind_fn(x, y, t) -> (wx, wy)`` with traced ``t`` — assembled inside
+        jit/scan (the reference re-assembles per step, e.g.
+        Schnak_FCT_PDECO_alltime.py wind with sin(2πt))."""
+        X, Y = self.quad_xy(degree)
+        Xj = jnp.asarray(X, dtype=self.dtype)
+        Yj = jnp.asarray(Y, dtype=self.dtype)
+        wx, wy = wind_fn(Xj, Yj, t)
+        wx = jnp.broadcast_to(wx, Xj.shape)
+        wy = jnp.broadcast_to(wy, Xj.shape)
+        G = jnp.stack([wx, wy], axis=2)
+        return self.advective(G, degree=degree)
+
     def convection(self, wind_fn, degree: int = DEG_CONVECTION) -> jnp.ndarray:
         """∫ (w · ∇φ_a) φ_b dx for an analytic wind ``wind_fn(x, y) -> (wx, wy)``.
 

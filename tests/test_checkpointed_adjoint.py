@@ -1,0 +1,33 @@
+"""Segmented checkpoint/recompute adjoint equals the full-trajectory adjoint."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_fct_pdeco_tpu.grid import Grid
+from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+
+@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
+def test_checkpointed_adjoint_matches_full(optim):
+    g = Grid(0.0, 1.0, 21)
+    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    u0np, v0np = model.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    dt, steps = 1e-3, 12
+    c = jnp.full((steps + 1, g.n, g.n), 100.0)
+
+    u, v = model.forward(c, u0, v0, dt)
+    if optim == "finaltime":
+        uhat, vhat = 1.01 * u[-1], 1.02 * v[-1]
+    else:
+        uhat, vhat = 1.01 * u, 1.02 * v
+    p_full, q_full = model.adjoint(u, v, uhat, vhat, c, dt, optim)
+    p_ck, q_ck = model.adjoint_checkpointed(c, u0, v0, uhat, vhat, dt, optim,
+                                            num_segments=3)
+    assert p_ck.shape == p_full.shape
+    np.testing.assert_allclose(np.asarray(p_ck), np.asarray(p_full),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q_ck), np.asarray(q_full),
+                               rtol=1e-9, atol=1e-12)
