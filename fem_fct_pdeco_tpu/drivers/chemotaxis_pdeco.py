@@ -34,10 +34,17 @@ class ChemotaxisProblem(PDECOProblem):
     name = "Chtxs"
     num_vars = 2
 
-    def __init__(self, cfg: ExperimentConfig, rescaling: float = RESCALING):
+    def __init__(self, cfg: ExperimentConfig, rescaling: float = RESCALING,
+                 backend: str = "xla", dtype=None):
         super().__init__(cfg)
+        import jax
+
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        tol = 1e-12 if dtype == jnp.float64 else 1e-6
         self.model = ChemotaxisModel(
-            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=1e-12)
+            self.grid, rescaling=rescaling, dtype=dtype,
+            solver_opts=SolverOpts(tol=tol, maxiter=300), backend=backend,
         )
         self._targets = self._load_targets()
         u0, v0 = self.model.ic()
@@ -129,6 +136,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+                    default="xla")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     T_data = args.T_data
@@ -141,7 +150,7 @@ def main(argv=None):
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
     )
-    problem = ChemotaxisProblem(cfg)
+    problem = ChemotaxisProblem(cfg, backend=args.backend)
     return run_pdeco(problem, cfg)
 
 

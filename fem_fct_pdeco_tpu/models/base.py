@@ -29,6 +29,8 @@ class ModelBase:
         backend: str = "xla",
     ):
         self.grid = grid
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            dtype = jnp.float32  # avoid per-op truncation warnings
         self.dtype = dtype
         self.backend = backend
         self.asm = P1Assembler(grid, dtype)
