@@ -54,10 +54,8 @@ def _fused_u_kernel(
         return ref[ai : ai + nc, aj : aj + nc]
 
     # ---- 1. assemble A = Dm*K - chi * (e^{-ηu} ∇v_h·∇φ_a, φ_b) ----------
-    # Accumulate plane contributions as functional values: overlapping
-    # read-modify-write slice accumulation on a VMEM ref miscompiles under
-    # Mosaic (correct in interpret mode), so each plane is built with
-    # value-level .at[].add and stored once.
+    # Plane contributions are accumulated as functional values (jnp.pad
+    # placement) and each plane is stored once.
     planes = [None] * 9
     for t in range(2):
         corners = TRI_CORNERS[t]
@@ -106,9 +104,10 @@ def _fused_u_kernel(
         if d == CENTER:
             plane = plane + ML
         A_ref[d, :, :] = plane
-    apply_low = _make_apply(A_ref, pad_ref, n)
-    apply_D = _make_apply(D_ref, pad_ref, n)
-    apply_M = _make_apply(M_ref, pad_ref, n)
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_low = _make_apply(A_ref, pad_ref, n, prezeroed=True)
+    apply_D = _make_apply(D_ref, pad_ref, n, prezeroed=True)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True)
 
     def apply_A(x):
         # A = (Low - diag(ML))/dt + D
@@ -262,8 +261,9 @@ def fused_chemotaxis_u_step(u_n, v_np1, K, M, M_diag, ML_diag, rhs, *,
 def _fused_v_kernel(c_ref, u_ref, v_ref, Mat_ref, M_ref, out_ref, pad_ref,
                     *, n, dt, inv_r, tol, iters, wts, bary):
     nc = n - 1
-    apply_mat = _make_apply(Mat_ref, pad_ref, n)
-    apply_M = _make_apply(M_ref, pad_ref, n)
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(Mat_ref, pad_ref, n, prezeroed=True)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True)
 
     # load vector: (v_n, phi) + dt * (c_h u_h / r, phi)  (helpers.py:1339-1340)
     load = jnp.zeros((n, n), dtype=out_ref.dtype)

@@ -47,11 +47,17 @@ def _shifted(pad, d: int, n: int):
     return pad[1 + di : 1 + di + n, 1 + dj : 1 + dj + n]
 
 
-def _make_apply(S_ref, pad_ref, n: int):
-    """Returns apply(x) -> S @ x using a padded VMEM scratch."""
+def _make_apply(S_ref, pad_ref, n: int, prezeroed: bool = False):
+    """Returns apply(x) -> S @ x using a padded VMEM scratch.
+
+    ``prezeroed=True``: the caller guarantees the pad border is zero for the
+    kernel's lifetime, so each apply only writes the interior window (saves a
+    full-scratch store per matvec in solver loops).
+    """
 
     def apply(x):
-        pad_ref[:, :] = jnp.zeros_like(pad_ref)
+        if not prezeroed:
+            pad_ref[:, :] = jnp.zeros_like(pad_ref)
         pad_ref[1 : n + 1, 1 : n + 1] = x
         acc = S_ref[CENTER] * x
         for d in range(9):
@@ -68,7 +74,8 @@ def _make_apply(S_ref, pad_ref, n: int):
 # ---------------------------------------------------------------------------
 
 def _chebsi_kernel(b_ref, M_ref, Md_ref, out_ref, pad_ref, *, n, iters, lmin, lmax):
-    apply = _make_apply(M_ref, pad_ref, n)
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply = _make_apply(M_ref, pad_ref, n, prezeroed=True)
     rho = (lmax - lmin) / (lmax + lmin)
     Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
     b = b_ref[:, :]
@@ -105,7 +112,8 @@ def chebsi_pallas(b, M, M_diag, iters: int = 20, lmin: float = 0.5, lmax: float 
 # ---------------------------------------------------------------------------
 
 def _bicgstab_kernel(S_ref, b_ref, x0_ref, out_ref, pad_ref, *, n, iters, tol, eps):
-    apply = _make_apply(S_ref, pad_ref, n)
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply = _make_apply(S_ref, pad_ref, n, prezeroed=True)
     Kinv = 1.0 / S_ref[CENTER]
     b = b_ref[:, :]
     x = x0_ref[:, :]
@@ -168,7 +176,8 @@ def bicgstab_pallas(S, b, x0=None, iters: int = 60, tol: float = 1e-7):
 # ---------------------------------------------------------------------------
 
 def _cg_kernel(S_ref, b_ref, x0_ref, out_ref, pad_ref, *, n, iters, tol, eps):
-    apply = _make_apply(S_ref, pad_ref, n)
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply = _make_apply(S_ref, pad_ref, n, prezeroed=True)
     Kinv = 1.0 / S_ref[CENTER]
     b = b_ref[:, :]
     x = x0_ref[:, :]
