@@ -85,11 +85,11 @@ def _fused_u_kernel(
         A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
 
     # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) -------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
     offsum = None
     for d in range(9):
         if d == CENTER:
             continue
-        pad_ref[:, :] = jnp.zeros_like(pad_ref)
         pad_ref[1 : n + 1, 1 : n + 1] = A_ref[opposite(d)]
         Atr = _shifted(pad_ref, d, n)
         Dd = jnp.maximum(0.0, jnp.maximum(A_ref[d, :, :], Atr))
@@ -105,9 +105,14 @@ def _fused_u_kernel(
             plane = plane + ML
         A_ref[d, :, :] = plane
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
-    apply_low = _make_apply(A_ref, pad_ref, n, prezeroed=True)
-    apply_D = _make_apply(D_ref, pad_ref, n, prezeroed=True)
-    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True)
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    apply_low = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_D = _make_apply(D_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
 
     def apply_A(x):
         # A = (Low - diag(ML))/dt + D
@@ -262,8 +267,12 @@ def _fused_v_kernel(c_ref, u_ref, v_ref, Mat_ref, M_ref, out_ref, pad_ref,
                     *, n, dt, inv_r, tol, iters, wts, bary):
     nc = n - 1
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
-    apply_mat = _make_apply(Mat_ref, pad_ref, n, prezeroed=True)
-    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True)
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    apply_mat = _make_apply(Mat_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
 
     # load vector: (v_n, phi) + dt * (c_h u_h / r, phi)  (helpers.py:1339-1340)
     load = jnp.zeros((n, n), dtype=out_ref.dtype)

@@ -47,12 +47,20 @@ def _shifted(pad, d: int, n: int):
     return pad[1 + di : 1 + di + n, 1 + dj : 1 + dj + n]
 
 
-def _make_apply(S_ref, pad_ref, n: int, prezeroed: bool = False):
+# The right-diagonal P1 mesh has no (-1,+1)/(+1,-1) couplings: those two
+# stencil planes are structurally zero in every operator here (grid.py), so
+# solver matvecs skip them.
+ANTI_DIAGONAL_IDS = (2, 6)
+
+
+def _make_apply(S_ref, pad_ref, n: int, prezeroed: bool = False,
+                skip_planes: tuple = ()):
     """Returns apply(x) -> S @ x using a padded VMEM scratch.
 
     ``prezeroed=True``: the caller guarantees the pad border is zero for the
     kernel's lifetime, so each apply only writes the interior window (saves a
     full-scratch store per matvec in solver loops).
+    ``skip_planes``: stencil planes known to be structurally zero.
     """
 
     def apply(x):
@@ -61,7 +69,7 @@ def _make_apply(S_ref, pad_ref, n: int, prezeroed: bool = False):
         pad_ref[1 : n + 1, 1 : n + 1] = x
         acc = S_ref[CENTER] * x
         for d in range(9):
-            if d == CENTER:
+            if d == CENTER or d in skip_planes:
                 continue
             acc += S_ref[d] * _shifted(pad_ref, d, n)
         return acc
