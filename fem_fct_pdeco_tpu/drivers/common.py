@@ -53,6 +53,7 @@ class ExperimentConfig:
     out_folder: str = "out"
     data_dir: str = "data_generated"
     produce_plots: bool = False
+    memory_telemetry: bool = False
     registry_csv: str | None = None
     tag: str = ""
 
@@ -138,6 +139,15 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             f"it={it} cost={info['cost']:.6e} stop_crit={info['stop_crit']:.3e} "
             f"armijo_its={info['armijo_iters']}"
         )
+        if cfg.memory_telemetry:
+            # psutil RSS + device memory, the reference's telemetry surface
+            # (advection_solidbody_FCT_PDECO_alltime.py:398-404) extended to
+            # device stats
+            from fem_fct_pdeco_tpu.utils.profiling import (
+                device_memory_stats, host_memory_mb)
+
+            print(f"  host RSS: {host_memory_mb():.1f} MB  "
+                  f"device: {device_memory_stats()}")
         if cfg.produce_plots:
             problem.plot(it, info["state"], info["adjoint"], info["control"])
 
