@@ -67,7 +67,29 @@ class NonlinearProblem(PDECOProblem):
     def solve_adjoint(self, state, c):
         return self.model.adjoint(state[0], self._target, self.cfg.dt, self.cfg.optim)
 
+    use_discrete_gradient = False
+
     def descent_direction(self, c, state, adjoint):
+        if self.use_discrete_gradient:
+            # discretize-then-optimize: exact gradient of the discrete J via
+            # jax.grad through the FCT scan (new capability; the reference
+            # only has the continuous adjoint)
+            import jax
+
+            if not hasattr(self, "_grad_J"):
+                u0 = jnp.asarray(self.model.ic())
+
+                def J(ctrl):
+                    from fem_fct_pdeco_tpu.optimize import cost_functional
+
+                    (u,) = self.model.forward(ctrl, u0, self.cfg.dt)
+                    return cost_functional(
+                        u, self._target, ctrl, self.cfg.dt, self.model.M,
+                        self.cfg.beta, self.cfg.optim,
+                    )
+
+                self._grad_J = jax.jit(jax.grad(J))
+            return -self._grad_J(c)
         return self.model.descent_direction(self.cfg.beta, c, adjoint[0])
 
     def cost(self, state, c):
@@ -115,6 +137,9 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--discrete-gradient", action="store_true",
+                    help="use the exact discrete gradient (jax.grad through "
+                         "the FCT scan) instead of the continuous adjoint")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     cfg = build_config(
@@ -123,6 +148,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
     )
     problem = NonlinearProblem(cfg)
+    problem.use_discrete_gradient = args.discrete_gradient
     return run_pdeco(problem, cfg)
 
 

@@ -64,14 +64,7 @@ def chebsi(
     return y
 
 
-def solve_stencil(
-    S: jnp.ndarray,
-    b: jnp.ndarray,
-    x0: jnp.ndarray | None = None,
-    opts: SolverOpts = SolverOpts(),
-) -> jnp.ndarray:
-    """Solve S x = b (S a (9, n, n) stencil) with Jacobi-preconditioned
-    CG (symmetric) or BiCGStab (general)."""
+def _solve_stencil_raw(S, b, x0, opts: SolverOpts):
     inv_diag = 1.0 / S[4]
     matvec = partial(st.apply, S)
     precond = lambda r: r * inv_diag
@@ -82,6 +75,48 @@ def solve_stencil(
         matvec, b, x0=x0, tol=opts.tol, atol=opts.atol, maxiter=opts.maxiter, M=precond
     )
     return x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _solve_stencil_vjp(S, b, x0, opts: SolverOpts):
+    return _solve_stencil_raw(S, b, x0, opts)
+
+
+def _solve_fwd(S, b, x0, opts):
+    x = _solve_stencil_raw(S, b, x0, opts)
+    return x, (S, x)
+
+
+def _solve_bwd(opts, res, g):
+    """Implicit-function-theorem adjoint: with S x = b,
+    dL/db = S^{-T} g  and  dL/dS[d, p] = -y[p] * x[p + offset(d)].
+
+    This makes the Krylov solves reverse-differentiable (the underlying
+    while_loops are not), enabling exact discrete gradients of the whole FCT
+    time loop via jax.grad — a capability the reference (hand-derived
+    continuous adjoints only) does not have.
+    """
+    S, x = res
+    y = _solve_stencil_raw(st.transpose(S), g, None, opts)
+    grad_S = jnp.stack([-y * st.shift(x, d) for d in range(9)])
+    return grad_S, y, jnp.zeros_like(x)
+
+
+_solve_stencil_vjp.defvjp(_solve_fwd, _solve_bwd)
+
+
+def solve_stencil(
+    S: jnp.ndarray,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    opts: SolverOpts = SolverOpts(),
+) -> jnp.ndarray:
+    """Solve S x = b (S a (9, n, n) stencil) with Jacobi-preconditioned
+    CG (symmetric) or BiCGStab (general). Reverse-differentiable via an
+    implicit-function-theorem custom VJP."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    return _solve_stencil_vjp(S, b, x0, opts)
 
 
 def dot_omega(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
