@@ -19,7 +19,6 @@ nine statically-shifted slices — lane/sublane rotates, no gathers.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

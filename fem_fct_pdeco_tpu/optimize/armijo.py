@@ -1,7 +1,7 @@
 """Projected Armijo line search (reference ``armijo_line_search_ref``,
 helpers.py:1583-1713).
 
-The trial loop stays host-side (variial count varies run to run) and calls
+The trial loop stays host-side (the trial count varies run to run) and calls
 jit-compiled state sweeps and cost evaluations; every trial re-solves the
 (nonlinear) state system, or uses precomputed linear increments
 ``var + s * w`` for linear problems (helpers.py:1684-1694).
