@@ -151,7 +151,7 @@ def mimura(out_dir: str, T: float = 30.0, dt: float = 1e-2,
     m0, f0 = model.ic()
     m, f = model.forward(c, jnp.asarray(m0), jnp.asarray(f0), dt)
     os.makedirs(out_dir, exist_ok=True)
-    for t_out in (14.0, 30.0):
+    for t_out in {14.0, 30.0, T}:
         k = round(t_out / dt)
         if k <= steps:
             save_trajectory_csv(

@@ -106,14 +106,18 @@ class MimuraProblem(PDECOProblem):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--T", type=float, default=DEFAULTS["T"])
+    ap.add_argument("--T-data", type=float, default=DEFAULTS["T_data"])
     ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
+    ap.add_argument("--dx", type=float, default=DEFAULTS["dx"])
+    ap.add_argument("--a2", type=float, default=DEFAULTS["a2"])
     ap.add_argument("--beta", type=float, default=DEFAULTS["beta"])
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
-    d = {**DEFAULTS, "T": args.T, "dt": args.dt, "beta": args.beta,
+    d = {**DEFAULTS, "T": args.T, "T_data": args.T_data, "dt": args.dt,
+         "dx": args.dx, "a2": args.a2, "beta": args.beta,
          "tol": args.tol, "max_iter_gd": args.max_iter_gd,
          "produce_plots": args.plots}
     cfg = ExperimentConfig(**d)

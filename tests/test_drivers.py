@@ -85,6 +85,14 @@ def test_solidbody_garvie_driver(in_tmp):
     assert out["result"].iterations >= 1
 
 
+def test_mimura_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import mimura_pdeco as d
+
+    out = d.main(_common(["--T", "0.2", "--T-data", "0.5", "--dt", "0.1",
+                          "--dx", "1.0", "--a2", "10.0"]))
+    assert out["result"].iterations >= 1
+
+
 def test_generate_targets_cli(in_tmp):
     from fem_fct_pdeco_tpu.drivers.generate_targets import chemotaxis
 
