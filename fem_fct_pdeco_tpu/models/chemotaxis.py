@@ -40,10 +40,18 @@ class ChemotaxisParams:
 class ChemotaxisModel(ModelBase):
     def __init__(self, grid, params: ChemotaxisParams = ChemotaxisParams(),
                  rescaling: float = 1.0 / 10.0, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None, backend: str = "xla"):
+                 solver_opts: SolverOpts | None = None, backend: str = "xla",
+                 consistent_alltime_misfit: bool = False):
+        """``consistent_alltime_misfit``: the reference adds the RAW nodal
+        misfit û-u to the assembled adjoint loads in all-time mode
+        (helpers.py:1506-1507, dimensionally inconsistent — the gradient is
+        off by ~1/mass-scale, which projected Armijo absorbs). Set True for
+        the mass-weighted M(û-u) variant that satisfies the adjoint identity.
+        """
         super().__init__(grid, dtype, solver_opts, backend)
         self.params = params
         self.rescaling = rescaling
+        self.consistent_alltime_misfit = consistent_alltime_misfit
 
     # ------------------------------------------------------------------
 
@@ -154,6 +162,15 @@ class ChemotaxisModel(ModelBase):
 
         return run
 
+    def forward_batched(self, control_trajs, u0s, v0s, dt):
+        """vmapped forward over a leading batch of independent problems —
+        production serving of many simultaneous PDECO instances on one chip
+        (new capability; the reference runs one scenario per process)."""
+        fn = self._jitted(
+            ("fwd_batched", float(dt)), lambda: jax.vmap(self._make_forward(dt))
+        )
+        return fn(control_trajs, u0s, v0s)
+
     # ------------------------------------------------------------------
 
     def _adjoint_step(self, dt, optim: str):
@@ -221,13 +238,12 @@ class ChemotaxisModel(ModelBase):
             else:
                 pT = jnp.zeros_like(u_traj[-1])
                 qT = jnp.zeros_like(pT)
-                xs = (
-                    u_traj[:-1],
-                    v_traj[:-1],
-                    control_traj[:-1],
-                    uhat[:-1] - u_traj[:-1],
-                    vhat[:-1] - v_traj[:-1],
-                )
+                mis_u = uhat[:-1] - u_traj[:-1]
+                mis_v = vhat[:-1] - v_traj[:-1]
+                if self.consistent_alltime_misfit:
+                    mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
+                    mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                xs = (u_traj[:-1], v_traj[:-1], control_traj[:-1], mis_u, mis_v)
             return adjoint_sweep(step, (pT, qT), xs)
 
         return run
