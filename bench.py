@@ -47,9 +47,16 @@ def tpu_steps_per_sec() -> float:
     v0 = jnp.asarray(v0np, dtype=jnp.float32)
     c = jnp.full((STEPS_PER_CALL + 1, GRID_N, GRID_N), model.params.gamma, jnp.float32)
 
-    # warmup + compile
+    # warmup + compile, with a correctness guard so a silently-wrong kernel
+    # can't post a fast number: finiteness + FCT mass conservation (u has no
+    # source, so lumped mass is conserved to solver tolerance)
     u, v = model.forward(c, u0, v0, DT)
     jax.block_until_ready((u, v))
+    assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+    ML = model.ML_diag
+    m0 = float(jnp.sum(ML * u[0]))
+    mT = float(jnp.sum(ML * u[-1]))
+    assert abs(mT - m0) / abs(m0) < 1e-4, (m0, mT)
 
     reps = 5
     t0 = time.perf_counter()

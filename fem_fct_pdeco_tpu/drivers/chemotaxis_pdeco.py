@@ -138,6 +138,8 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true")
     ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
                     default="xla")
+    ap.add_argument("--checkpoint", default=None,
+                    help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     T_data = args.T_data
@@ -149,6 +151,7 @@ def main(argv=None):
         optim=args.optim, T=args.T, T_data=T_data, dt=args.dt, dx=args.dx,
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
+        checkpoint_path=args.checkpoint,
     )
     problem = ChemotaxisProblem(cfg, backend=args.backend)
     return run_pdeco(problem, cfg)

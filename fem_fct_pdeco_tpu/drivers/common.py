@@ -55,6 +55,7 @@ class ExperimentConfig:
     produce_plots: bool = False
     memory_telemetry: bool = False
     registry_csv: str | None = None
+    checkpoint_path: str | None = None  # enable PGD save/resume
     tag: str = ""
 
     @property
@@ -119,6 +120,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         beta=cfg.beta, tol=cfg.tol, max_iter_gd=cfg.max_iter_gd,
         max_iter_armijo=cfg.max_iter_armijo, c_lower=cfg.c_lower,
         c_upper=cfg.c_upper, gam=cfg.gam, s0=cfg.s0,
+        checkpoint_path=cfg.checkpoint_path,
     )
 
     targets = problem.targets()

@@ -140,12 +140,15 @@ def main(argv=None):
     ap.add_argument("--discrete-gradient", action="store_true",
                     help="use the exact discrete gradient (jax.grad through "
                          "the FCT scan) instead of the continuous adjoint")
+    ap.add_argument("--checkpoint", default=None,
+                    help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     cfg = build_config(
         optim=args.optim, T=args.T, T_data=args.T, dt=args.dt, dx=args.dx,
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
+        checkpoint_path=args.checkpoint,
     )
     problem = NonlinearProblem(cfg)
     problem.use_discrete_gradient = args.discrete_gradient

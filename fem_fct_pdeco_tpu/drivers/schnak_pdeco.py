@@ -151,6 +151,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--checkpoint", default=None,
+                    help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     T_data = args.T_data
@@ -160,6 +162,7 @@ def main(argv=None):
         optim=args.optim, T=args.T, T_data=T_data, dt=args.dt, dx=args.dx,
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
+        checkpoint_path=args.checkpoint,
     )
     return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data, td_wind=args.td_wind), cfg)
 

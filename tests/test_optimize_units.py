@@ -1,0 +1,77 @@
+"""Unit tests for the optimization layer against simple oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_fct_pdeco_tpu.grid import Grid
+from fem_fct_pdeco_tpu.ops import stencil as st
+from fem_fct_pdeco_tpu.ops.assembly import P1Assembler
+from fem_fct_pdeco_tpu.optimize import l2_norm_sq_omega, l2_norm_sq_q
+from fem_fct_pdeco_tpu.optimize.armijo import armijo_line_search
+
+
+def test_l2_norms_vs_dense():
+    g = Grid(0.0, 1.0, 9)
+    asm = P1Assembler(g)
+    Md = st.to_dense(np.asarray(asm.mass))
+    rng = np.random.default_rng(0)
+    phi = rng.standard_normal((5, 9, 9))
+    dt = 0.1
+    got = float(l2_norm_sq_q(jnp.asarray(phi), dt, asm.mass))
+    # trapezoid oracle (helpers.py:330-360)
+    w = np.ones(5)
+    w[0] = w[-1] = 0.5
+    want = sum(w[i] * phi[i].ravel() @ Md @ phi[i].ravel() for i in range(5)) * dt
+    assert got == pytest.approx(want, rel=1e-12)
+    got1 = float(l2_norm_sq_omega(jnp.asarray(phi[0]), asm.mass))
+    assert got1 == pytest.approx(phi[0].ravel() @ Md @ phi[0].ravel(), rel=1e-12)
+
+
+def test_armijo_halves_step_and_accepts():
+    """Quadratic objective: J(c) = ||c - 1||^2; from c=0 with d=4 (overshoot),
+    Armijo must halve until the decrease condition holds."""
+    g = Grid(0.0, 1.0, 5)
+    asm = P1Assembler(g)
+    target = jnp.ones((2, 5, 5))
+
+    def cost_fn(state, c):
+        return float(jnp.sum((c - target) ** 2))
+
+    def solver(c):
+        return ("dummy",)
+
+    c0 = jnp.zeros((2, 5, 5))
+    d = 4.0 * jnp.ones_like(c0)  # step s=1 overshoots to c=4
+    res = armijo_line_search(
+        c0, d, ("dummy",), cost_fn(("dummy",), c0),
+        cost_fn=cost_fn,
+        control_norm_sq=lambda c: l2_norm_sq_q(c, 0.1, asm.mass),
+        c_lower=-10.0, c_upper=10.0, solver=solver, gam=1e-4, max_iter=10,
+    )
+    assert res.converged
+    assert res.step_size < 1.0  # halved at least once
+    assert cost_fn(None, res.control) < cost_fn(None, c0)
+
+
+def test_armijo_reports_failure():
+    """An objective that always increases: Armijo exhausts max_iter and
+    reports non-convergence (the reference returns k+1 == max_iter,
+    triggering the drivers' fail machinery)."""
+    g = Grid(0.0, 1.0, 5)
+    asm = P1Assembler(g)
+
+    def cost_fn(state, c):
+        return float(jnp.sum(c**2)) + 1.0  # any move from c=0 increases
+
+    c0 = jnp.zeros((2, 5, 5))
+    d = jnp.ones_like(c0)
+    res = armijo_line_search(
+        c0, d, (None,), 0.5,  # cost_init below anything reachable
+        cost_fn=cost_fn,
+        control_norm_sq=lambda c: l2_norm_sq_q(c, 0.1, asm.mass),
+        c_lower=-10.0, c_upper=10.0, solver=lambda c: (None,),
+        gam=1e-4, max_iter=4,
+    )
+    assert not res.converged
+    assert res.iterations == 4
