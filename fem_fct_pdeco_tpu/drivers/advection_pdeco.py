@@ -120,11 +120,14 @@ class AdvectionProblem(PDECOProblem):
             X, Y = self.grid.xy
             self._u0 = jnp.asarray(5 * Y * (Y - 1) * X * (X - 1) * np.sin(4 * X * np.pi))
             self._g = None
-            path = os.path.join(cfg.data_dir, "advection_u.csv")
+            from fem_fct_pdeco_tpu.drivers.common import target_dir
+
+            tdir = target_dir(cfg, self.grid, cfg.dt)
+            path = os.path.join(tdir, "advection_u.csv")
             if not os.path.exists(path):
                 from fem_fct_pdeco_tpu.drivers.generate_targets import advection_stripes
 
-                advection_stripes(cfg.data_dir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
+                advection_stripes(tdir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
             if cfg.optim == "finaltime":
                 self._target = jnp.asarray(
                     import_data_final(path, self.grid, num_steps=cfg.num_steps_data)

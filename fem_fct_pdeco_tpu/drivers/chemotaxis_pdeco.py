@@ -51,13 +51,16 @@ class ChemotaxisProblem(PDECOProblem):
         self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
 
     def _load_targets(self):
+        from fem_fct_pdeco_tpu.drivers.common import target_dir
+
         cfg = self.cfg
-        pm = os.path.join(cfg.data_dir, f"chtxs_m_t{cfg.T_data:g}.csv")
-        pf = os.path.join(cfg.data_dir, f"chtxs_f_t{cfg.T_data:g}.csv")
+        tdir = target_dir(cfg, self.grid, cfg.dt)
+        pm = os.path.join(tdir, f"chtxs_m_t{cfg.T_data:g}.csv")
+        pf = os.path.join(tdir, f"chtxs_f_t{cfg.T_data:g}.csv")
         if not (os.path.exists(pm) and os.path.exists(pf)):
             from fem_fct_pdeco_tpu.drivers.generate_targets import chemotaxis
 
-            chemotaxis(cfg.data_dir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
+            chemotaxis(tdir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
         if cfg.optim == "finaltime":
             k = cfg.num_steps_data
             return (

@@ -70,6 +70,12 @@ class ExperimentConfig:
         return Grid.from_spacing(self.a1, self.a2, self.dx)
 
 
+def target_dir(cfg: "ExperimentConfig", grid, dt: float) -> str:
+    """Per-configuration target-data directory: generated target files are
+    only valid for one (grid, dt) pair, so cache them per config."""
+    return os.path.join(cfg.data_dir, f"n{grid.n}_dt{dt:g}")
+
+
 class PDECOProblem:
     """Adapter interface each driver implements around a model."""
 

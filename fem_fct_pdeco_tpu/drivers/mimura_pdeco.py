@@ -53,12 +53,14 @@ class MimuraProblem(PDECOProblem):
             if os.path.exists(pm) and os.path.exists(pf):
                 break
         else:
+            from fem_fct_pdeco_tpu.drivers.common import target_dir
             from fem_fct_pdeco_tpu.drivers.generate_targets import mimura
 
-            mimura(cfg.data_dir, T=cfg.T_data, dt=min(cfg.dt, 1e-2),
+            tdir = target_dir(cfg, self.grid, min(cfg.dt, 1e-2))
+            mimura(tdir, T=cfg.T_data, dt=min(cfg.dt, 1e-2),
                    a2=cfg.a2, dx=cfg.dx)
-            pm = os.path.join(cfg.data_dir, f"mimura_tsujikawa_t{cfg.T_data:g}_m.csv")
-            pf = os.path.join(cfg.data_dir, f"mimura_tsujikawa_t{cfg.T_data:g}_f.csv")
+            pm = os.path.join(tdir, f"mimura_tsujikawa_t{cfg.T_data:g}_m.csv")
+            pf = os.path.join(tdir, f"mimura_tsujikawa_t{cfg.T_data:g}_f.csv")
         return (
             jnp.asarray(import_data_final(pm, self.grid, num_steps=0)),
             jnp.asarray(import_data_final(pf, self.grid, num_steps=0)),

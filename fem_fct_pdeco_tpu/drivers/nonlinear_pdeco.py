@@ -41,12 +41,15 @@ class NonlinearProblem(PDECOProblem):
         self._target = self._load_target()
 
     def _load_target(self):
+        from fem_fct_pdeco_tpu.drivers.common import target_dir
+
         cfg = self.cfg
-        path = os.path.join(cfg.data_dir, "advection.csv")
+        tdir = target_dir(cfg, self.grid, cfg.dt)
+        path = os.path.join(tdir, "advection.csv")
         if not os.path.exists(path):
             from fem_fct_pdeco_tpu.drivers.generate_targets import nonlinear
 
-            nonlinear(cfg.data_dir, T=max(cfg.T_data, cfg.T), dt=cfg.dt, dx=cfg.dx)
+            nonlinear(tdir, T=max(cfg.T_data, cfg.T), dt=cfg.dt, dx=cfg.dx)
         if cfg.optim == "finaltime":
             return jnp.asarray(
                 import_data_final(path, self.grid, num_steps=cfg.num_steps_data)

@@ -56,13 +56,16 @@ class SchnakProblem(PDECOProblem):
         self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
 
     def _load_targets(self):
+        from fem_fct_pdeco_tpu.drivers.common import target_dir
+
         cfg = self.cfg
-        pu = os.path.join(cfg.data_dir, "schnak_u.csv")
-        pv = os.path.join(cfg.data_dir, "schnak_v.csv")
+        tdir = target_dir(cfg, self.grid, self.dt_data)
+        pu = os.path.join(tdir, "schnak_u.csv")
+        pv = os.path.join(tdir, "schnak_v.csv")
         if not (os.path.exists(pu) and os.path.exists(pv)):
             from fem_fct_pdeco_tpu.drivers.generate_targets import schnakenberg
 
-            schnakenberg(cfg.data_dir, T=max(cfg.T_data, cfg.T), dt=self.dt_data,
+            schnakenberg(tdir, T=max(cfg.T_data, cfg.T), dt=self.dt_data,
                          dx=cfg.dx)
         if cfg.optim == "finaltime":
             k = round(cfg.T_data / self.dt_data)

@@ -55,26 +55,29 @@ class SolidBodyProblem(PDECOProblem):
 
     def _load_target(self):
         cfg = self.cfg
+        from fem_fct_pdeco_tpu.drivers.common import target_dir
+
+        tdir = target_dir(cfg, self.grid, cfg.dt)
         if self.gaussian:
-            path = os.path.join(cfg.data_dir, "gaussian_u.csv")
+            path = os.path.join(tdir, "gaussian_u.csv")
             if not os.path.exists(path):
                 from fem_fct_pdeco_tpu.drivers.generate_targets import gaussian_drift
 
-                gaussian_drift(cfg.data_dir, T=cfg.T_data, dt=cfg.dt)
+                gaussian_drift(tdir, T=cfg.T_data, dt=cfg.dt)
             if cfg.optim == "alltime":
                 return jnp.asarray(import_data_final(
                     path, self.grid, num_steps=cfg.num_steps, time_dep=True))
             return jnp.asarray(import_data_final(
                 path, self.grid, num_steps=cfg.num_steps_data))
         # slotted cylinder: prefer the stored reference frame
-        for base in ("/root/reference/data", cfg.data_dir):
+        for base in ("/root/reference/data", tdir):
             path = os.path.join(base, f"solidbody_t{cfg.T_data:g}_u.csv")
             if os.path.exists(path):
                 return jnp.asarray(import_data_final(path, self.grid, num_steps=0))
         from fem_fct_pdeco_tpu.drivers.generate_targets import solidbody
 
-        solidbody(cfg.data_dir, T=cfg.T_data, dt=cfg.dt)
-        path = os.path.join(cfg.data_dir, f"solidbody_t{cfg.T_data:g}_u.csv")
+        solidbody(tdir, T=cfg.T_data, dt=cfg.dt)
+        path = os.path.join(tdir, f"solidbody_t{cfg.T_data:g}_u.csv")
         return jnp.asarray(import_data_final(path, self.grid, num_steps=0))
 
     def mass(self):
