@@ -174,6 +174,11 @@ class ChemotaxisModel(ModelBase):
     # ------------------------------------------------------------------
 
     def _adjoint_step(self, dt, optim: str):
+        if (
+            self.backend == "pallas_fused"
+            and type(self)._reaction_nonflux_adj is ChemotaxisModel._reaction_nonflux_adj
+        ):
+            return self._adjoint_step_fused(dt, optim)
         p = self.params
         asm = self.asm
         Mat_q = self._rd_matrix(dt)
@@ -208,6 +213,33 @@ class ChemotaxisModel(ModelBase):
                 rhs_q = rhs_q + mis_v
             q_n = solve_stencil(
                 Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1, opts=rd_opts
+            )
+            return (p_n, q_n)
+
+        return step
+
+    def _adjoint_step_fused(self, dt, optim: str):
+        """Whole-step Pallas adjoint (ops/pallas_fused.py): p FCT with the
+        transposed chemotaxis matrix, then q implicit CG."""
+        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+            fused_chemotaxis_p_step, fused_chemotaxis_q_step)
+
+        p = self.params
+        Mat_q = self._rd_matrix(dt)
+        h = self.grid.h
+        tol = self.solver_opts.tol
+
+        def step(carry, x):
+            p_np1, q_np1 = carry
+            u_n, v_n, c_n, mis_u, mis_v = x
+            p_n = fused_chemotaxis_p_step(
+                p_np1, q_np1, u_n, v_n, c_n, mis_u, self.K, self.M,
+                self.M_diag, self.ML_diag, h=h, dt=dt, Dm=p.Dm, chi=p.chi,
+                eta=p.eta, rescaling=self.rescaling, tol=tol,
+            )
+            q_n = fused_chemotaxis_q_step(
+                q_np1, p_n, u_n, mis_v, Mat_q, self.M, h=h, dt=dt,
+                chi=p.chi, eta=p.eta, tol=tol,
             )
             return (p_n, q_n)
 

@@ -84,6 +84,19 @@ def _fused_u_kernel(
         base = Dm * K_ref[d, :, :]
         A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
 
+    out_ref[:, :] = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :],
+        u_ref[:, :], rhs_ref[:, :],
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+    )
+
+
+def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
+              *, n, dt, tol, iters, cheb_iters):
+    """FCT step tail, given the assembled flux matrix in A_ref: artificial
+    diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
+    Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
+    value)."""
     # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) -------
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     offsum = None
@@ -98,7 +111,6 @@ def _fused_u_kernel(
     D_ref[CENTER, :, :] = -offsum
 
     # ---- 3. transform A -> Low in place: Low = diag(ML) + dt (A - D) ----
-    ML = ML_ref[:, :]
     for d in range(9):
         plane = dt * (A_ref[d, :, :] - D_ref[d, :, :])
         if d == CENTER:
@@ -119,11 +131,9 @@ def _fused_u_kernel(
         return (apply_low(x) - ML * x) / dt + apply_D(x)
 
     # ---- 4. low-order solve (BiCGStab, in-kernel while loop) ------------
-    u_n = u_ref[:, :]
-    rhs = rhs_ref[:, :]
-    b = ML * u_n + dt * rhs
+    b = ML * u_prev + dt * rhs
     Kinv = 1.0 / A_ref[CENTER]
-    x = u_n
+    x = u_prev
     r = b - apply_low(x)
     rhat = r
     rho = jnp.sum(rhat * r)
@@ -231,7 +241,7 @@ def _fused_u_kernel(
         lim_n = jnp.minimum(r_neg, rp_sh[d])
         fbar += jnp.where(F > 0.0, lim_p * F, jnp.where(F < 0.0, lim_n * F, 0.0))
 
-    out_ref[:, :] = u_low + dt * fbar / ML
+    return u_low + dt * fbar / ML
 
 
 def fused_chemotaxis_u_step(u_n, v_np1, K, M, M_diag, ML_diag, rhs, *,
@@ -354,3 +364,186 @@ def fused_chemotaxis_v_step(c_i, u_n, v_n, Mat_v, M, *, h, dt, rescaling,
         ),
         interpret=_interp(),
     )(c_i, u_n, v_n, Mat_v, M)
+
+
+# ---------------------------------------------------------------------------
+# Fused adjoint half-steps (helpers.py:1498-1542)
+# ---------------------------------------------------------------------------
+
+def _fused_p_kernel(
+    p_ref, q_ref, u_ref, v_ref, c_ref, mis_ref, K_ref, M_ref, Md_ref, ML_ref,
+    out_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters, wts, bary, grads,
+):
+    """Adjoint p FCT step: Mat_p = Dm K - χ ((1-ηu)e^{-ηu} ∇v_h·∇φ_trial, φ_test)
+    — the transpose of the forward advective stencil (helpers.py:1499-1503) —
+    with load (c_h q_np1_h / r, φ_a) + raw misfit (helpers.py:1505-1507),
+    then the shared FCT core. Inputs: p_np1 (q_ref = q_np1)."""
+    nc = n - 1
+
+    def corner(ref, ai, aj):
+        return ref[ai : ai + nc, aj : aj + nc]
+
+    planes = [None] * 9
+    load = None
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        uc = [corner(u_ref, ai, aj) for (ai, aj) in corners]
+        vc = [corner(v_ref, ai, aj) for (ai, aj) in corners]
+        cc = [corner(c_ref, ai, aj) for (ai, aj) in corners]
+        qc = [corner(q_ref, ai, aj) for (ai, aj) in corners]
+        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
+        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        # Va[a] = Σ_q w_q (1-ηu(q)) e^{-ηu(q)} λ_a(q)  and the load
+        # La[a] = Σ_q w_q c(q) q_np1(q)/r λ_a(q)   (detJ folded into wts)
+        Va = [None] * 3
+        La = [None] * 3
+        for q in range(len(wts)):
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            cq = bary[q, 0] * cc[0] + bary[q, 1] * cc[1] + bary[q, 2] * cc[2]
+            qq = bary[q, 0] * qc[0] + bary[q, 1] * qc[1] + bary[q, 2] * qc[2]
+            e = wts[q] * (1.0 - eta * uq) * jnp.exp(-eta * uq)
+            f = wts[q] * inv_r * cq * qq
+            for a in range(3):
+                Va[a] = bary[q, a] * e if Va[a] is None else Va[a] + bary[q, a] * e
+                La[a] = bary[q, a] * f if La[a] is None else La[a] + bary[q, a] * f
+        for a, (ai, aj) in enumerate(corners):
+            placed_l = jnp.pad(La[a], ((ai, 1 - ai), (aj, 1 - aj)))
+            load = placed_l if load is None else load + placed_l
+            for b, (bi, bj) in enumerate(corners):
+                # gradient on the TRIAL function b -> transposed pairing
+                gb = grads[t, b, 0] * gvx + grads[t, b, 1] * gvy
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad((-chi) * gb * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    for d in range(9):
+        base = Dm * K_ref[d, :, :]
+        A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
+
+    rhs = load + mis_ref[:, :]
+    out_ref[:, :] = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :],
+        p_ref[:, :], rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+    )
+
+
+def fused_chemotaxis_p_step(p_np1, q_np1, u_n, v_n, c_n, mis_u, K, M, M_diag,
+                            ML_diag, *, h, dt, Dm, chi, eta, rescaling,
+                            tol=1e-6, iters=60, cheb_iters=20):
+    n = p_np1.shape[-1]
+    wts, bary, grads = _quad_consts(5, h)  # FFC degree 5 -> same 9-pt rule
+    wts = wts * h * h
+    kern = functools.partial(
+        _fused_p_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        wts=wts, bary=bary, grads=grads,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(p_np1.shape, p_np1.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((9, n, n), p_np1.dtype),
+            pltpu.VMEM((9, n, n), p_np1.dtype),
+            pltpu.VMEM((n + 2, n + 2), p_np1.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(p_np1, q_np1, u_n, v_n, c_n, mis_u, K, M, M_diag, ML_diag)
+
+
+def _fused_q_kernel(
+    q_ref, p_ref, u_ref, mis_ref, Mat_ref, M_ref, out_ref, pad_ref,
+    *, n, dt, chi, eta, tol, iters, wts, bary, grads,
+):
+    """Adjoint q implicit step: load (χ u_h e^{-ηu_h} ∇p_h·∇φ_a) + misfit,
+    then CG on Mat_q = M + dt(Df K + δ M) (helpers.py:1531-1538)."""
+    nc = n - 1
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    apply_mat = _make_apply(Mat_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+
+    def corner(ref, ai, aj):
+        return ref[ai : ai + nc, aj : aj + nc]
+
+    load = None
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        uc = [corner(u_ref, ai, aj) for (ai, aj) in corners]
+        pc = [corner(p_ref, ai, aj) for (ai, aj) in corners]
+        gpx = sum(pc[a] * grads[t, a, 0] for a in range(3))
+        gpy = sum(pc[a] * grads[t, a, 1] for a in range(3))
+        # g(q) = χ u(q) e^{-ηu(q)}; b[a] = Σ_q w_q g(q) (∇p_h·∇λ_a)
+        gsum = None
+        for q in range(len(wts)):
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            g = wts[q] * chi * uq * jnp.exp(-eta * uq)
+            gsum = g if gsum is None else gsum + g
+        for a, (ai, aj) in enumerate(corners):
+            ga = grads[t, a, 0] * gpx + grads[t, a, 1] * gpy
+            placed = jnp.pad(gsum * ga, ((ai, 1 - ai), (aj, 1 - aj)))
+            load = placed if load is None else load + placed
+
+    b = apply_M(q_ref[:, :]) + dt * (load + mis_ref[:, :])
+
+    Kinv = 1.0 / Mat_ref[CENTER]
+    x = q_ref[:, :]
+    r = b - apply_mat(x)
+    z = Kinv * r
+    pvec = z
+    rz = jnp.sum(r * z)
+    atol2 = tol * tol * jnp.sum(b * b)
+    eps = 1e-30
+
+    def safe_div(a, d):
+        return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
+
+    def cond(c):
+        k, x, r, z, pv, rz, rn2 = c
+        return (k < iters) & (rn2 > atol2)
+
+    def body(c):
+        k, x, r, z, pv, rz, _ = c
+        Ap = apply_mat(pv)
+        alpha = safe_div(rz, jnp.sum(pv * Ap))
+        x2 = x + alpha * pv
+        r2 = r - alpha * Ap
+        z2 = Kinv * r2
+        rz2 = jnp.sum(r2 * z2)
+        beta = safe_div(rz2, rz)
+        pv2 = z2 + beta * pv
+        return k + 1, x2, r2, z2, pv2, rz2, jnp.sum(r2 * r2)
+
+    init = (jnp.asarray(0, jnp.int32), x, r, z, pvec, rz, jnp.sum(r * r))
+    _, x, *_ = jax.lax.while_loop(cond, body, init)
+    out_ref[:, :] = x
+
+
+def fused_chemotaxis_q_step(q_np1, p_n, u_n, mis_v, Mat_q, M, *, h, dt, chi,
+                            eta, tol=1e-6, iters=60):
+    n = q_np1.shape[-1]
+    wts, bary, grads = _quad_consts(4, h)
+    wts = wts * h * h
+    kern = functools.partial(
+        _fused_q_kernel, n=n, dt=dt, chi=chi, eta=eta, tol=tol, iters=iters,
+        wts=wts, bary=bary, grads=grads,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(q_np1.shape, q_np1.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n + 2, n + 2), q_np1.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(q_np1, p_n, u_n, mis_v, Mat_q, M)

@@ -89,6 +89,28 @@ def test_fused_chemotaxis_step_matches_xla():
     np.testing.assert_allclose(np.asarray(vf), np.asarray(vx), rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
+def test_fused_chemotaxis_adjoint_matches_xla(optim):
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+
+    g = Grid(0.0, 1.0, 32)
+    mx = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    mf = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                         backend="pallas_fused")
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((4, g.n, g.n), 100.0)
+    u, v = mx.forward(c, u0, v0, 1e-3)
+    if optim == "finaltime":
+        uhat, vhat = 1.01 * u[-1], 1.02 * v[-1]
+    else:
+        uhat, vhat = 1.01 * u, 1.02 * v
+    px, qx = mx.adjoint(u, v, uhat, vhat, c, 1e-3, optim)
+    pf, qf = mf.adjoint(u, v, uhat, vhat, c, 1e-3, optim)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(px), rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qx), rtol=1e-10, atol=1e-13)
+
+
 def test_fct_step_pallas_backend_matches(setup):
     g, model = setup
     dt = 1e-3
