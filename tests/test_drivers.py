@@ -85,6 +85,13 @@ def test_solidbody_garvie_driver(in_tmp):
     assert out["result"].iterations >= 1
 
 
+def test_solidbody_gaussian_alltime_driver(in_tmp):
+    from fem_fct_pdeco_tpu.drivers import solidbody_pdeco as d
+
+    out = d.main(_common(["--T", "0.02", "--optim", "alltime", "--gaussian"]))
+    assert out["result"].iterations >= 1
+
+
 def test_mimura_driver(in_tmp):
     from fem_fct_pdeco_tpu.drivers import mimura_pdeco as d
 
