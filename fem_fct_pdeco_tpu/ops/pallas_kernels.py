@@ -5,11 +5,11 @@ fixed-iteration BiCGStab/CG) perform dozens of sequential 9-point stencil
 applications on the same (n, n) field. Under plain XLA each iteration
 round-trips HBM; these kernels run the *entire* iteration loop inside one
 ``pallas_call`` with the stencil planes and all vectors resident in VMEM
-(a 256² f32 problem needs ~5 MB of the ~16 MB/core VMEM).
+(a 256² f32 problem needs ~5 MB; 512² measured working on TPU v5e).
 
-All kernels assume single-block operation (grid dims small enough for VMEM
-— n ≤ ~448 at f32); callers fall back to the XLA path otherwise via
-``fits_vmem``. The flux + Zalesak limiter stage is also provided fused.
+All kernels assume single-block operation; larger grids use the XLA path
+(``fits_vmem`` is a conservative guard). The flux + Zalesak limiter stage is
+also provided fused.
 
 Layout note: fields are (n, n); shifted-neighbor access is implemented by
 writing the field into an (n+2, n+2) zero-padded VMEM scratch and reading
