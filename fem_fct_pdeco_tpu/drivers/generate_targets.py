@@ -29,12 +29,13 @@ def _opts():
     return SolverOpts(tol=1e-12)
 
 
-def solidbody(out_dir: str, slit: float = 0.05, T: float = 1.0, dt: float = 1e-3):
+def solidbody(out_dir: str, slit: float = 0.05, T: float = 1.0, dt: float = 1e-3,
+              dx: float = 0.025):
     """Slotted-cylinder rotation+drift frames (advection_solidbody_FCT.py)."""
     from fem_fct_pdeco_tpu.models.advection import (
         AdvectionModel, rotation_drift_wind, slotted_cylinder_ic)
 
-    g = Grid.from_spacing(-1.0, 1.0, 0.025)
+    g = Grid.from_spacing(-1.0, 1.0, dx)
     model = AdvectionModel(g, eps=0.0, wind_fn=rotation_drift_wind(np.pi / 40),
                            solver_opts=_opts())
     steps = round(T / dt)
@@ -51,12 +52,14 @@ def solidbody(out_dir: str, slit: float = 0.05, T: float = 1.0, dt: float = 1e-3
     return g, traj
 
 
-def gaussian_drift(out_dir: str, T: float = 1.0, dt: float = 1e-3, c: float = 2.0):
+def gaussian_drift(out_dir: str, T: float = 1.0, dt: float = 1e-3, c: float = 2.0,
+                   dx: float = 0.025):
     """Gaussian blob under constant drift (advection_solidbodyGaussian_FCT.py:
-    IC exp(-20((x+2/3)² + 5(y+5/6)²)), wind (c, c))."""
+    IC exp(-20((x+2/3)² + 5(y+5/6)²)), wind (c, c)). The trajectory file is
+    keyed by T so different T_data configs don't collide in the cache."""
     from fem_fct_pdeco_tpu.models.advection import AdvectionModel
 
-    g = Grid.from_spacing(-1.0, 1.0, 0.025)
+    g = Grid.from_spacing(-1.0, 1.0, dx)
     model = AdvectionModel(g, eps=0.0,
                            wind_fn=lambda x, y: (c * np.ones_like(x), c * np.ones_like(y)),
                            solver_opts=_opts())
@@ -65,7 +68,7 @@ def gaussian_drift(out_dir: str, T: float = 1.0, dt: float = 1e-3, c: float = 2.
     steps = round(T / dt)
     traj = model.forward(jnp.zeros((steps + 1, g.n, g.n)), u0, dt)
     os.makedirs(out_dir, exist_ok=True)
-    save_trajectory_csv(os.path.join(out_dir, "gaussian_u.csv"), traj, g)
+    save_trajectory_csv(os.path.join(out_dir, f"gaussian_u_T{T:g}.csv"), traj, g)
     return g, traj
 
 

@@ -59,11 +59,11 @@ class SolidBodyProblem(PDECOProblem):
 
         tdir = target_dir(cfg, self.grid, cfg.dt)
         if self.gaussian:
-            path = os.path.join(tdir, "gaussian_u.csv")
+            path = os.path.join(tdir, f"gaussian_u_T{cfg.T_data:g}.csv")
             if not os.path.exists(path):
                 from fem_fct_pdeco_tpu.drivers.generate_targets import gaussian_drift
 
-                gaussian_drift(tdir, T=cfg.T_data, dt=cfg.dt)
+                gaussian_drift(tdir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
             if cfg.optim == "alltime":
                 return jnp.asarray(import_data_final(
                     path, self.grid, num_steps=cfg.num_steps, time_dep=True))
@@ -76,7 +76,7 @@ class SolidBodyProblem(PDECOProblem):
                 return jnp.asarray(import_data_final(path, self.grid, num_steps=0))
         from fem_fct_pdeco_tpu.drivers.generate_targets import solidbody
 
-        solidbody(tdir, T=cfg.T_data, dt=cfg.dt)
+        solidbody(tdir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
         path = os.path.join(tdir, f"solidbody_t{cfg.T_data:g}_u.csv")
         return jnp.asarray(import_data_final(path, self.grid, num_steps=0))
 

@@ -32,6 +32,19 @@ class ModelBase:
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             dtype = jnp.float32  # avoid per-op truncation warnings
         self.dtype = dtype
+        if backend in ("pallas", "pallas_fused"):
+            from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+            if not fits_vmem(grid.n, dtype):
+                import warnings
+
+                warnings.warn(
+                    f"grid {grid.n}x{grid.n} ({dtype}) exceeds the "
+                    f"single-block VMEM budget of the {backend!r} kernels; "
+                    "falling back to backend='xla'",
+                    stacklevel=3,
+                )
+                backend = "xla"
         self.backend = backend
         self.asm = P1Assembler(grid, dtype)
         self.M = self.asm.mass

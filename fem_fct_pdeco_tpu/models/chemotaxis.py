@@ -341,8 +341,12 @@ class ChemotaxisModel(ModelBase):
                     else:
                         uh = jax.lax.dynamic_slice_in_dim(uhat, s * seg, seg, axis=0)
                         vh = jax.lax.dynamic_slice_in_dim(vhat, s * seg, seg, axis=0)
-                        xs = (u_seg[:-1], v_seg[:-1], cseg[:-1],
-                              uh - u_seg[:-1], vh - v_seg[:-1])
+                        mis_u = uh - u_seg[:-1]
+                        mis_v = vh - v_seg[:-1]
+                        if self.consistent_alltime_misfit:
+                            mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
+                            mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                        xs = (u_seg[:-1], v_seg[:-1], cseg[:-1], mis_u, mis_v)
                     p_seg, q_seg = adjoint_sweep(adj_step, (p_next, q_next), xs)
                     # segment s covers global indices s*seg..(s+1)*seg; its
                     # first entry duplicates segment s-1's last — keep the

@@ -93,7 +93,7 @@ def projected_gradient_descent(
             bstate = solve_state(bc)
             backup = (bstate, solve_adjoint(bstate, bc), bc, resumed["backup_it"])
         else:
-            backup = None
+            backup = (state, adj, ck, it)
     else:
         ck = c0
         state = solve_state(ck)
@@ -109,7 +109,11 @@ def projected_gradient_descent(
         fail_count = 0
         fail_restart_count = 0
         fail_pass = False
-        backup = None
+        # the backup always holds the last ACCEPTED solution (initially c0):
+        # on an Armijo failure at iteration 0 the reference restores the
+        # pre-failure state, not the failed trial
+        # (Schnak_FCT_PDECO_refactored.py:180-215, 253-259)
+        backup = (state, adj, ck, it)
 
     status = "converged"
     stop_crit = (2.0 + cfg.tol)  # mirrors the reference's warm start value
@@ -137,8 +141,6 @@ def projected_gradient_descent(
         if not res.converged:
             fail_count += 1
             fail_pass = True
-            if it == 0:
-                backup = (state, adj, ck, it)
             if fail_count == cfg.fail_limit:
                 status = "armijo_fail_limit"
                 it += 1

@@ -37,28 +37,69 @@ int fastcsv_parse(const char* path, double** out, long* count) {
     double* vals = (double*)malloc(sizeof(double) * cap);
     if (!vals) { munmap(data, size); return 4; }
 
+    // mmap zero-fills the tail of a *partial* last page, so strtod on a
+    // trailing number is normally NUL-terminated. When the file size is an
+    // exact multiple of the page size that guarantee vanishes and a file
+    // ending in a digit would make strtod read past the mapping. Copy the
+    // final page into a NUL-terminated heap buffer and parse it separately;
+    // tokens are assumed shorter than a page (true for any ASCII float).
+    size_t pagesz = (size_t)sysconf(_SC_PAGESIZE);
+    char* tail = nullptr;
+    size_t tail_len = 0;
+    const char* safe_end = data + size;
+    if (size % pagesz == 0) {
+        tail_len = size < pagesz ? size : pagesz;
+        tail = (char*)malloc(tail_len + 1);
+        if (!tail) { free(vals); munmap(data, size); return 4; }
+        memcpy(tail, data + size - tail_len, tail_len);
+        tail[tail_len] = '\0';
+        safe_end = data + size - tail_len;
+    }
+
     long n = 0;
     const char* p = data;
-    const char* end = data + size;
-    while (p < end) {
-        // skip separators
-        while (p < end && (*p == ',' || *p == ' ' || *p == '\n' || *p == '\r' || *p == '\t'))
+    // Pass 1: the mmap'd region up to safe_end. Only tokens *starting*
+    // before safe_end are parsed here; a token straddling safe_end ends at a
+    // separator inside the (still mapped) last page, so strtod stays in
+    // bounds, and `p = next` then hands the remainder to pass 2.
+    while (p < safe_end) {
+        while (p < safe_end && (*p == ',' || *p == ' ' || *p == '\n' || *p == '\r' || *p == '\t'))
             ++p;
-        if (p >= end) break;
+        if (p >= safe_end) break;
         char* next = nullptr;
-        // strtod may read past `end` only if the file doesn't end with a
-        // separator; mmap guarantees zero-fill to page boundary for the
-        // last partial page, so a trailing number is still terminated.
         double v = strtod(p, &next);
         if (next == p) { ++p; continue; }  // unparseable char; skip
         if (n == cap) {
             cap *= 2;
             double* nv = (double*)realloc(vals, sizeof(double) * cap);
-            if (!nv) { free(vals); munmap(data, size); return 4; }
+            if (!nv) { free(vals); free(tail); munmap(data, size); return 4; }
             vals = nv;
         }
         vals[n++] = v;
         p = next;
+    }
+    // Pass 2: the NUL-terminated copy of the final page, resuming where
+    // pass 1 stopped (p - safe_end >= 0 skips any part already consumed).
+    if (tail) {
+        const char* q = tail + (p - safe_end);
+        const char* tend = tail + tail_len;
+        while (q < tend) {
+            while (q < tend && (*q == ',' || *q == ' ' || *q == '\n' || *q == '\r' || *q == '\t'))
+                ++q;
+            if (q >= tend) break;
+            char* next = nullptr;
+            double v = strtod(q, &next);
+            if (next == q) { ++q; continue; }
+            if (n == cap) {
+                cap *= 2;
+                double* nv = (double*)realloc(vals, sizeof(double) * cap);
+                if (!nv) { free(vals); free(tail); munmap(data, size); return 4; }
+                vals = nv;
+            }
+            vals[n++] = v;
+            q = next;
+        }
+        free(tail);
     }
     munmap(data, size);
     *out = vals;

@@ -9,10 +9,15 @@ from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
 
 
-@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
-def test_checkpointed_adjoint_matches_full(optim):
+@pytest.mark.parametrize("optim,consistent", [
+    ("finaltime", False),
+    ("alltime", False),
+    ("alltime", True),  # mass-weighted M(û-u) misfit variant
+])
+def test_checkpointed_adjoint_matches_full(optim, consistent):
     g = Grid(0.0, 1.0, 21)
-    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                            consistent_alltime_misfit=consistent)
     u0np, v0np = model.ic()
     u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
     dt, steps = 1e-3, 12

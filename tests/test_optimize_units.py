@@ -75,3 +75,34 @@ def test_armijo_reports_failure():
     )
     assert not res.converged
     assert res.iterations == 4
+
+
+def test_pgd_backup_restores_initial_control_on_first_iter_failure():
+    """Armijo failure from iteration 0 onward: the restored backup must be
+    the pre-failure (initial) control, not a failed trial
+    (Schnak_FCT_PDECO_refactored.py:180-215, 253-259)."""
+    from fem_fct_pdeco_tpu.optimize.pgd import PGDConfig, projected_gradient_descent
+
+    g = Grid(0.0, 1.0, 5)
+    asm = P1Assembler(g)
+    c0 = jnp.zeros((2, 5, 5))
+
+    def cost_fn(state, c):
+        # minimum at c = 0: every move away from c0 increases the cost, so
+        # Armijo can never accept a trial
+        return float(jnp.sum(c**2))
+
+    res = projected_gradient_descent(
+        config=PGDConfig(beta=1.0, tol=1e-12, max_iter_gd=20,
+                         max_iter_armijo=3, c_lower=-10.0, c_upper=10.0,
+                         fail_limit=3),
+        c0=c0,
+        solve_state=lambda c: (c,),
+        solve_adjoint=lambda state, c: (jnp.zeros_like(c),),
+        descent_direction=lambda c, state, adj: jnp.ones_like(c),
+        cost_fn=cost_fn,
+        control_norm_sq=lambda c: l2_norm_sq_q(c, 0.1, asm.mass),
+    )
+    assert res.status.endswith("_restored_backup")
+    np.testing.assert_array_equal(np.asarray(res.control), np.asarray(c0))
+    assert res.cost == pytest.approx(0.0)

@@ -122,3 +122,21 @@ def test_fct_step_pallas_backend_matches(setup):
     b = fct_step(model.A_state, rhs, u_n, dt, model.M, model.M_diag,
                  model.ML_diag, backend="pallas", pallas_solver_iters=40)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10)
+
+
+def test_vmem_guard_falls_back_to_xla():
+    """A grid exceeding the single-block VMEM budget must not construct a
+    pallas-backed model: the backend falls back to XLA with a warning."""
+    import pytest as _pytest
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+    n_big = 512
+    assert not fits_vmem(n_big, jnp.float64)
+    with _pytest.warns(UserWarning, match="VMEM"):
+        model = ChemotaxisModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
+    assert model.backend == "xla"
+    # a fitting grid keeps the requested backend
+    assert ChemotaxisModel(Grid(0.0, 1.0, 32), backend="pallas_fused").backend == "pallas_fused"
