@@ -87,22 +87,148 @@ class MMSFields:
         return -dpdt - eps * (dxx + dyy) - wx * dx_ - wy * dy_ + self.uex(t)
 
 
+class MMSFinaltimeFields:
+    """Manufactured solution of the FINAL-TIME exact driver
+    (advection_FCT_PDECO_finaltime_exact.py:76-151):
+        uex = e^{e1 t} (cos k1πx cos k2πy + 1)
+        pex = (e^{e2 T} - e^{e2 t}) cos k3πx cos k4πy
+        cex = clip(pex/β, c_lower, c_upper)
+    with the NON-SOLENOIDAL wind w = γ(sin k3πx cos k3πx, sin k4πy cos k4πy)
+    (lines 140-151), a time-dependent reaction coefficient g (lines 98-108;
+    ``delta_ex`` regularizes the t→T singularity) and the source f assembled
+    from terms 1-7 (lines 110-130).
+
+    ``variant="reference"`` reproduces the reference construction verbatim.
+    It is *inconsistent as a convergence harness for p and c*: the final-time
+    adjoint is homogeneous with p(T) = û_T - u(T) = pex(T) = 0, so the
+    discrete adjoint is identically zero while pex ≠ 0 — pex only solves the
+    continuous equation through the δ→0 singularity of g, which no discrete
+    backward recursion reproduces. The reference's own commented-out g
+    (lines 104-106, denominator e^{e2 T} - e^{e2 t} + δ) is the regular form;
+    ``variant="consistent"`` completes it into an exact optimality system:
+        pex = (e^{e2 T} - e^{e2 t} + δ) cos k3πx cos k4πy   (pex(T) = δ·C ≠ 0)
+        û_T = uex(T) + pex(T)
+    which satisfies state + adjoint + gradient equation exactly with bounded
+    coefficients, so u, p, c all converge under refinement."""
+
+    def __init__(self, grid, T, beta, c_lower, c_upper, eps, e1=1.0, e2=1.0,
+                 k1=1, k2=1, k3=1, k4=1, gamma=0.1, delta_ex=0.1,
+                 variant: str = "reference"):
+        assert variant in ("reference", "consistent")
+        self.variant = variant
+        self.grid, self.T, self.beta = grid, T, beta
+        self.c_lower, self.c_upper = c_lower, c_upper
+        self.eps = eps
+        self.e1, self.e2 = e1, e2
+        self.k1, self.k2, self.k3, self.k4 = k1, k2, k3, k4
+        self.gamma, self.delta_ex = gamma, delta_ex
+        self.X, self.Y = grid.xy
+
+    # -- wind and its analytic divergence (finaltime_exact:140-151) -------
+    def wind(self, x, y):
+        g, k3, k4, pi = self.gamma, self.k3, self.k4, np.pi
+        return (g * np.sin(k3 * pi * x) * np.cos(k3 * pi * x),
+                g * np.sin(k4 * pi * y) * np.cos(k4 * pi * y))
+
+    def divw(self, x, y):
+        g, k3, k4, pi = self.gamma, self.k3, self.k4, np.pi
+        return g * pi * (k3 * np.cos(2 * k3 * pi * x) + k4 * np.cos(2 * k4 * pi * y))
+
+    # -- manufactured fields ----------------------------------------------
+    def uex(self, t):
+        pi = np.pi
+        return np.exp(self.e1 * t) * (
+            np.cos(self.k1 * pi * self.X) * np.cos(self.k2 * pi * self.Y) + 1.0
+        )
+
+    def pex(self, t):
+        pi = np.pi
+        amp = np.exp(self.e2 * self.T) - np.exp(self.e2 * t)
+        if self.variant == "consistent":
+            amp = amp + self.delta_ex
+        return amp * np.cos(self.k3 * pi * self.X) * np.cos(self.k4 * pi * self.Y)
+
+    def cex(self, t):
+        return np.clip(self.pex(t) / self.beta, self.c_lower, self.c_upper)
+
+    def gex(self, t):
+        """Reaction coefficient (finaltime_exact:98-108; the "consistent"
+        denominator is the commented variant at lines 104-106)."""
+        e2, k3, k4, pi = self.e2, self.k3, self.k4, np.pi
+        X, Y = self.X, self.Y
+        if self.variant == "consistent":
+            denom = np.exp(e2 * self.T) - np.exp(e2 * t) + self.delta_ex
+        else:
+            denom = np.exp(e2 * self.T) - np.exp(e2 * t * (1.0 - self.delta_ex))
+        return (
+            -e2 * np.exp(e2 * t) / denom
+            - self.eps * (k3**2 + k4**2) * pi**2
+            - self.gamma * pi * (k3 * np.sin(k3 * pi * X) ** 2
+                                 + k4 * np.sin(k4 * pi * Y) ** 2)
+        ) * np.ones_like(X)
+
+    def fex(self, t):
+        """Source so uex solves the state PDE with c = cex
+        (finaltime_exact:110-130, terms 1-7)."""
+        e1, k1, k2, k3, k4, pi = self.e1, self.k1, self.k2, self.k3, self.k4, np.pi
+        X, Y = self.X, self.Y
+        u_ex = self.uex(t)
+        wx, wy = self.wind(X, Y)
+        term1 = e1 * u_ex
+        term2 = self.eps * (k1**2 + k2**2) * pi**2 * (u_ex - np.exp(e1 * t))
+        term3 = self.gamma * pi * (
+            k3 * np.cos(2 * k3 * pi * X) + k4 * np.cos(2 * k4 * pi * Y)
+        ) * u_ex
+        term4 = -np.exp(e1 * t) * pi * k1 * wx * np.sin(k1 * pi * X) * np.cos(k2 * pi * Y)
+        term5 = -np.exp(e1 * t) * pi * k2 * wy * np.cos(k1 * pi * X) * np.sin(k2 * pi * Y)
+        term6 = self.gex(t) * u_ex
+        term7 = -self.cex(t)
+        return term1 + term2 + term3 + term4 + term5 + term6 + term7
+
+    def uhat(self, t):
+        """Target: exact state at T (finaltime_exact:132-138); the consistent
+        variant adds pex(T) so the adjoint terminal condition
+        p(T) = û_T - u(T) equals pex(T)."""
+        if self.variant == "consistent":
+            return self.uex(t) + self.pex(self.T)
+        return self.uex(t)
+
+
 class AdvectionProblem(PDECOProblem):
     name = "Adv"
     num_vars = 1
     use_linear_increments = False  # set True for w-equation Armijo trials
 
     def __init__(self, cfg: ExperimentConfig, exact: bool = False,
-                 linear_armijo: bool = False):
+                 linear_armijo: bool = False, delta_ex: float = 0.1,
+                 mms_variant: str = "reference"):
         super().__init__(cfg)
         self.exact = exact
         self.use_linear_increments = linear_armijo
+        self._reaction = None
+        steps = cfg.num_steps
+        times = np.arange(steps + 1) * cfg.dt
+        if exact and cfg.optim == "finaltime":
+            # the finaltime-exact construction: its own wind, reaction g and
+            # source f (advection_FCT_PDECO_finaltime_exact.py:76-151)
+            self.mms = MMSFinaltimeFields(
+                self.grid, cfg.T, cfg.beta, cfg.c_lower, cfg.c_upper, EPS,
+                delta_ex=delta_ex, variant=mms_variant,
+            )
+            self.wind_fn = self.mms.wind
+            self.model = AdvectionModel(
+                self.grid, eps=EPS, wind_fn=self.mms.wind,
+                solver_opts=SolverOpts(tol=1e-12), divw_fn=self.mms.divw,
+            )
+            self._u0 = jnp.asarray(self.mms.uex(0.0))
+            self._g = jnp.asarray(np.stack([self.mms.fex(t) for t in times]))
+            self._reaction = jnp.asarray(np.stack([self.mms.gex(t) for t in times]))
+            self._target = jnp.asarray(self.mms.uhat(cfg.T))
+            return
         wf = vortex_wind(1.0) if exact else wind2
         self.wind_fn = wf
         self.model = AdvectionModel(self.grid, eps=EPS, wind_fn=wf,
                                     solver_opts=SolverOpts(tol=1e-12))
-        steps = cfg.num_steps
-        times = np.arange(steps + 1) * cfg.dt
         if exact:
             self.mms = MMSFields(self.grid, cfg.T, cfg.beta, cfg.c_lower, cfg.c_upper)
             self._u0 = jnp.asarray(self.mms.uex(0.0))
@@ -144,10 +270,12 @@ class AdvectionProblem(PDECOProblem):
         return (self._target,)
 
     def solve_state(self, c):
-        return (self.model.forward(c, self._u0, self.cfg.dt, source_traj=self._g),)
+        return (self.model.forward(c, self._u0, self.cfg.dt, source_traj=self._g,
+                                   reaction_traj=self._reaction),)
 
     def solve_adjoint(self, state, c):
-        return (self.model.adjoint(state[0], self._target, self.cfg.dt, self.cfg.optim),)
+        return (self.model.adjoint(state[0], self._target, self.cfg.dt,
+                                   self.cfg.optim, reaction_traj=self._reaction),)
 
     def descent_direction(self, c, state, adjoint):
         return self.model.descent_direction(self.cfg.beta, c, adjoint[0])
@@ -163,7 +291,7 @@ class AdvectionProblem(PDECOProblem):
         (advection_FCT_PDECO_finaltime.py:242-266): solve the state equation
         with rhs d and zero IC; then u(c + s d) = u(c) + s w."""
         w0 = jnp.zeros_like(self._u0)
-        w = self.model.forward(dk, w0, self.cfg.dt)
+        w = self.model.forward(dk, w0, self.cfg.dt, reaction_traj=self._reaction)
         return (w,)
 
     def mms_errors(self, state, adjoint, c):
@@ -194,6 +322,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
     ap.add_argument("--exact", action="store_true", help="manufactured-solution mode")
+    ap.add_argument("--mms-variant", choices=["reference", "consistent"],
+                    default="reference",
+                    help="finaltime MMS construction (see MMSFinaltimeFields)")
     ap.add_argument("--linear-armijo", action="store_true",
                     help="w-equation linear-increment Armijo trials")
     ap.add_argument("--T", type=float, default=DEFAULTS["T"])
@@ -210,11 +341,25 @@ def main(argv=None):
          "max_iter_gd": args.max_iter_gd, "produce_plots": args.plots}
     if args.optim == "alltime" or args.exact:
         d["T_data"] = args.T
+    if args.exact and args.optim == "finaltime":
+        # reference constants (advection_FCT_PDECO_finaltime_exact.py:34-58):
+        # dx=0.05, dt=dx², T=0.1, β=0.1, c ∈ [0,1]; flags still override
+        d["c_lower"], d["c_upper"] = 0.0, 1.0
+        if args.beta == DEFAULTS["beta"]:
+            d["beta"] = 0.1
+        if args.dx == DEFAULTS["dx"]:
+            d["dx"] = 0.05
+        if args.T == DEFAULTS["T"]:
+            d["T"] = 0.1
+            d["T_data"] = d["T"]
+        if args.dt == DEFAULTS["dt"]:
+            d["dt"] = d["dx"] ** 2
     cfg = ExperimentConfig(**d)
     tagexact = "_exact" if args.exact else ""
     cfg.out_folder = args.out or f"Adv_{cfg.optim}{tagexact}_T{cfg.T}_beta{cfg.beta}"
     cfg.registry_csv = f"Adv_{cfg.optim}{tagexact}_simulation_results.csv"
-    problem = AdvectionProblem(cfg, exact=args.exact, linear_armijo=args.linear_armijo)
+    problem = AdvectionProblem(cfg, exact=args.exact, linear_armijo=args.linear_armijo,
+                               mms_variant=args.mms_variant)
     out = run_pdeco(problem, cfg)
     if args.exact:
         res = out["result"]

@@ -58,83 +58,127 @@ def slotted_cylinder_ic(grid, slit_width: float = 0.1) -> np.ndarray:
 
 
 class AdvectionModel(ModelBase):
-    """Source-controlled linear advection-diffusion with a stationary wind."""
+    """Source-controlled linear advection-diffusion with a stationary wind.
+
+    ``divw_fn``: analytic divergence of the wind. When given, the model uses
+    the finaltime-exact MMS conventions
+    (advection_FCT_PDECO_finaltime_exact.py:179-188): the adjoint flux matrix
+    becomes ``-A_p = εAd + Aa1 + Aa2`` with ``Aa2 = ∫ div(w) u v dx``
+    (the wind is non-solenoidal there), instead of the transposed-convection
+    adjoint of the solenoidal drivers (advection_FCT_PDECO_finaltime.py:138-140).
+    A time-dependent reaction coefficient g(t) (the ``+ g u`` term of the
+    state PDE, finaltime_exact:16, handled IMEX at finaltime_exact:273-279)
+    is passed per sweep via ``reaction_traj``.
+    """
 
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None):
+                 solver_opts: SolverOpts | None = None, divw_fn=None):
         super().__init__(grid, dtype, solver_opts)
         self.eps = eps
         self.N = self.asm.convection(wind_fn)  # (w·∇v, u)
         # ref-convention flux matrices (du/dt + A u = rhs):
         self.A_state = eps * self.K - self.N
-        self.A_adjoint = eps * self.K - st.transpose(self.N)
+        if divw_fn is None:
+            self.A_adjoint = eps * self.K - st.transpose(self.N)
+        else:
+            A_div = self.asm.weighted_mass(
+                jnp.asarray(self.asm.analytic_at_quad(divw_fn, 4), dtype=self.dtype),
+                degree=4,
+            )
+            # A_p = -Aa1 - Aa2 - εAd; ours is -A_p (finaltime_exact:188)
+            self.A_adjoint = eps * self.K + self.N + A_div
+
+    def _reaction_load(self, g_i, u_i):
+        """∫ g_h u_h φ dx — the IMEX reaction term M_g @ u of the reference
+        (finaltime_exact:275-277, Mg = assemble(g u v dx))."""
+        asm = self.asm
+        return asm.linear_form(
+            asm.nodal_at_quad(g_i, 3) * asm.nodal_at_quad(u_i, 3), 3
+        )
 
     def _fct(self, A, rhs, u_n, dt):
         return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
                         solver=self.solver_opts)
 
-    def forward(self, control_traj, u0, dt, source_traj=None):
+    def forward(self, control_traj, u0, dt, source_traj=None, reaction_traj=None):
         """State sweep; step i uses control_traj[i]
         (advection_FCT_PDECO_finaltime.py:194-205). ``source_traj`` is the
-        optional known source g of the MMS drivers."""
-        key = ("fwd", float(dt), source_traj is not None)
+        optional known source f of the MMS drivers; ``reaction_traj`` the
+        optional reaction coefficient g(t), applied explicitly with the
+        previous step's value (IMEX, finaltime_exact:273-279)."""
+        has_src = source_traj is not None
+        has_g = reaction_traj is not None
+        key = ("fwd", float(dt), has_src, has_g)
 
         def build():
             def step(carry, x):
-                c_i = x[0] if isinstance(x, tuple) else x
-                rhs = st.apply(self.M, c_i)
-                if isinstance(x, tuple):
-                    rhs = rhs + st.apply(self.M, x[1])
+                rhs = st.apply(self.M, x[0])
+                k = 1
+                if has_src:
+                    rhs = rhs + st.apply(self.M, x[k])
+                    k += 1
+                if has_g:
+                    rhs = rhs - self._reaction_load(x[k], carry)
                 return self._fct(self.A_state, rhs, carry, dt)
 
-            def run(control_traj, u0, source_traj=None):
-                xs = (
-                    control_traj[1:]
-                    if source_traj is None
-                    else (control_traj[1:], source_traj[1:])
-                )
-                return forward_sweep(step, u0, xs)
+            def run(control_traj, u0, *rest):
+                xs = [control_traj[1:]]
+                i = 0
+                if has_src:
+                    xs.append(rest[i][1:])  # f(t_{n+1})
+                    i += 1
+                if has_g:
+                    xs.append(rest[i][:-1])  # g(t_n): previous-step IMEX
+                return forward_sweep(step, u0, tuple(xs))
 
-            if source_traj is None:
-                return lambda c, u0: run(c, u0)
-            return lambda c, u0, g: run(c, u0, g)
+            return run
 
         fn = self._jitted(key, build)
-        args = (control_traj, u0) if source_traj is None else (control_traj, u0, source_traj)
+        args = [control_traj, u0]
+        if has_src:
+            args.append(source_traj)
+        if has_g:
+            args.append(reaction_traj)
         return fn(*args)
 
-    def adjoint(self, u_traj, uhat, dt, optim="finaltime"):
-        """Adjoint sweep: -dp/dt - ε∇²p - w·∇p = (alltime: û - u), with
-        p(T) = û_T - u(T) (finaltime) or 0 (alltime)
+    def adjoint(self, u_traj, uhat, dt, optim="finaltime", reaction_traj=None):
+        """Adjoint sweep: -dp/dt - ε∇²p - w·∇p (+ g p) = (alltime: û - u),
+        with p(T) = û_T - u(T) (finaltime) or 0 (alltime)
         (advection_FCT_PDECO_finaltime.py:212-231,
-        advection_FCT_PDECO_alltime_exact.py:253-268)."""
-        key = ("adj", float(dt), optim)
+        advection_FCT_PDECO_alltime_exact.py:253-268). The reaction term g p
+        is applied explicitly with the later step's p (IMEX,
+        finaltime_exact:317-322)."""
+        has_g = reaction_traj is not None
+        key = ("adj", float(dt), optim, has_g)
 
         def build():
-            if optim == "finaltime":
-
-                def step(carry, _):
-                    return self._fct(self.A_adjoint, jnp.zeros_like(carry), carry, dt)
-
-                def run(u_traj, uhat):
-                    pT = uhat - u_traj[-1]
-                    return adjoint_sweep(step, pT, u_traj[:-1])
-
-                return run
-
-            def step_at(carry, x):
-                u_n, uhat_n = x
-                rhs = st.apply(self.M, uhat_n - u_n)
+            def step(carry, x):
+                u_n, uhat_n, g_n = x
+                if optim == "finaltime":
+                    rhs = jnp.zeros_like(carry)
+                else:
+                    rhs = st.apply(self.M, uhat_n - u_n)
+                if has_g:
+                    rhs = rhs - self._reaction_load(g_n, carry)
                 return self._fct(self.A_adjoint, rhs, carry, dt)
 
-            def run_at(u_traj, uhat):
-                pT = jnp.zeros_like(u_traj[-1])
-                return adjoint_sweep(step_at, pT, (u_traj[:-1], uhat[:-1]))
+            def run(u_traj, uhat, *rest):
+                if optim == "finaltime":
+                    pT = uhat - u_traj[-1]
+                    uh = jnp.zeros_like(u_traj[:-1])
+                else:
+                    pT = jnp.zeros_like(u_traj[-1])
+                    uh = uhat[:-1]
+                g = rest[0][:-1] if has_g else jnp.zeros_like(u_traj[:-1])
+                return adjoint_sweep(step, pT, (u_traj[:-1], uh, g))
 
-            return run_at
+            return run
 
         fn = self._jitted(key, build)
-        return fn(u_traj, uhat)
+        args = [u_traj, uhat]
+        if has_g:
+            args.append(reaction_traj)
+        return fn(*args)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - p) (advection_FCT_PDECO_finaltime.py:237)."""
