@@ -166,8 +166,28 @@ def mimura(out_dir: str, T: float = 30.0, dt: float = 1e-2,
     return g, (m, f)
 
 
+def mimura_trajectory(out_dir: str, T: float = 0.3, dt: float = 0.1,
+                      a2: float = 16.0, dx: float = 0.125):
+    """Full Mimura trajectory for the ALL-TIME PDECO target
+    (chemotaxis_mimura_FCT_PGD_alltime.py:108-117 reads the first
+    num_steps+1 frames of the stored trajectory CSVs)."""
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+
+    g = Grid.from_spacing(0.0, a2, dx)
+    model = MimuraModel(g, solver_opts=_opts())
+    steps = round(T / dt)
+    c = jnp.ones((steps + 1, g.n, g.n))
+    m0, f0 = model.ic()
+    m, f = model.forward(c, jnp.asarray(m0), jnp.asarray(f0), dt)
+    os.makedirs(out_dir, exist_ok=True)
+    save_trajectory_csv(os.path.join(out_dir, f"mimura_traj_m_T{T:g}.csv"), m, g)
+    save_trajectory_csv(os.path.join(out_dir, f"mimura_traj_f_T{T:g}.csv"), f, g)
+    return g, (m, f)
+
+
 GENERATORS = {
     "solidbody": solidbody,
+    "mimura_trajectory": mimura_trajectory,
     "gaussian": gaussian_drift,
     "advection_stripes": advection_stripes,
     "nonlinear": nonlinear,

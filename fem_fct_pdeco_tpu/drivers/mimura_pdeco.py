@@ -1,12 +1,15 @@
 """Mimura–Tsujikawa / feathers chemotaxis PDECO driver.
 
 Reference: chemotaxis_mimura_FCT_PGD.py (final-time, target = stored t=14
-pattern) and chemotaxis_mimura_FCT_PGD_alltime.py (all-time, target = full
-trajectory). The reference scripts are stale (deleted legacy helpers —
-SURVEY §0); this driver re-expresses the problems on the current API with
-the MimuraModel adjoint.
+pattern) and chemotaxis_mimura_FCT_PGD_alltime.py (all-time, target = the
+first num_steps+1 frames of the stored trajectory with frame 0 replaced by
+the IC, lines 108-117; dt=0.1, T=3dt, beta=1, c in [0, 1.5], lines 38-57).
+The reference scripts are stale (deleted legacy helpers — SURVEY §0); this
+driver re-expresses the problems on the current API with the MimuraModel
+adjoint, keeping the inverse-crime setup self-consistent (targets generated
+by the same model with the true control c=1).
 
-CLI:  python -m fem_fct_pdeco_tpu.drivers.mimura_pdeco [--optim finaltime]
+CLI:  python -m fem_fct_pdeco_tpu.drivers.mimura_pdeco [--optim alltime]
 """
 
 from __future__ import annotations
@@ -45,6 +48,8 @@ class MimuraProblem(PDECOProblem):
 
     def _load_targets(self):
         cfg = self.cfg
+        if cfg.optim == "alltime":
+            return self._load_alltime_targets()
         # Prefer the stored reference fixtures when present (data/), else
         # generate with the current model.
         for base in (cfg.data_dir, "/root/reference/data"):
@@ -66,6 +71,25 @@ class MimuraProblem(PDECOProblem):
             jnp.asarray(import_data_final(pf, self.grid, num_steps=0)),
         )
 
+    def _load_alltime_targets(self):
+        """Target = full trajectory, frame 0 replaced by the IC
+        (chemotaxis_mimura_FCT_PGD_alltime.py:108-117)."""
+        cfg = self.cfg
+        from fem_fct_pdeco_tpu.drivers.common import target_dir
+        from fem_fct_pdeco_tpu.drivers.generate_targets import mimura_trajectory
+
+        tdir = target_dir(cfg, self.grid, cfg.dt)
+        pm = os.path.join(tdir, f"mimura_traj_m_T{cfg.T_data:g}.csv")
+        pf = os.path.join(tdir, f"mimura_traj_f_T{cfg.T_data:g}.csv")
+        if not (os.path.exists(pm) and os.path.exists(pf)):
+            mimura_trajectory(tdir, T=cfg.T_data, dt=cfg.dt, a2=cfg.a2, dx=cfg.dx)
+        steps = cfg.num_steps
+        mhat = np.asarray(import_data_final(pm, self.grid, num_steps=steps, time_dep=True))
+        fhat = np.asarray(import_data_final(pf, self.grid, num_steps=steps, time_dep=True))
+        m0, f0 = self.model.ic()
+        mhat[0], fhat[0] = m0, f0
+        return jnp.asarray(mhat), jnp.asarray(fhat)
+
     def mass(self):
         return self.model.M
 
@@ -78,7 +102,7 @@ class MimuraProblem(PDECOProblem):
     def solve_adjoint(self, state, c):
         return self.model.adjoint(
             state[0], state[1], self._targets[0], self._targets[1], c,
-            self.cfg.dt, "finaltime",
+            self.cfg.dt, self.cfg.optim,
         )
 
     def descent_direction(self, c, state, adjoint):
@@ -87,7 +111,7 @@ class MimuraProblem(PDECOProblem):
     def cost(self, state, c):
         return cost_functional(
             state[0], self._targets[0], c, self.cfg.dt, self.model.M,
-            self.cfg.beta, "finaltime",
+            self.cfg.beta, self.cfg.optim,
             var2_traj=state[1], var2_target=self._targets[1],
         )
 
@@ -97,16 +121,21 @@ class MimuraProblem(PDECOProblem):
         return float(l2_norm_sq_q(ct, self.cfg.dt, self.model.M))
 
     def plot(self, it, state, adjoint, c):
+        t0 = np.asarray(self._targets[0])
+        t1 = np.asarray(self._targets[1])
+        if self.cfg.optim == "alltime":  # plot the final target frame
+            t0, t1 = t0[-1], t1[-1]
         plot_two_var_solution(
             np.asarray(state[0]), np.asarray(state[1]),
             np.asarray(adjoint[0]), np.asarray(adjoint[1]), np.asarray(c),
-            np.asarray(self._targets[0]), np.asarray(self._targets[1]),
+            t0, t1,
             self.cfg.T_data, it, self.cfg.dt, self.cfg.out_folder,
         )
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--optim", choices=["finaltime", "alltime"], default="finaltime")
     ap.add_argument("--T", type=float, default=DEFAULTS["T"])
     ap.add_argument("--T-data", type=float, default=DEFAULTS["T_data"])
     ap.add_argument("--dt", type=float, default=DEFAULTS["dt"])
@@ -118,13 +147,26 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
-    d = {**DEFAULTS, "T": args.T, "T_data": args.T_data, "dt": args.dt,
-         "dx": args.dx, "a2": args.a2, "beta": args.beta,
+    d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T_data,
+         "dt": args.dt, "dx": args.dx, "a2": args.a2, "beta": args.beta,
          "tol": args.tol, "max_iter_gd": args.max_iter_gd,
          "produce_plots": args.plots}
+    if args.optim == "alltime":
+        # reference alltime config (chemotaxis_mimura_FCT_PGD_alltime.py:43-57):
+        # beta=1, c in [0, 1.5], dt=0.1, T=3dt, tol=1e-2; target = own
+        # trajectory over [0, T]
+        d["c_lower"], d["c_upper"] = 0.0, 1.5
+        if args.beta == DEFAULTS["beta"]:
+            d["beta"] = 1.0
+        if args.T == DEFAULTS["T"]:
+            d["T"] = 3 * d["dt"]
+        if args.tol == DEFAULTS["tol"]:
+            d["tol"] = 1e-2
+        d["T_data"] = d["T"]
     cfg = ExperimentConfig(**d)
-    cfg.out_folder = args.out or f"Mimura_FT_T{cfg.T}_beta{cfg.beta}_tol{cfg.tol}"
-    cfg.registry_csv = "Mimura_FT_simulation_results.csv"
+    tag = "FT" if cfg.optim == "finaltime" else "AT"
+    cfg.out_folder = args.out or f"Mimura_{tag}_T{cfg.T}_beta{cfg.beta}_tol{cfg.tol}"
+    cfg.registry_csv = f"Mimura_{tag}_simulation_results.csv"
     return run_pdeco(MimuraProblem(cfg), cfg)
 
 

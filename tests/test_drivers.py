@@ -100,6 +100,23 @@ def test_mimura_driver(in_tmp):
     assert out["result"].iterations >= 1
 
 
+def test_mimura_driver_alltime(in_tmp):
+    """All-time Mimura PDECO (chemotaxis_mimura_FCT_PGD_alltime.py): target =
+    own trajectory over [0, T]; at the true control c=1 the misfit is ~0, so
+    PGD starting from c=0 must strictly decrease the cost toward
+    J(c_true) = beta/2 ||c_true||^2."""
+    from fem_fct_pdeco_tpu.drivers import mimura_pdeco as d
+
+    out = d.main(["--optim", "alltime", "--dt", "0.1", "--dx", "1.0",
+                  "--a2", "10.0", "--max-iter-gd", "3", "--tol", "1e-10"])
+    res = out["result"]
+    assert res.iterations >= 1
+    hist = res.history["cost"]
+    assert hist[-1] < hist[0]
+    row = out["registry_row"]
+    assert row["status"].startswith(("converged", "max_iterations"))
+
+
 def test_generate_targets_cli(in_tmp):
     from fem_fct_pdeco_tpu.drivers.generate_targets import chemotaxis
 

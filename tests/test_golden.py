@@ -28,6 +28,14 @@ GOLDEN = {
     "solidbody_ft": ("solidbody_pdeco",
                      ["--T", "0.02", "--max-iter-gd", "3", "--tol", "1e-10"],
                      8.757514264809e-03),
+    "mimura_at": ("mimura_pdeco",
+                  ["--optim", "alltime", "--dt", "0.1", "--dx", "1.0",
+                   "--a2", "10.0", "--max-iter-gd", "3", "--tol", "1e-10"],
+                  5.203654938075e-01),
+    "advection_exact_ft": ("advection_pdeco",
+                           ["--exact", "--optim", "finaltime", "--dx", "0.1",
+                            "--dt", "0.01", "--max-iter-gd", "5", "--tol", "1e-10"],
+                           1.452274016076e+00),
 }
 
 
