@@ -154,7 +154,32 @@ class ChemotaxisModel(ModelBase):
         fn = self._jitted(("fwd", float(dt)), lambda: self._make_forward(dt))
         return fn(control_traj, u0, v0)
 
+    def _uses_fused_sweep(self):
+        """Whole-sweep Pallas kernels apply to the base Keller–Segel system
+        (no reaction overrides — Mimura keeps the piecewise path)."""
+        return (
+            self.backend == "pallas_fused"
+            and type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
+            and type(self)._reaction_nonflux_adj is ChemotaxisModel._reaction_nonflux_adj
+        )
+
     def _make_forward(self, dt):
+        if self._uses_fused_sweep():
+            from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                fused_chemotaxis_forward_sweep)
+
+            p = self.params
+            Mat2 = self._rd_matrix(dt)
+
+            def run_fused(control_traj, u0, v0):
+                return fused_chemotaxis_forward_sweep(
+                    control_traj, u0, v0, self.K, self.M, self.M_diag,
+                    self.ML_diag, Mat2, h=self.grid.h, dt=dt, Dm=p.Dm,
+                    chi=p.chi, eta=p.eta, rescaling=self.rescaling,
+                    tol=self.solver_opts.tol,
+                )
+
+            return run_fused
         step = self._forward_step(dt)
 
         def run(control_traj, u0, v0):
@@ -258,6 +283,34 @@ class ChemotaxisModel(ModelBase):
         return fn(u_traj, v_traj, uhat, vhat, control_traj)
 
     def _make_adjoint(self, dt, optim):
+        if self._uses_fused_sweep():
+            from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                fused_chemotaxis_adjoint_sweep)
+
+            p = self.params
+            Mat2 = self._rd_matrix(dt)
+
+            def run_fused(u_traj, v_traj, uhat, vhat, control_traj):
+                if optim == "finaltime":
+                    pT = uhat - u_traj[-1]
+                    qT = vhat - v_traj[-1]
+                    mis_u = mis_v = None
+                else:
+                    pT = jnp.zeros_like(u_traj[-1])
+                    qT = jnp.zeros_like(pT)
+                    mis_u = uhat[:-1] - u_traj[:-1]
+                    mis_v = vhat[:-1] - v_traj[:-1]
+                    if self.consistent_alltime_misfit:
+                        mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
+                        mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                return fused_chemotaxis_adjoint_sweep(
+                    u_traj, v_traj, control_traj, pT, qT, self.K, self.M,
+                    self.M_diag, self.ML_diag, Mat2, mis_u, mis_v,
+                    h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi, eta=p.eta,
+                    rescaling=self.rescaling, tol=self.solver_opts.tol,
+                )
+
+            return run_fused
         step = self._adjoint_step(dt, optim)
 
         def run(u_traj, v_traj, uhat, vhat, control_traj):

@@ -43,24 +43,94 @@ def _quad_consts(degree, h, dtype=np.float64):
     return wts, bary, grads
 
 
-def _fused_u_kernel(
-    u_ref, v_ref, K_ref, M_ref, Md_ref, ML_ref, rhs_ref, out_ref,
-    A_ref, D_ref, pad_ref,
-    *, n, dt, Dm, chi, eta, tol, iters, cheb_iters, wts, bary, grads,
-):
-    nc = n - 1
+def _safe_div(a, d, eps=1e-30):
+    return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
 
-    def corner(ref, ai, aj):
-        return ref[ai : ai + nc, aj : aj + nc]
 
-    # ---- 1. assemble A = Dm*K - chi * (e^{-ηu} ∇v_h·∇φ_a, φ_b) ----------
-    # Plane contributions are accumulated as functional values (jnp.pad
-    # placement) and each plane is stored once.
+def _bicgstab(apply_A, Kinv, b, x0, tol, iters):
+    """Jacobi-preconditioned BiCGStab to relative tolerance ``tol`` (vs ‖b‖),
+    fixed-shape in-kernel while loop. Matches scipy semantics closely enough
+    for the low-order FCT solve (M-matrix, diagonally dominant)."""
+    x = x0
+    r = b - apply_A(x)
+    rhat = r
+    rho = jnp.sum(rhat * r)
+    p = r
+    atol2 = tol * tol * jnp.sum(b * b)
+
+    def cond(c):
+        k, x, r, p, rho, rn2 = c
+        return (k < iters) & (rn2 > atol2)
+
+    def body(c):
+        k, x, r, p, rho, _ = c
+        phat = Kinv * p
+        v = apply_A(phat)
+        alpha = _safe_div(rho, jnp.sum(rhat * v))
+        s = r - alpha * v
+        shat = Kinv * s
+        t2 = apply_A(shat)
+        omega = _safe_div(jnp.sum(t2 * s), jnp.sum(t2 * t2))
+        x2 = x + alpha * phat + omega * shat
+        r2 = s - omega * t2
+        rho2 = jnp.sum(rhat * r2)
+        beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
+        p2 = r2 + beta * (p - omega * v)
+        return k + 1, x2, r2, p2, rho2, jnp.sum(r2 * r2)
+
+    init = (jnp.asarray(0, jnp.int32), x, r, p, rho, jnp.sum(r * r))
+    _, x, *_ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
+def _cg(apply_A, Kinv, b, x0, tol, iters):
+    """Jacobi-preconditioned CG to relative tolerance ``tol`` (vs ‖b‖)."""
+    x = x0
+    r = b - apply_A(x)
+    z = Kinv * r
+    p = z
+    rz = jnp.sum(r * z)
+    atol2 = tol * tol * jnp.sum(b * b)
+
+    def cond(c):
+        k, x, r, z, p, rz, rn2 = c
+        return (k < iters) & (rn2 > atol2)
+
+    def body(c):
+        k, x, r, z, p, rz, _ = c
+        Ap = apply_A(p)
+        alpha = _safe_div(rz, jnp.sum(p * Ap))
+        x2 = x + alpha * p
+        r2 = r - alpha * Ap
+        z2 = Kinv * r2
+        rz2 = jnp.sum(r2 * z2)
+        beta = _safe_div(rz2, rz)
+        p2 = z2 + beta * p
+        return k + 1, x2, r2, z2, p2, rz2, jnp.sum(r2 * r2)
+
+    init = (jnp.asarray(0, jnp.int32), x, r, z, p, rz, jnp.sum(r * r))
+    _, x, *_ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
+def _corners(val, nc):
+    """Per-cell corner values of an (n, n) field: [t][a] -> (nc, nc)."""
+    return [
+        [val[ai : ai + nc, aj : aj + nc] for (ai, aj) in TRI_CORNERS[t]]
+        for t in range(2)
+    ]
+
+
+def _assemble_forward_A(u, v, K_ref, A_ref, *, nc, Dm, chi, eta, wts, bary, grads):
+    """Write A = Dm*K - χ (e^{-ηu} ∇v_h·∇φ_a, φ_b) into A_ref
+    (helpers.py:1350-1352). ``u``, ``v`` are (n, n) values; plane
+    contributions are accumulated as functional values (jnp.pad placement)
+    and each plane is stored once."""
     planes = [None] * 9
+    uc2, vc2 = _corners(u, nc), _corners(v, nc)
     for t in range(2):
         corners = TRI_CORNERS[t]
-        uc = [corner(u_ref, ai, aj) for (ai, aj) in corners]
-        vc = [corner(v_ref, ai, aj) for (ai, aj) in corners]
+        uc, vc = uc2[t], vc2[t]
         # per-element gradient of v_h: sum_a v_a grad(lambda_a)
         gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
         gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
@@ -84,6 +154,35 @@ def _fused_u_kernel(
         base = Dm * K_ref[d, :, :]
         A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
 
+
+def _v_load(c, u, *, nc, wts, bary, dtype):
+    """Load vector (c_h u_h, φ_a) as an (n, n) value (helpers.py:1339-1340;
+    the dt/r factor is applied by the caller)."""
+    cc2, uc2 = _corners(c, nc), _corners(u, nc)
+    scat = None
+    for t in range(2):
+        cc, uc = cc2[t], uc2[t]
+        contribs = [None, None, None]
+        for q in range(len(wts)):
+            cq = bary[q, 0] * cc[0] + bary[q, 1] * cc[1] + bary[q, 2] * cc[2]
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            f = wts[q] * cq * uq
+            for a in range(3):
+                add = bary[q, a] * f
+                contribs[a] = add if contribs[a] is None else contribs[a] + add
+        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
+            placed = jnp.pad(contribs[a], ((ai, 1 - ai), (aj, 1 - aj)))
+            scat = placed if scat is None else scat + placed
+    return scat
+
+
+def _fused_u_kernel(
+    u_ref, v_ref, K_ref, M_ref, Md_ref, ML_ref, rhs_ref, out_ref,
+    A_ref, D_ref, pad_ref,
+    *, n, dt, Dm, chi, eta, tol, iters, cheb_iters, wts, bary, grads,
+):
+    _assemble_forward_A(u_ref[:, :], v_ref[:, :], K_ref, A_ref, nc=n - 1,
+                        Dm=Dm, chi=chi, eta=eta, wts=wts, bary=bary, grads=grads)
     out_ref[:, :] = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :],
         u_ref[:, :], rhs_ref[:, :],
@@ -92,11 +191,12 @@ def _fused_u_kernel(
 
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
-              *, n, dt, tol, iters, cheb_iters):
+              *, n, dt, tol, iters, cheb_iters, x0=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
-    value)."""
+    value). ``x0``: optional warm start for the low-order solve (defaults to
+    ``u_prev``; sweeps pass the linear extrapolation 2 u_n - u_{n-1})."""
     # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) -------
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     offsum = None
@@ -132,40 +232,8 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
 
     # ---- 4. low-order solve (BiCGStab, in-kernel while loop) ------------
     b = ML * u_prev + dt * rhs
-    Kinv = 1.0 / A_ref[CENTER]
-    x = u_prev
-    r = b - apply_low(x)
-    rhat = r
-    rho = jnp.sum(rhat * r)
-    p = r
-    atol2 = tol * tol * jnp.sum(b * b)
-    eps = 1e-30
-
-    def safe_div(a, d):
-        return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
-
-    def cond(c):
-        k, x, r, p, rho, rn2 = c
-        return (k < iters) & (rn2 > atol2)
-
-    def body(c):
-        k, x, r, p, rho, _ = c
-        phat = Kinv * p
-        v = apply_low(phat)
-        alpha = safe_div(rho, jnp.sum(rhat * v))
-        s = r - alpha * v
-        shat = Kinv * s
-        t2 = apply_low(shat)
-        omega = safe_div(jnp.sum(t2 * s), jnp.sum(t2 * t2))
-        x2 = x + alpha * phat + omega * shat
-        r2 = s - omega * t2
-        rho2 = jnp.sum(rhat * r2)
-        beta = safe_div(rho2, rho) * safe_div(alpha, omega)
-        p2 = r2 + beta * (p - omega * v)
-        return k + 1, x2, r2, p2, rho2, jnp.sum(r2 * r2)
-
-    init = (jnp.asarray(0, jnp.int32), x, r, p, rho, jnp.sum(r * r))
-    _, u_low, *_ = jax.lax.while_loop(cond, body, init)
+    u_low = _bicgstab(apply_low, 1.0 / A_ref[CENTER], b,
+                      u_prev if x0 is None else x0, tol, iters)
 
     # ---- 5. Chebyshev du/dt on M du = -A u_low + rhs --------------------
     rdot = -apply_A(u_low) + rhs
@@ -275,7 +343,6 @@ def fused_chemotaxis_u_step(u_n, v_np1, K, M, M_diag, ML_diag, rhs, *,
 
 def _fused_v_kernel(c_ref, u_ref, v_ref, Mat_ref, M_ref, out_ref, pad_ref,
                     *, n, dt, inv_r, tol, iters, wts, bary):
-    nc = n - 1
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -285,62 +352,13 @@ def _fused_v_kernel(c_ref, u_ref, v_ref, Mat_ref, M_ref, out_ref, pad_ref,
                           skip_planes=ANTI_DIAGONAL_IDS)
 
     # load vector: (v_n, phi) + dt * (c_h u_h / r, phi)  (helpers.py:1339-1340)
-    load = jnp.zeros((n, n), dtype=out_ref.dtype)
-    contribs = [[None, None, None], [None, None, None]]
-    for t in range(2):
-        corners = TRI_CORNERS[t]
-        cc = [c_ref[ai : ai + nc, aj : aj + nc] for (ai, aj) in corners]
-        uc = [u_ref[ai : ai + nc, aj : aj + nc] for (ai, aj) in corners]
-        for q in range(len(wts)):
-            cq = bary[q, 0] * cc[0] + bary[q, 1] * cc[1] + bary[q, 2] * cc[2]
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            f = wts[q] * cq * uq
-            for a in range(3):
-                add = bary[q, a] * f
-                contribs[t][a] = add if contribs[t][a] is None else contribs[t][a] + add
-
-    b = apply_M(v_ref[:, :])
-    # functional scatter of the per-element loads (see the note in
-    # _fused_u_kernel about overlapping ref slice accumulation)
-    scat = None
-    for t in range(2):
-        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
-            placed = jnp.pad(contribs[t][a], ((ai, 1 - ai), (aj, 1 - aj)))
-            scat = placed if scat is None else scat + placed
-    b = b + (dt * inv_r) * scat
+    scat = _v_load(c_ref[:, :], u_ref[:, :], nc=n - 1, wts=wts, bary=bary,
+                   dtype=out_ref.dtype)
+    b = apply_M(v_ref[:, :]) + (dt * inv_r) * scat
 
     # CG solve
-    Kinv = 1.0 / Mat_ref[CENTER]
-    x = v_ref[:, :]
-    r = b - apply_mat(x)
-    z = Kinv * r
-    p = z
-    rz = jnp.sum(r * z)
-    atol2 = tol * tol * jnp.sum(b * b)
-    eps = 1e-30
-
-    def safe_div(a, d):
-        return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
-
-    def cond(c):
-        k, x, r, z, p, rz, rn2 = c
-        return (k < iters) & (rn2 > atol2)
-
-    def body(c):
-        k, x, r, z, p, rz, _ = c
-        Ap = apply_mat(p)
-        alpha = safe_div(rz, jnp.sum(p * Ap))
-        x2 = x + alpha * p
-        r2 = r - alpha * Ap
-        z2 = Kinv * r2
-        rz2 = jnp.sum(r2 * z2)
-        beta = safe_div(rz2, rz)
-        p2 = z2 + beta * p
-        return k + 1, x2, r2, z2, p2, rz2, jnp.sum(r2 * r2)
-
-    init = (jnp.asarray(0, jnp.int32), x, r, z, p, rz, jnp.sum(r * r))
-    _, x, *_ = jax.lax.while_loop(cond, body, init)
-    out_ref[:, :] = x
+    out_ref[:, :] = _cg(apply_mat, 1.0 / Mat_ref[CENTER], b, v_ref[:, :],
+                        tol, iters)
 
 
 def fused_chemotaxis_v_step(c_i, u_n, v_n, Mat_v, M, *, h, dt, rescaling,
@@ -370,28 +388,18 @@ def fused_chemotaxis_v_step(c_i, u_n, v_n, Mat_v, M, *, h, dt, rescaling,
 # Fused adjoint half-steps (helpers.py:1498-1542)
 # ---------------------------------------------------------------------------
 
-def _fused_p_kernel(
-    p_ref, q_ref, u_ref, v_ref, c_ref, mis_ref, K_ref, M_ref, Md_ref, ML_ref,
-    out_ref, A_ref, D_ref, pad_ref,
-    *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters, wts, bary, grads,
-):
-    """Adjoint p FCT step: Mat_p = Dm K - χ ((1-ηu)e^{-ηu} ∇v_h·∇φ_trial, φ_test)
-    — the transpose of the forward advective stencil (helpers.py:1499-1503) —
-    with load (c_h q_np1_h / r, φ_a) + raw misfit (helpers.py:1505-1507),
-    then the shared FCT core. Inputs: p_np1 (q_ref = q_np1)."""
-    nc = n - 1
-
-    def corner(ref, ai, aj):
-        return ref[ai : ai + nc, aj : aj + nc]
-
+def _assemble_adjoint_A_and_load(q_np1, u, v, c, K_ref, A_ref,
+                                 *, nc, Dm, chi, eta, inv_r, wts, bary, grads):
+    """Write Mat_p = Dm K - χ ((1-ηu)e^{-ηu} ∇v_h·∇φ_trial, φ_test) — the
+    transpose of the forward advective stencil (helpers.py:1499-1503) — into
+    A_ref, and return the load (c_h q_np1_h / r, φ_a) (helpers.py:1505)."""
     planes = [None] * 9
     load = None
+    uc2, vc2 = _corners(u, nc), _corners(v, nc)
+    cc2, qc2 = _corners(c, nc), _corners(q_np1, nc)
     for t in range(2):
         corners = TRI_CORNERS[t]
-        uc = [corner(u_ref, ai, aj) for (ai, aj) in corners]
-        vc = [corner(v_ref, ai, aj) for (ai, aj) in corners]
-        cc = [corner(c_ref, ai, aj) for (ai, aj) in corners]
-        qc = [corner(q_ref, ai, aj) for (ai, aj) in corners]
+        uc, vc, cc, qc = uc2[t], vc2[t], cc2[t], qc2[t]
         gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
         gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
         # Va[a] = Σ_q w_q (1-ηu(q)) e^{-ηu(q)} λ_a(q)  and the load
@@ -419,7 +427,44 @@ def _fused_p_kernel(
     for d in range(9):
         base = Dm * K_ref[d, :, :]
         A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
+    return load
 
+
+def _q_load(p_n, u, *, nc, chi, eta, wts, bary, grads):
+    """Load (χ u_h e^{-ηu_h} ∇p_h·∇φ_a) as an (n, n) value
+    (helpers.py:1531-1532)."""
+    uc2, pc2 = _corners(u, nc), _corners(p_n, nc)
+    load = None
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        uc, pc = uc2[t], pc2[t]
+        gpx = sum(pc[a] * grads[t, a, 0] for a in range(3))
+        gpy = sum(pc[a] * grads[t, a, 1] for a in range(3))
+        # g(q) = χ u(q) e^{-ηu(q)}; b[a] = Σ_q w_q g(q) (∇p_h·∇λ_a)
+        gsum = None
+        for q in range(len(wts)):
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            g = wts[q] * chi * uq * jnp.exp(-eta * uq)
+            gsum = g if gsum is None else gsum + g
+        for a, (ai, aj) in enumerate(corners):
+            ga = grads[t, a, 0] * gpx + grads[t, a, 1] * gpy
+            placed = jnp.pad(gsum * ga, ((ai, 1 - ai), (aj, 1 - aj)))
+            load = placed if load is None else load + placed
+    return load
+
+
+def _fused_p_kernel(
+    p_ref, q_ref, u_ref, v_ref, c_ref, mis_ref, K_ref, M_ref, Md_ref, ML_ref,
+    out_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters, wts, bary, grads,
+):
+    """Adjoint p FCT step: transposed-stencil matrix + load + raw misfit
+    (helpers.py:1499-1510), then the shared FCT core."""
+    load = _assemble_adjoint_A_and_load(
+        q_ref[:, :], u_ref[:, :], v_ref[:, :], c_ref[:, :], K_ref, A_ref,
+        nc=n - 1, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r,
+        wts=wts, bary=bary, grads=grads,
+    )
     rhs = load + mis_ref[:, :]
     out_ref[:, :] = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :],
@@ -462,7 +507,6 @@ def _fused_q_kernel(
 ):
     """Adjoint q implicit step: load (χ u_h e^{-ηu_h} ∇p_h·∇φ_a) + misfit,
     then CG on Mat_q = M + dt(Df K + δ M) (helpers.py:1531-1538)."""
-    nc = n - 1
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -471,60 +515,11 @@ def _fused_q_kernel(
     apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
 
-    def corner(ref, ai, aj):
-        return ref[ai : ai + nc, aj : aj + nc]
-
-    load = None
-    for t in range(2):
-        corners = TRI_CORNERS[t]
-        uc = [corner(u_ref, ai, aj) for (ai, aj) in corners]
-        pc = [corner(p_ref, ai, aj) for (ai, aj) in corners]
-        gpx = sum(pc[a] * grads[t, a, 0] for a in range(3))
-        gpy = sum(pc[a] * grads[t, a, 1] for a in range(3))
-        # g(q) = χ u(q) e^{-ηu(q)}; b[a] = Σ_q w_q g(q) (∇p_h·∇λ_a)
-        gsum = None
-        for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            g = wts[q] * chi * uq * jnp.exp(-eta * uq)
-            gsum = g if gsum is None else gsum + g
-        for a, (ai, aj) in enumerate(corners):
-            ga = grads[t, a, 0] * gpx + grads[t, a, 1] * gpy
-            placed = jnp.pad(gsum * ga, ((ai, 1 - ai), (aj, 1 - aj)))
-            load = placed if load is None else load + placed
-
+    load = _q_load(p_ref[:, :], u_ref[:, :], nc=n - 1, chi=chi, eta=eta,
+                   wts=wts, bary=bary, grads=grads)
     b = apply_M(q_ref[:, :]) + dt * (load + mis_ref[:, :])
-
-    Kinv = 1.0 / Mat_ref[CENTER]
-    x = q_ref[:, :]
-    r = b - apply_mat(x)
-    z = Kinv * r
-    pvec = z
-    rz = jnp.sum(r * z)
-    atol2 = tol * tol * jnp.sum(b * b)
-    eps = 1e-30
-
-    def safe_div(a, d):
-        return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
-
-    def cond(c):
-        k, x, r, z, pv, rz, rn2 = c
-        return (k < iters) & (rn2 > atol2)
-
-    def body(c):
-        k, x, r, z, pv, rz, _ = c
-        Ap = apply_mat(pv)
-        alpha = safe_div(rz, jnp.sum(pv * Ap))
-        x2 = x + alpha * pv
-        r2 = r - alpha * Ap
-        z2 = Kinv * r2
-        rz2 = jnp.sum(r2 * z2)
-        beta = safe_div(rz2, rz)
-        pv2 = z2 + beta * pv
-        return k + 1, x2, r2, z2, pv2, rz2, jnp.sum(r2 * r2)
-
-    init = (jnp.asarray(0, jnp.int32), x, r, z, pvec, rz, jnp.sum(r * r))
-    _, x, *_ = jax.lax.while_loop(cond, body, init)
-    out_ref[:, :] = x
+    out_ref[:, :] = _cg(apply_mat, 1.0 / Mat_ref[CENTER], b, q_ref[:, :],
+                        tol, iters)
 
 
 def fused_chemotaxis_q_step(q_np1, p_n, u_n, mis_v, Mat_q, M, *, h, dt, chi,
@@ -547,3 +542,248 @@ def fused_chemotaxis_q_step(q_np1, p_n, u_n, mis_v, Mat_q, M, *, h, dt, chi,
         ),
         interpret=_interp(),
     )(q_np1, p_n, u_n, mis_v, Mat_q, M)
+
+
+# ---------------------------------------------------------------------------
+# Whole-sweep kernels: the ENTIRE time loop inside ONE pallas_call.
+#
+# Motivation (measured on TPU v5e at 256² f32): each pallas_call dispatched
+# from a lax.scan costs ~55-60 us of fixed launch/streaming overhead — two
+# launches per coupled step put a ~120 us floor under a ~90 us compute step.
+# Running the scan as the kernel's sequential grid removes all but one
+# launch: the stationary stencils (K, M, Mat2) are fetched into VMEM once
+# (constant block index -> no re-copy), the state (u, v) lives in VMEM
+# scratch across grid steps, the control and output trajectories stream
+# per step through Pallas's pipelined block DMA, and the solvers warm-start
+# from the linear extrapolation 2 x_n - x_{n-1} (the roadmap lever).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_sweep_kernel(
+    c_ref, u0_ref, v0_ref, K_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts4, bary4, wts3, bary3, grads, warm,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+
+    # ---- v half-step (helpers.py:1339-1342) -----------------------------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(Mat2_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    load = _v_load(c_i, u_n, nc=n - 1, wts=wts3, bary=bary3, dtype=u_n.dtype)
+    b = apply_M(v_n) + (dt * inv_r) * load
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = _cg(apply_mat, 1.0 / Mat2_ref[CENTER], b, x0v, tol, iters)
+
+    # ---- u half-step (helpers.py:1350-1356) -----------------------------
+    _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
+                        eta=eta, wts=wts4, bary=bary4, grads=grads)
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n,
+        jnp.zeros_like(u_n),
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
+    )
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+
+def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
+                                   Mat2, *, h, dt, Dm, chi, eta, rescaling,
+                                   tol=1e-6, iters=60, cheb_iters=20,
+                                   warm=True):
+    """Full forward sweep (helpers.py:1321-1385) as ONE pallas_call.
+
+    ``c_traj``: (num_steps+1, n, n); step i uses c_traj[i]. Returns
+    (u_traj, v_traj), each (num_steps+1, n, n) including the initial state.
+    """
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    wts4, bary4, grads = _quad_consts(4, h)
+    wts3, bary3, _ = _quad_consts(3, h)
+    wts4 = wts4 * h * h
+    wts3 = wts3 * h * h
+    kern = functools.partial(
+        _fwd_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        wts4=wts4, bary4=bary4, wts3=wts3, bary3=bary3, grads=grads,
+        warm=warm,
+    )
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    frame_in = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    frame_out = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame_in, field, field, stencil, stencil, field, field, stencil],
+        out_specs=(frame_out, frame_out),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),      # u current
+            pltpu.VMEM((n, n), u0.dtype),      # v current
+            pltpu.VMEM((n, n), u0.dtype),      # u previous (warm start)
+            pltpu.VMEM((n, n), u0.dtype),      # v previous
+            pltpu.VMEM((9, n, n), u0.dtype),   # A -> Low
+            pltpu.VMEM((9, n, n), u0.dtype),   # D
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, K, M, M_diag, ML_diag, Mat2)
+    u_traj = jnp.concatenate([u0[None], u_traj], axis=0)
+    v_traj = jnp.concatenate([v0[None], v_traj], axis=0)
+    return u_traj, v_traj
+
+
+def _adj_sweep_kernel(
+    u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    K_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts5, bary5, wts4, bary4, grads, warm, has_mis,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    c_n = c_ref[0, :, :]
+
+    # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
+    load = _assemble_adjoint_A_and_load(
+        q_np1, u_n, v_n, c_n, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
+        eta=eta, inv_r=inv_r, wts=wts5, bary=bary5, grads=grads,
+    )
+    rhs = load + misu_ref[0, :, :] if has_mis else load
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p,
+    )
+
+    # ---- q implicit half-step (helpers.py:1531-1538) --------------------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(Mat2_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    qload = _q_load(p_n, u_n, nc=n - 1, chi=chi, eta=eta,
+                    wts=wts4, bary=bary4, grads=grads)
+    if has_mis:
+        qload = qload + misv_ref[0, :, :]
+    b = apply_M(q_np1) + dt * qload
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = _cg(apply_mat, 1.0 / Mat2_ref[CENTER], b, x0q, tol, iters)
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+
+def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
+                                   M_diag, ML_diag, Mat2, mis_u=None,
+                                   mis_v=None, *, h, dt, Dm, chi, eta,
+                                   rescaling, tol=1e-6, iters=60,
+                                   cheb_iters=20, warm=True):
+    """Full adjoint sweep (helpers.py:1387-1581) as ONE pallas_call.
+
+    Trajectories stream per backward step via reversed block index maps.
+    ``mis_u``/``mis_v``: (num_steps, n, n) all-time misfit loads, or None
+    (final-time). Returns (p_traj, q_traj), (num_steps+1, n, n) including
+    the terminal condition.
+    """
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    wts5, bary5, grads = _quad_consts(5, h)
+    wts4, bary4, _ = _quad_consts(4, h)
+    wts5 = wts5 * h * h
+    wts4 = wts4 * h * h
+    kern = functools.partial(
+        _adj_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, grads=grads,
+        warm=warm, has_mis=has_mis,
+    )
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    # backward step i consumes global frame steps-1-i and writes the same slot
+    rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+        mis_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        mis_spec = rev
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
+                  stencil, stencil, field, field, stencil],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((9, n, n), pT.dtype),
+            pltpu.VMEM((9, n, n), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
+      K, M, M_diag, ML_diag, Mat2)
+    p_traj = jnp.concatenate([p_traj, pT[None]], axis=0)
+    q_traj = jnp.concatenate([q_traj, qT[None]], axis=0)
+    return p_traj, q_traj

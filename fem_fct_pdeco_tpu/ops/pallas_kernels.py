@@ -28,11 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS
 
 
-def fits_vmem(n: int, dtype=jnp.float32, budget_bytes: int = 10 * 2**20) -> bool:
-    """Conservative single-block VMEM feasibility check for these kernels."""
+def fits_vmem(n: int, dtype=jnp.float32, budget_bytes: int = 64 * 2**20) -> bool:
+    """Single-block VMEM feasibility check for the fused kernels.
+
+    Sized for the whole-sweep kernels (pallas_fused.py): five resident
+    9-plane stencils (K, M, Mat2, A->Low scratch, D scratch) plus ~5
+    field-sized buffers and the shift pad. 512^2 f32 (~52 MB) measured
+    working on TPU v5e; 1024^2 f32 and 512^2 f64 fall back to XLA.
+    """
     itemsize = jnp.dtype(dtype).itemsize
-    # dominant: one 9-plane stencil + ~8 field-sized buffers + padded scratch
-    need = (9 + 10) * n * n * itemsize
+    need = 50 * n * n * itemsize
     return need <= budget_bytes
 
 
