@@ -72,8 +72,9 @@ class AdvectionModel(ModelBase):
     """
 
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None, divw_fn=None):
-        super().__init__(grid, dtype, solver_opts)
+                 solver_opts: SolverOpts | None = None, divw_fn=None,
+                 backend: str = "xla"):
+        super().__init__(grid, dtype, solver_opts, backend)
         self.eps = eps
         self.N = self.asm.convection(wind_fn)  # (w·∇v, u)
         # ref-convention flux matrices (du/dt + A u = rhs):
@@ -111,6 +112,22 @@ class AdvectionModel(ModelBase):
         key = ("fwd", float(dt), has_src, has_g)
 
         def build():
+            if self.backend == "pallas_fused" and not has_g:
+                from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
+
+                def run_fused(control_traj, u0, *rest):
+                    load = control_traj[1:]
+                    if has_src:
+                        load = load + rest[0][1:]  # rhs = M(c + f)
+                    frames = fused_scalar_fct_sweep(
+                        load[:, None], u0, self.A_state, self.M, self.M_diag,
+                        self.ML_diag, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, load_is_mass=True,
+                    )
+                    return jnp.concatenate([u0[None], frames], axis=0)
+
+                return run_fused
+
             def step(carry, x):
                 rhs = st.apply(self.M, x[0])
                 k = 1
@@ -152,6 +169,29 @@ class AdvectionModel(ModelBase):
         key = ("adj", float(dt), optim, has_g)
 
         def build():
+            if self.backend == "pallas_fused" and not has_g:
+                from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
+
+                def run_fused(u_traj, uhat, *rest):
+                    if optim == "finaltime":
+                        pT = uhat - u_traj[-1]
+                        loads = jnp.zeros_like(u_traj[:-1])
+                    else:
+                        pT = jnp.zeros_like(u_traj[-1])
+                        import jax
+
+                        loads = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            uhat[:-1], u_traj[:-1])
+                    frames = fused_scalar_fct_sweep(
+                        loads[:, None], pT, self.A_adjoint, self.M,
+                        self.M_diag, self.ML_diag, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, load_is_mass=False,
+                        reverse=True,
+                    )
+                    return jnp.concatenate([frames, pT[None]], axis=0)
+
+                return run_fused
+
             def step(carry, x):
                 u_n, uhat_n, g_n = x
                 if optim == "finaltime":

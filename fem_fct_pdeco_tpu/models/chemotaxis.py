@@ -154,14 +154,20 @@ class ChemotaxisModel(ModelBase):
         fn = self._jitted(("fwd", float(dt)), lambda: self._make_forward(dt))
         return fn(control_traj, u0, v0)
 
+    # Reaction variant implemented inside the whole-sweep kernels; subclasses
+    # with custom reactions set this (MimuraModel: "mimura") — a subclass
+    # overriding _reaction_rhs WITHOUT a fused implementation keeps the
+    # piecewise path.
+    _fused_reaction: str | None = None
+
     def _uses_fused_sweep(self):
-        """Whole-sweep Pallas kernels apply to the base Keller–Segel system
-        (no reaction overrides — Mimura keeps the piecewise path)."""
-        return (
-            self.backend == "pallas_fused"
-            and type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
+        if self.backend != "pallas_fused":
+            return False
+        base = (
+            type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
             and type(self)._reaction_nonflux_adj is ChemotaxisModel._reaction_nonflux_adj
         )
+        return base or self._fused_reaction is not None
 
     def _make_forward(self, dt):
         if self._uses_fused_sweep():
@@ -176,7 +182,7 @@ class ChemotaxisModel(ModelBase):
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, h=self.grid.h, dt=dt, Dm=p.Dm,
                     chi=p.chi, eta=p.eta, rescaling=self.rescaling,
-                    tol=self.solver_opts.tol,
+                    tol=self.solver_opts.tol, reaction=self._fused_reaction,
                 )
 
             return run_fused
@@ -308,6 +314,7 @@ class ChemotaxisModel(ModelBase):
                     self.M_diag, self.ML_diag, Mat2, mis_u, mis_v,
                     h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi, eta=p.eta,
                     rescaling=self.rescaling, tol=self.solver_opts.tol,
+                    reaction=self._fused_reaction,
                 )
 
             return run_fused

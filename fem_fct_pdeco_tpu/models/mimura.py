@@ -40,11 +40,14 @@ class MimuraParams(ChemotaxisParams):
 
 
 class MimuraModel(ChemotaxisModel):
+    # the m²(1-m) reaction is implemented inside the whole-sweep kernels
+    _fused_reaction = "mimura"
+
     def __init__(self, grid, params: MimuraParams = MimuraParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None):
+                 solver_opts: SolverOpts | None = None, backend: str = "xla"):
         super().__init__(grid, params=params, rescaling=rescaling,
-                         dtype=dtype, solver_opts=solver_opts)
+                         dtype=dtype, solver_opts=solver_opts, backend=backend)
 
     def ic(self) -> tuple[np.ndarray, np.ndarray]:
         """m0 = 1.5 + 0.1(0.5 - rand) with np.random.seed(5)

@@ -28,8 +28,9 @@ class NonlinearModel(ModelBase):
     """Parameters from helpers.py:867-879: eps = 1e-4, vortex wind, speed 1."""
 
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,
-                 dtype=jnp.float64, solver_opts: SolverOpts | None = None):
-        super().__init__(grid, dtype, solver_opts)
+                 dtype=jnp.float64, solver_opts: SolverOpts | None = None,
+                 backend: str = "xla"):
+        super().__init__(grid, dtype, solver_opts, backend)
         self.eps = eps
         self.N = self.asm.convection(vortex_wind(speed))
         # ref-convention flux matrices:
@@ -60,6 +61,20 @@ class NonlinearModel(ModelBase):
         Returns (u_traj,)."""
 
         def build():
+            if self.backend == "pallas_fused":
+                from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
+
+                def run_fused(c, u0):
+                    frames = fused_scalar_fct_sweep(
+                        c[1:, None], u0, self.A_state, self.M, self.M_diag,
+                        self.ML_diag, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, nonflux_mode=+1,
+                        load_is_mass=True,
+                    )
+                    return (jnp.concatenate([u0[None], frames], axis=0),)
+
+                return run_fused
+
             def step(u_n, c_i):
                 rhs = st.apply(self.M, c_i)
                 return fct_step(
@@ -77,15 +92,7 @@ class NonlinearModel(ModelBase):
         misfit load M(û - u) (nonlinear_FCT_PDECO_alltime.py pattern)."""
 
         def build():
-            def step(p_np1, x):
-                u_n, mis = x
-                return fct_step(
-                    self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
-                    self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
-                    solver=self.solver_opts,
-                )
-
-            def run(u_traj, uhat):
+            def terminal(u_traj, uhat):
                 if optim == "finaltime":
                     pT = uhat - u_traj[-1]
                     mis = jnp.zeros_like(u_traj[:-1])
@@ -96,6 +103,34 @@ class NonlinearModel(ModelBase):
                     mis = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
                         uhat[:-1], u_traj[:-1]
                     )
+                return pT, mis
+
+            if self.backend == "pallas_fused":
+                from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
+
+                def run_fused(u_traj, uhat):
+                    pT, mis = terminal(u_traj, uhat)
+                    loads = jnp.stack([mis, u_traj[:-1]], axis=1)
+                    frames = fused_scalar_fct_sweep(
+                        loads, pT, self.A_adjoint, self.M, self.M_diag,
+                        self.ML_diag, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, nonflux_mode=-1,
+                        load_is_mass=False, reverse=True,
+                    )
+                    return (jnp.concatenate([frames, pT[None]], axis=0),)
+
+                return run_fused
+
+            def step(p_np1, x):
+                u_n, mis = x
+                return fct_step(
+                    self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
+                    self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
+                    solver=self.solver_opts,
+                )
+
+            def run(u_traj, uhat):
+                pT, mis = terminal(u_traj, uhat)
                 return (adjoint_sweep(step, pT, (u_traj[:-1], mis)),)
 
             return run

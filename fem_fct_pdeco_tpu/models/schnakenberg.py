@@ -50,11 +50,13 @@ def schnak_wind(x, y):
 class SchnakenbergModel(ModelBase):
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None, td_wind_fn=None):
+                 solver_opts: SolverOpts | None = None, td_wind_fn=None,
+                 backend: str = "xla"):
         """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind
         (Schnak_FCT_PDECO_alltime.py's sin(2πt) vortex); convection is then
-        re-assembled each step inside the scan."""
-        super().__init__(grid, dtype, solver_opts)
+        re-assembled each step inside the scan (the whole-sweep fused kernels
+        require the stationary wind and fall back to the piecewise path)."""
+        super().__init__(grid, dtype, solver_opts, backend)
         self.params = params
         self.rescaling = rescaling
         self.td_wind_fn = td_wind_fn
@@ -90,6 +92,21 @@ class SchnakenbergModel(ModelBase):
 
         def build():
             p = self.params
+            if self.backend == "pallas_fused" and self.td_wind_fn is None:
+                from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                    fused_schnak_forward_sweep)
+
+                Mbase_v = self.M + dt * self.B_v
+
+                def run_fused(c, u0, v0):
+                    return fused_schnak_forward_sweep(
+                        c, u0, v0, self.A_u, self.M, self.M_diag,
+                        self.ML_diag, Mbase_v, h=self.grid.h, dt=dt,
+                        gamma=p.gamma, c_b=p.c_b, rescaling=self.rescaling,
+                        tol=self.solver_opts.tol,
+                    )
+
+                return run_fused
             gM = p.gamma * self.M
 
             def step(carry, x):
@@ -145,6 +162,32 @@ class SchnakenbergModel(ModelBase):
 
         def build():
             p = self.params
+            if self.backend == "pallas_fused" and self.td_wind_fn is None:
+                from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                    fused_schnak_adjoint_sweep)
+
+                Mbase_q = self.M + dt * self.B_v_adj
+
+                def run_fused(u_traj, v_traj, uhat, vhat):
+                    if optim == "finaltime":
+                        pT = uhat - u_traj[-1]
+                        qT = vhat - v_traj[-1]
+                        mis_u = mis_v = None
+                    else:
+                        pT = jnp.zeros_like(u_traj[-1])
+                        qT = jnp.zeros_like(pT)
+                        mis_u = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            uhat[:-1], u_traj[:-1])
+                        mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            vhat[:-1], v_traj[:-1])
+                    return fused_schnak_adjoint_sweep(
+                        u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
+                        self.M_diag, self.ML_diag, Mbase_q, mis_u, mis_v,
+                        h=self.grid.h, dt=dt, gamma=p.gamma,
+                        tol=self.solver_opts.tol,
+                    )
+
+                return run_fused
             gM = p.gamma * self.M
 
             def step(carry, x):

@@ -191,12 +191,16 @@ def _fused_u_kernel(
 
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
-              *, n, dt, tol, iters, cheb_iters, x0=None):
+              *, n, dt, tol, iters, cheb_iters, x0=None, S=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
     value). ``x0``: optional warm start for the low-order solve (defaults to
-    ``u_prev``; sweeps pass the linear extrapolation 2 u_n - u_{n-1})."""
+    ``u_prev``; sweeps pass the linear extrapolation 2 u_n - u_{n-1}).
+    ``S``: optional non-flux matrix (``non_flux`` of ops/fct.py: enters the
+    low-order matrix but not the artificial diffusion or the du/dt flux
+    right-hand side) as a list of 9 plane VALUES with None for structurally
+    zero planes."""
     # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) -------
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     offsum = None
@@ -210,9 +214,12 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         offsum = Dd if offsum is None else offsum + Dd
     D_ref[CENTER, :, :] = -offsum
 
-    # ---- 3. transform A -> Low in place: Low = diag(ML) + dt (A - D) ----
+    # ---- 3. transform A -> Low in place: Low = diag(ML) + dt (A - D + S) -
     for d in range(9):
-        plane = dt * (A_ref[d, :, :] - D_ref[d, :, :])
+        plane = A_ref[d, :, :] - D_ref[d, :, :]
+        if S is not None and S[d] is not None:
+            plane = plane + S[d]
+        plane = dt * plane
         if d == CENTER:
             plane = plane + ML
         A_ref[d, :, :] = plane
@@ -226,9 +233,22 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
 
+    def apply_S(x):
+        pad_ref[1 : n + 1, 1 : n + 1] = x
+        acc = S[CENTER] * x if S[CENTER] is not None else jnp.zeros_like(x)
+        for d in range(9):
+            if d == CENTER or S[d] is None:
+                continue
+            acc = acc + S[d] * _shifted(pad_ref, d, n)
+        return acc
+
     def apply_A(x):
-        # A = (Low - diag(ML))/dt + D
-        return (apply_low(x) - ML * x) / dt + apply_D(x)
+        # A = (Low - diag(ML))/dt + D - S  (the flux matrix alone drives the
+        # antidiffusive du/dt, helpers.py:1812-1815)
+        out = (apply_low(x) - ML * x) / dt + apply_D(x)
+        if S is not None:
+            out = out - apply_S(x)
+        return out
 
     # ---- 4. low-order solve (BiCGStab, in-kernel while loop) ------------
     b = ML * u_prev + dt * rhs
@@ -564,7 +584,7 @@ def _fwd_sweep_kernel(
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, wts3, bary3, grads, warm,
+    wts4, bary4, wts3, bary3, grads, warm, reaction,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -595,10 +615,15 @@ def _fwd_sweep_kernel(
     # ---- u half-step (helpers.py:1350-1356) -----------------------------
     _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
                         eta=eta, wts=wts4, bary=bary4, grads=grads)
+    if reaction == "mimura":
+        # explicit m²(1-m) source (mimura_data_helpers.py:70)
+        rhs_u = _lf_quad(lambda uq: uq * uq * (1.0 - uq), [u_n],
+                         nc=n - 1, wts=wts4, bary=bary4)
+    else:
+        rhs_u = jnp.zeros_like(u_n)
     x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
     u_np1 = _fct_core(
-        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n,
-        jnp.zeros_like(u_n),
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
     )
 
@@ -613,7 +638,7 @@ def _fwd_sweep_kernel(
 def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                    Mat2, *, h, dt, Dm, chi, eta, rescaling,
                                    tol=1e-6, iters=60, cheb_iters=20,
-                                   warm=True):
+                                   warm=True, reaction=None):
     """Full forward sweep (helpers.py:1321-1385) as ONE pallas_call.
 
     ``c_traj``: (num_steps+1, n, n); step i uses c_traj[i]. Returns
@@ -629,7 +654,7 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         _fwd_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts4=wts4, bary4=bary4, wts3=wts3, bary3=bary3, grads=grads,
-        warm=warm,
+        warm=warm, reaction=reaction,
     )
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -669,7 +694,7 @@ def _adj_sweep_kernel(
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts5, bary5, wts4, bary4, grads, warm, has_mis,
+    wts5, bary5, wts4, bary4, grads, warm, has_mis, reaction,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -694,10 +719,17 @@ def _adj_sweep_kernel(
         eta=eta, inv_r=inv_r, wts=wts5, bary=bary5, grads=grads,
     )
     rhs = load + misu_ref[0, :, :] if has_mis else load
+    if reaction == "mimura":
+        # IMEX linearization of m²(1-m): non_flux = -M_{2m-3m²}
+        # (models/mimura.py:_reaction_nonflux_adj)
+        S = _wm_quad(lambda uq: -(2.0 * uq - 3.0 * uq * uq), [u_n],
+                     nc=n - 1, wts=wts4, bary=bary4)
+    else:
+        S = None
     x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
     p_n = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs,
-        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
@@ -726,7 +758,7 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                    M_diag, ML_diag, Mat2, mis_u=None,
                                    mis_v=None, *, h, dt, Dm, chi, eta,
                                    rescaling, tol=1e-6, iters=60,
-                                   cheb_iters=20, warm=True):
+                                   cheb_iters=20, warm=True, reaction=None):
     """Full adjoint sweep (helpers.py:1387-1581) as ONE pallas_call.
 
     Trajectories stream per backward step via reversed block index maps.
@@ -745,7 +777,7 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         _adj_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, grads=grads,
-        warm=warm, has_mis=has_mis,
+        warm=warm, has_mis=has_mis, reaction=reaction,
     )
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -787,3 +819,443 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     p_traj = jnp.concatenate([p_traj, pT[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT[None]], axis=0)
     return p_traj, q_traj
+
+
+# ---------------------------------------------------------------------------
+# Generic kernel-side P1 assembly on field VALUES (the in-kernel analogues of
+# P1Assembler.weighted_mass / linear_form) — building blocks for the
+# per-model whole-sweep kernels below.
+# ---------------------------------------------------------------------------
+
+
+def _wm_quad(coef_fn, fields, *, nc, wts, bary):
+    """9 stencil plane VALUES (None where structurally zero) of
+    ∫ coef(f1(q), f2(q), ...) φ_a φ_b dx, with the fields P1-interpolated at
+    the quadrature points (P1Assembler.weighted_mass semantics)."""
+    planes = [None] * 9
+    cs = [_corners(f, nc) for f in fields]
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        vab = [[None] * 3 for _ in range(3)]
+        for q in range(len(wts)):
+            vals = [
+                bary[q, 0] * c[t][0] + bary[q, 1] * c[t][1] + bary[q, 2] * c[t][2]
+                for c in cs
+            ]
+            cq = wts[q] * coef_fn(*vals)
+            for a in range(3):
+                ca = bary[q, a] * cq
+                for b in range(3):
+                    add = bary[q, b] * ca
+                    vab[a][b] = add if vab[a][b] is None else vab[a][b] + add
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(vab[a][b], ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    return planes
+
+
+def _lf_quad(coef_fn, fields, *, nc, wts, bary):
+    """Load vector VALUE (n, n) of ∫ coef(f1(q), ...) φ_a dx
+    (P1Assembler.linear_form semantics)."""
+    cs = [_corners(f, nc) for f in fields]
+    out = None
+    for t in range(2):
+        contribs = [None, None, None]
+        for q in range(len(wts)):
+            vals = [
+                bary[q, 0] * c[t][0] + bary[q, 1] * c[t][1] + bary[q, 2] * c[t][2]
+                for c in cs
+            ]
+            cq = wts[q] * coef_fn(*vals)
+            for a in range(3):
+                add = bary[q, a] * cq
+                contribs[a] = add if contribs[a] is None else contribs[a] + add
+        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
+            placed = jnp.pad(contribs[a], ((ai, 1 - ai), (aj, 1 - aj)))
+            out = placed if out is None else out + placed
+    return out
+
+
+def _copy_stencil(dst_ref, src_ref):
+    for d in range(9):
+        dst_ref[d, :, :] = src_ref[d, :, :]
+
+
+def _scaled_planes(ref, scale):
+    """Stencil ref -> list of 9 scaled plane values (for _fct_core's S)."""
+    return [scale * ref[d, :, :] for d in range(9)]
+
+
+def _add_planes(p1, p2, s2=1.0):
+    out = []
+    for d in range(9):
+        a, b = p1[d], p2[d]
+        if b is None:
+            out.append(a)
+        elif a is None:
+            out.append(s2 * b)
+        else:
+            out.append(a + s2 * b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Schnakenberg whole-sweep kernels (helpers.py:511-698)
+# ---------------------------------------------------------------------------
+
+
+def _schnak_fwd_kernel(
+    c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, gamma, c_b, inv_r, tol, iters, cheb_iters, wts, bary, warm,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+    nc = n - 1
+
+    # u FCT: rhs = γ(c/r + u² v), non_flux = γM (helpers.py:581-588)
+    rhs_u = _lf_quad(
+        lambda cq, uq, vq: (gamma * inv_r) * cq + gamma * uq * uq * vq,
+        [c_i, u_n, v_n], nc=nc, wts=wts, bary=bary,
+    )
+    _copy_stencil(A_ref, Au_ref)
+    S = _scaled_planes(M_ref, gamma)
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u, S=S,
+    )
+
+    # v implicit with the NEW u: Mat_v = M + dt(B_v + γ M_{u²})
+    # (helpers.py:590-596); Mbv = M + dt B_v precomputed
+    Mu2 = _wm_quad(lambda uq: uq * uq, [u_np1], nc=nc, wts=wts, bary=bary)
+    for d in range(9):
+        plane = Mbv_ref[d, :, :]
+        if Mu2[d] is not None:
+            plane = plane + (dt * gamma) * Mu2[d]
+        A_ref[d, :, :] = plane
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_v = _lf_quad(lambda uq: jnp.full_like(uq, gamma * c_b), [u_np1],
+                     nc=nc, wts=wts, bary=bary)
+    b = apply_M(v_n) + dt * rhs_v
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = _cg(apply_mat, 1.0 / A_ref[CENTER], b, x0v, tol, iters)
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+
+def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
+                               Mbase_v, *, h, dt, gamma, c_b, rescaling,
+                               tol=1e-6, iters=60, cheb_iters=20, warm=True):
+    """Full Schnakenberg forward sweep (helpers.py:511-597) in ONE
+    pallas_call. ``A_u`` = Du K - ω₁ N; ``Mbase_v`` = M + dt (Dv K - ω₂ N).
+    Stationary wind only (the td-wind variant uses the piecewise path)."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    wts, bary, _ = _quad_consts(4, h)
+    wts = wts * h * h
+    kern = functools.partial(
+        _schnak_fwd_kernel, n=n, dt=dt, gamma=gamma, c_b=c_b,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        wts=wts, bary=bary, warm=warm,
+    )
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame, field, field, stencil, stencil, field, field, stencil],
+        out_specs=(frame, frame),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((9, n, n), u0.dtype),
+            pltpu.VMEM((9, n, n), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, A_u, M, M_diag, ML_diag, Mbase_v)
+    return (jnp.concatenate([u0[None], u_traj], axis=0),
+            jnp.concatenate([v0[None], v_traj], axis=0))
+
+
+def _schnak_adj_kernel(
+    u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, gamma, tol, iters, cheb_iters, wts, bary, warm, has_mis,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    nc = n - 1
+
+    # q implicit first (helpers.py:680-688): Mat_q = M + dt(B_v_adj + γM_u²)
+    Mu2 = _wm_quad(lambda uq: uq * uq, [u_n], nc=nc, wts=wts, bary=bary)
+    for d in range(9):
+        plane = Mbq_ref[d, :, :]
+        if Mu2[d] is not None:
+            plane = plane + (dt * gamma) * Mu2[d]
+        A_ref[d, :, :] = plane
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_q = _lf_quad(lambda pq, uq: gamma * pq * uq * uq, [p_np1, u_n],
+                     nc=nc, wts=wts, bary=bary)
+    if has_mis:
+        rhs_q = rhs_q + misv_ref[0, :, :]
+    b = apply_M(q_np1) + dt * rhs_q
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = _cg(apply_mat, 1.0 / A_ref[CENTER], b, x0q, tol, iters)
+
+    # p FCT (helpers.py:690-697): rhs = -2γ u v q_n, S = γM - 2γ M_{uv}
+    rhs_p = _lf_quad(lambda uq, vq, qq: -2.0 * gamma * uq * vq * qq,
+                     [u_n, v_n, q_n], nc=nc, wts=wts, bary=bary)
+    if has_mis:
+        rhs_p = rhs_p + misu_ref[0, :, :]
+    Muv = _wm_quad(lambda uq, vq: uq * vq, [u_n, v_n], nc=nc, wts=wts, bary=bary)
+    S = _add_planes(_scaled_planes(M_ref, gamma), Muv, s2=-2.0 * gamma)
+    _copy_stencil(A_ref, Aadj_ref)
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs_p,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
+    )
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+
+def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
+                               ML_diag, Mbase_q, mis_u=None, mis_v=None, *,
+                               h, dt, gamma, tol=1e-6, iters=60,
+                               cheb_iters=20, warm=True):
+    """Full Schnakenberg adjoint sweep (helpers.py:599-698) in ONE
+    pallas_call. ``A_u_adj`` = Du K - ω₁ Nᵀ; ``Mbase_q`` = M + dt(Dv K - ω₂ Nᵀ)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    wts, bary, _ = _quad_consts(4, h)
+    wts = wts * h * h
+    kern = functools.partial(
+        _schnak_adj_kernel, n=n, dt=dt, gamma=gamma, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, wts=wts, bary=bary, warm=warm, has_mis=has_mis,
+    )
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+        mis_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        mis_spec = rev
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[rev, rev, mis_spec, mis_spec, field, field,
+                  stencil, stencil, field, field, stencil],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((9, n, n), pT.dtype),
+            pltpu.VMEM((9, n, n), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
+      A_u_adj, M, M_diag, ML_diag, Mbase_q)
+    return (jnp.concatenate([p_traj, pT[None]], axis=0),
+            jnp.concatenate([q_traj, qT[None]], axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Single-field whole-sweep kernels: nonlinear equation and linear advection
+# (helpers.py:881-1038; advection_FCT_PDECO_finaltime.py). One FCT field,
+# stationary flux matrix, optional per-step non-flux weighted mass and
+# per-step load.
+# ---------------------------------------------------------------------------
+
+
+def _scalar_sweep_kernel(
+    load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
+    out_ref,
+    cur_ref, prev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, tol, iters, cheb_iters, wts, bary, warm,
+    nonflux_mode, load_is_mass, reverse,
+):
+    """One FCT field: per step, rhs = M @ load_frame (load_is_mass=True,
+    forward source control) or rhs = load_frame (precomputed misfit loads),
+    with the optional IMEX non-flux matrix of the nonlinear equation:
+    nonflux_mode = 0: none; +1: (1/3)M_{u²} - M (state, helpers.py:953-958);
+    -1: M_{u²} - M (adjoint, helpers.py:1030-1035), u taken from the
+    second half of load_ref's frame pair."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[:, :] = x0_ref[:, :]
+        prev_ref[:, :] = x0_ref[:, :]
+
+    x_n = cur_ref[:, :]
+    nc = n - 1
+
+    if load_is_mass:
+        pad_ref[:, :] = jnp.zeros_like(pad_ref)
+        apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                              skip_planes=ANTI_DIAGONAL_IDS)
+        rhs = apply_M(load_ref[0, :, :])
+    else:
+        rhs = load_ref[0, :, :]
+
+    if nonflux_mode == 0:
+        S = None
+    else:
+        # u for the IMEX weighted mass: forward uses the CARRIED state u_n;
+        # the adjoint linearizes around the stored state (frame 1)
+        u_for_S = x_n if nonflux_mode > 0 else load_ref[1, :, :]
+        Mu2 = _wm_quad(lambda uq: uq * uq, [u_for_S], nc=nc, wts=wts, bary=bary)
+        scale = (1.0 / 3.0) if nonflux_mode > 0 else 1.0
+        S = _add_planes(_scaled_planes(M_ref, -1.0), Mu2, s2=scale)
+
+    _copy_stencil(A_ref, Aflux_ref)
+    x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
+    x_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], x_n, rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w, S=S,
+    )
+    prev_ref[:, :] = x_n
+    cur_ref[:, :] = x_np1
+    out_ref[0, :, :] = x_np1
+
+
+def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
+                           h, dt, tol=1e-6, iters=60, cheb_iters=20,
+                           warm=True, nonflux_mode=0, load_is_mass=True,
+                           reverse=False):
+    """Whole sweep of a single FCT-transported field with a stationary flux
+    matrix. Covers:
+    - nonlinear state (nonflux_mode=+1, load = control frames,
+      helpers.py:941-958) and adjoint (nonflux_mode=-1, load frames stacked
+      (misfit, u_n), helpers.py:1023-1037)
+    - linear advection state (load = control (+source) frames) and adjoint
+      (load = misfit loads), advection_FCT_PDECO_finaltime.py:194-231.
+
+    ``load_traj``: (steps, F, n, n) per-step frames (F=1, or F=2 when
+    nonflux_mode=-1). ``reverse=True`` runs the sweep backward (adjoint):
+    step i consumes frame steps-1-i and writes the same slot. Returns the
+    (steps, n, n) swept frames EXCLUDING the initial/terminal state.
+    """
+    n = x0.shape[-1]
+    steps = load_traj.shape[0]
+    F = load_traj.shape[1]
+    wts, bary, _ = _quad_consts(4, h)
+    wts = wts * h * h
+    kern = functools.partial(
+        _scalar_sweep_kernel, n=n, dt=dt, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, wts=wts, bary=bary, warm=warm,
+        nonflux_mode=nonflux_mode, load_is_mass=load_is_mass, reverse=reverse,
+    )
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    if reverse:
+        frame_in = pl.BlockSpec((1, F, n, n), lambda i: (steps - 1 - i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        frame_in = pl.BlockSpec((1, F, n, n), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    def kern2(load_ref, *rest):
+        # collapse the leading frame axis: load_ref block is (1, F, n, n)
+        return kern(load_ref[0], *rest)
+
+    out = pl.pallas_call(
+        kern2,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        in_specs=[frame_in, field, stencil, stencil, field, field],
+        out_specs=frame_out,
+        scratch_shapes=[
+            pltpu.VMEM((n, n), x0.dtype),
+            pltpu.VMEM((n, n), x0.dtype),
+            pltpu.VMEM((9, n, n), x0.dtype),
+            pltpu.VMEM((9, n, n), x0.dtype),
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(load_traj, x0, A_flux, M, M_diag, ML_diag)
+    return out

@@ -140,3 +140,99 @@ def test_vmem_guard_falls_back_to_xla():
     assert model.backend == "xla"
     # a fitting grid keeps the requested backend
     assert ChemotaxisModel(Grid(0.0, 1.0, 32), backend="pallas_fused").backend == "pallas_fused"
+
+
+def test_fused_schnak_sweep_matches_xla():
+    """Whole-sweep fused Schnakenberg forward + adjoint vs the XLA path
+    (interpret mode, f64)."""
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+
+    g = Grid(0.0, 1.0, 24)
+    mx = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13))
+    mf = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13),
+                           backend="pallas_fused")
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    dt = 5e-4
+    c = jnp.full((4, g.n, g.n), 0.1)
+    ux, vx = mx.forward(c, u0, v0, dt)
+    uf, vf = mf.forward(c, u0, v0, dt)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ux), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vx), rtol=1e-10, atol=1e-12)
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, dt, optim)
+        pf, qf = mf.adjoint(ux, vx, uhat, vhat, dt, optim)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(px), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(qf), np.asarray(qx), rtol=1e-9, atol=1e-12)
+
+
+def test_fused_nonlinear_sweep_matches_xla():
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+
+    g = Grid(0.0, 1.0, 24)
+    mx = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13))
+    mf = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13), backend="pallas_fused")
+    u0 = jnp.asarray(mx.ic())
+    dt = 1e-3
+    c = jnp.broadcast_to(jnp.asarray(mx.true_control()), (5, g.n, g.n))
+    (ux,) = mx.forward(c, u0, dt)
+    (uf,) = mf.forward(c, u0, dt)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ux), rtol=1e-10, atol=1e-13)
+    for optim in ("finaltime", "alltime"):
+        uhat = 1.01 * ux[-1] if optim == "finaltime" else 1.01 * ux
+        (px,) = mx.adjoint(ux, uhat, dt, optim)
+        (pf,) = mf.adjoint(ux, uhat, dt, optim)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(px), rtol=1e-9, atol=1e-13)
+
+
+def test_fused_advection_sweep_matches_xla():
+    g = Grid(0.0, 1.0, 24)
+    mx = AdvectionModel(g, eps=1e-3, wind_fn=vortex_wind(1.0),
+                        solver_opts=SolverOpts(tol=1e-13))
+    mf = AdvectionModel(g, eps=1e-3, wind_fn=vortex_wind(1.0),
+                        solver_opts=SolverOpts(tol=1e-13), backend="pallas_fused")
+    X, Y = g.xy
+    u0 = jnp.asarray(np.sin(np.pi * X) * np.sin(np.pi * Y))
+    dt = 1e-3
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(rng.standard_normal((5, g.n, g.n)))
+    f = jnp.asarray(rng.standard_normal((5, g.n, g.n)))
+    ux = mx.forward(c, u0, dt, source_traj=f)
+    uf = mf.forward(c, u0, dt, source_traj=f)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ux), rtol=1e-9, atol=1e-12)
+    for optim in ("finaltime", "alltime"):
+        uhat = 1.01 * ux[-1] if optim == "finaltime" else 1.01 * ux
+        px = mx.adjoint(ux, uhat, dt, optim)
+        pf = mf.adjoint(ux, uhat, dt, optim)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(px), rtol=1e-9, atol=1e-13)
+
+
+def test_fused_mimura_sweep_matches_xla():
+    """Mimura's m²(1-m) reaction inside the whole-sweep kernels (previously
+    a silent fallback to the piecewise path)."""
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+
+    g = Grid(0.0, 10.0, 21)
+    mx = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13))
+    mf = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13), backend="pallas_fused")
+    m0np, f0np = mx.ic()
+    m0, f0 = jnp.asarray(m0np), jnp.asarray(f0np)
+    dt = 0.05
+    c = jnp.ones((4, g.n, g.n))
+    ux, vx = mx.forward(c, m0, f0, dt)
+    uf, vf = mf.forward(c, m0, f0, dt)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ux), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vf), np.asarray(vx), rtol=1e-10, atol=1e-12)
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, optim)
+        pf, qf = mf.adjoint(ux, vx, uhat, vhat, c, dt, optim)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(px), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(qf), np.asarray(qx), rtol=1e-9, atol=1e-12)
