@@ -27,11 +27,30 @@ class ModelBase:
         dtype=jnp.float64,
         solver_opts: SolverOpts | None = None,
         backend: str = "xla",
+        pad_to: int | None = None,
     ):
+        """``pad_to``: enlarge all operators and fields to a ``pad_to`` x
+        ``pad_to`` grid with the extra cells masked out of every assembled
+        form and identity rows added for the extra nodes. Restricted to the
+        true ``grid.n`` x ``grid.n`` window, all results are EXACTLY those of
+        the unpadded model (solver tolerance), while the padded shapes are
+        divisible by a device mesh — this is how reference-sized grids
+        (41/81/129 nodes) run sharded (parallel/padding.py). Inputs to the
+        sweeps must be padded with ``parallel.pad_field``; XLA backend only.
+        """
         self.grid = grid
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             dtype = jnp.float32  # avoid per-op truncation warnings
         self.dtype = dtype
+        if pad_to is not None and backend != "xla":
+            import warnings
+
+            warnings.warn(
+                "padded grids run the XLA path (the fused kernels are "
+                "single-device and unmasked); forcing backend='xla'",
+                stacklevel=3,
+            )
+            backend = "xla"
         if backend in ("pallas", "pallas_fused"):
             from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
 
@@ -46,10 +65,29 @@ class ModelBase:
                 )
                 backend = "xla"
         self.backend = backend
-        self.asm = P1Assembler(grid, dtype)
-        self.M = self.asm.mass
-        self.M_diag = self.asm.mass_diag
-        self.ML_diag = self.asm.lumped_mass_diag
+        self.pad_to = pad_to
+        if pad_to is None:
+            self.node_mask = None
+            self.asm = P1Assembler(grid, dtype)
+            self.M = self.asm.mass
+            self.M_diag = self.asm.mass_diag
+            self.ML_diag = self.asm.lumped_mass_diag
+        else:
+            import numpy as np
+
+            assert pad_to >= grid.n, (pad_to, grid.n)
+            a2p = grid.a1 + (pad_to - 1) * grid.h
+            pgrid = Grid(grid.a1, a2p, pad_to)
+            cmask = np.zeros((pad_to - 1, pad_to - 1))
+            cmask[: grid.n - 1, : grid.n - 1] = 1.0
+            self.asm = P1Assembler(pgrid, dtype, cell_mask=cmask)
+            nmask = np.zeros((pad_to, pad_to))
+            nmask[: grid.n, : grid.n] = 1.0
+            self.node_mask = jnp.asarray(nmask, dtype=dtype)
+            pad_id = 1.0 - self.node_mask  # identity rows for pad nodes
+            self.M = self.asm.mass.at[4].add(pad_id)
+            self.M_diag = self.M[4]
+            self.ML_diag = self.asm.lumped_mass_diag + pad_id
         self.K = self.asm.stiffness
         self.solver_opts = solver_opts or SolverOpts()
         self._jit_cache: dict = {}

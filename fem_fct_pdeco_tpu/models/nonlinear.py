@@ -29,8 +29,8 @@ class NonlinearModel(ModelBase):
 
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,
-                 backend: str = "xla"):
-        super().__init__(grid, dtype, solver_opts, backend)
+                 backend: str = "xla", pad_to: int | None = None):
+        super().__init__(grid, dtype, solver_opts, backend, pad_to)
         self.eps = eps
         self.N = self.asm.convection(vortex_wind(speed))
         # ref-convention flux matrices:
@@ -80,7 +80,7 @@ class NonlinearModel(ModelBase):
                 return fct_step(
                     self.A_state, rhs, u_n, dt, self.M, self.M_diag,
                     self.ML_diag, non_flux=self._nonflux(u_n, +1.0),
-                    solver=self.solver_opts,
+                    solver=self.solver_opts, node_mask=self.node_mask,
                 )
 
             return lambda c, u0: (forward_sweep(step, u0, c[1:]),)
@@ -126,7 +126,7 @@ class NonlinearModel(ModelBase):
                 return fct_step(
                     self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
                     self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
-                    solver=self.solver_opts,
+                    solver=self.solver_opts, node_mask=self.node_mask,
                 )
 
             def run(u_traj, uhat):

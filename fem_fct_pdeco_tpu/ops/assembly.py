@@ -65,7 +65,13 @@ class P1Assembler:
     safe inside jit/scan.
     """
 
-    def __init__(self, grid: Grid, dtype=jnp.float64):
+    def __init__(self, grid: Grid, dtype=jnp.float64, cell_mask=None):
+        """``cell_mask``: optional (nc, nc) 0/1 array; cells with mask 0
+        contribute nothing to any assembled form. Used by the padded-grid
+        mode (parallel/padding.py): the grid is enlarged to a mesh-divisible
+        node count and the extra cells are masked out, so assembled operators
+        restricted to the true domain are EXACTLY those of the unpadded grid.
+        """
         self.grid = grid
         self.dtype = dtype
         self.n = grid.n
@@ -73,6 +79,10 @@ class P1Assembler:
         self.h = grid.h
         self.area = grid.h * grid.h / 2.0
         self.grads = _basis_gradients(grid.h)  # (2, 3, 2)
+        self.cell_mask = (
+            None if cell_mask is None
+            else jnp.asarray(cell_mask, dtype=dtype)
+        )
 
     # ------------------------------------------------------------------
     # quadrature helpers
@@ -146,6 +156,8 @@ class P1Assembler:
         for t in range(2):
             corners = TRI_CORNERS[t]
             E = elem_mats[t]
+            if self.cell_mask is not None:
+                E = E * self.cell_mask
             for a, (ai, aj) in enumerate(corners):
                 for b, (bi, bj) in enumerate(corners):
                     d = _offset_index(bi - ai, bj - aj)
@@ -157,8 +169,11 @@ class P1Assembler:
         n, nc = self.n, self.nc
         v = jnp.zeros((n, n), dtype=self.dtype)
         for t in range(2):
+            ev = elem_vecs[t]
+            if self.cell_mask is not None:
+                ev = [e * self.cell_mask for e in ev]
             for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
-                v = v.at[ai : ai + nc, aj : aj + nc].add(elem_vecs[t][a])
+                v = v.at[ai : ai + nc, aj : aj + nc].add(ev[a])
         return v
 
     # ------------------------------------------------------------------

@@ -61,15 +61,18 @@ def zalesak_limit(
     u_low: jnp.ndarray,
     ML_diag: jnp.ndarray,
     dt: float,
+    node_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Zalesak limiter: fluxes (6, n, n) ordered per EDGE_NEIGHBOR_IDS ->
     limited net antidiffusive flux F̄ (n, n). (helpers.py:1824-1867)
 
     Deliberately inf-free: out-of-domain neighbors take the center value in
     the max/min (TPU extended-precision f64 emulation turns inf arithmetic
-    into NaN).
+    into NaN). ``node_mask``: optional (n, n) 0/1 validity mask for the
+    padded-grid mode — nodes outside the true domain are excluded from the
+    local-extrema neighbor sets, so padded results match unpadded exactly.
     """
-    ones = jnp.ones_like(u_low)
+    ones = jnp.ones_like(u_low) if node_mask is None else node_mask
     p_pos = jnp.zeros_like(u_low)
     p_neg = jnp.zeros_like(u_low)
     u_max = u_low
@@ -79,7 +82,7 @@ def zalesak_limit(
         p_pos = p_pos + jnp.maximum(F, 0.0)
         p_neg = p_neg + jnp.minimum(F, 0.0)
         valid = st.shift(ones, d)  # 1 where the neighbor exists
-        nbr = st.shift(u_low, d) + (1.0 - valid) * u_low
+        nbr = st.shift(u_low, d) * valid + (1.0 - valid) * u_low
         u_max = jnp.maximum(u_max, nbr)
         u_min = jnp.minimum(u_min, nbr)
 
@@ -118,6 +121,7 @@ def fct_step(
     cheb_iters: int = 20,
     backend: str = "xla",
     pallas_solver_iters: int = 60,
+    node_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One flux-corrected transport step (``FCT_alg_ref``, helpers.py:1715).
 
@@ -151,7 +155,7 @@ def fct_step(
     for d in EDGE_NEIGHBOR_IDS:
         F = M[d] * (du_dt - st.shift(du_dt, d)) + D[d] * (u_low - st.shift(u_low, d))
         fluxes.append(F)
-    fbar = zalesak_limit(jnp.stack(fluxes), u_low, ML_diag, dt)
+    fbar = zalesak_limit(jnp.stack(fluxes), u_low, ML_diag, dt, node_mask=node_mask)
 
     return u_low + dt * fbar / ML_diag
 

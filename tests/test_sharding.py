@@ -18,8 +18,6 @@ from fem_fct_pdeco_tpu.parallel import field_sharding, make_mesh, traj_sharding
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs multi-device")
 def test_sharded_forward_matches_single_device():
-    # multi-device runs use mesh-divisible node counts (scale-out grids are
-    # chosen by the user; reference parity sizes run single-device)
     g = Grid(0.0, 1.0, 32)
     model = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
     u0np, v0np = model.ic()
@@ -47,3 +45,91 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_padded_sharded_reference_size_forward_adjoint_and_pgd_step():
+    """Reference-sized (indivisible) grids run sharded via mesh-divisible
+    padding (parallel/padding.py): forward sweep, adjoint sweep and one full
+    PGD iteration at n=41 (the reference chemotaxis size) on the 8-device
+    mesh must match the unpadded single-device run."""
+    from fem_fct_pdeco_tpu.optimize import cost_functional, l2_norm_sq_q
+    from fem_fct_pdeco_tpu.parallel import mesh_padded_n, pad_field, unpad_field
+
+    n, dt, steps, beta = 41, 1e-3, 4, 1e-4
+    g = Grid(0.0, 1.0, n)
+    base = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    u0np, v0np = base.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), 100.0)
+
+    # --- unpadded single-device reference run: one PGD iteration ---------
+    u_r, v_r = base.forward(c, u0, v0, dt)
+    uhat, vhat = 1.01 * u_r[-1], 1.02 * v_r[-1]
+    p_r, q_r = base.adjoint(u_r, v_r, uhat, vhat, c, dt, "finaltime")
+    dk_r = base.descent_direction(beta, c, u_r, q_r)
+    c1_r = jnp.clip(c + 0.5 * dk_r, 0.0, 200.0)
+    u1_r, v1_r = base.forward(c1_r, u0, v0, dt)
+    J_r = float(cost_functional(u1_r, uhat, c1_r, dt, base.M, beta, "finaltime",
+                                var2_traj=v1_r, var2_target=vhat))
+
+    # --- padded sharded run ----------------------------------------------
+    mesh = make_mesh(jax.devices()[:8])
+    npad = mesh_padded_n(n, mesh)
+    assert npad % mesh.shape["y"] == 0 and npad % mesh.shape["x"] == 0
+    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                            pad_to=npad)
+    fs, ts = field_sharding(mesh), traj_sharding(mesh)
+    u0s = jax.device_put(pad_field(u0, npad), fs)
+    v0s = jax.device_put(pad_field(v0, npad), fs)
+    cs = jax.device_put(pad_field(c, npad), ts)
+    uhs = jax.device_put(pad_field(uhat, npad), fs)
+    vhs = jax.device_put(pad_field(vhat, npad), fs)
+
+    u_s, v_s = model.forward(cs, u0s, v0s, dt)
+    assert len(u_s.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(unpad_field(u_s, n)), np.asarray(u_r),
+                               rtol=1e-10, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(unpad_field(v_s, n)), np.asarray(v_r),
+                               rtol=1e-10, atol=1e-11)
+    # pad region stays exactly zero (identity rows, zero loads)
+    assert float(jnp.abs(u_s[..., n:, :]).max()) == 0.0
+
+    p_s, q_s = model.adjoint(u_s, v_s, uhs, vhs, cs, dt, "finaltime")
+    np.testing.assert_allclose(np.asarray(unpad_field(p_s, n)), np.asarray(p_r),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(unpad_field(q_s, n)), np.asarray(q_r),
+                               rtol=1e-9, atol=1e-11)
+
+    # full PGD iteration: descent direction, projected update, state, cost
+    dk_s = model.descent_direction(beta, cs, u_s, q_s)
+    c1_s = jnp.clip(cs + 0.5 * dk_s, 0.0, 200.0)
+    u1_s, v1_s = model.forward(c1_s, u0s, v0s, dt)
+    J_s = float(cost_functional(u1_s, uhs, c1_s, dt, model.M, beta, "finaltime",
+                                var2_traj=v1_s, var2_target=vhs))
+    np.testing.assert_allclose(np.asarray(unpad_field(c1_s, n)), np.asarray(c1_r),
+                               rtol=1e-9, atol=1e-11)
+    assert J_s == pytest.approx(J_r, rel=1e-9)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_padded_model_matches_unpadded_single_device():
+    """The padding machinery alone (no sharding): padded nonlinear model
+    equals the unpadded one on the true window."""
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+    from fem_fct_pdeco_tpu.parallel import pad_field, unpad_field
+
+    n, dt, steps = 41, 1e-3, 3
+    g = Grid(0.0, 1.0, n)
+    base = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13))
+    padded = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13), pad_to=48)
+    u0 = jnp.asarray(base.ic())
+    c = jnp.broadcast_to(jnp.asarray(base.true_control()), (steps + 1, n, n))
+    (u_r,) = base.forward(c, u0, dt)
+    (u_p,) = padded.forward(pad_field(c, 48), pad_field(u0, 48), dt)
+    np.testing.assert_allclose(np.asarray(unpad_field(u_p, n)), np.asarray(u_r),
+                               rtol=1e-10, atol=1e-12)
+    (p_r,) = base.adjoint(u_r, 1.01 * u_r[-1], dt, "finaltime")
+    (p_p,) = padded.adjoint(u_p, pad_field(1.01 * u_r[-1], 48), dt, "finaltime")
+    np.testing.assert_allclose(np.asarray(unpad_field(p_p, n)), np.asarray(p_r),
+                               rtol=1e-9, atol=1e-12)
