@@ -180,3 +180,46 @@ def fct_step_dense(A, rhs, u_n, dt, M, ML_diag, nbrs, non_flux=None):
             elif f < 0:
                 fbar[i] += min(r_neg[i], r_pos[j]) * f
     return u_low + dt * fbar / ML_diag
+
+
+def fct_alg_legacy_dense(A_leg, rhs, u_n, dt, M, ML_diag, nbrs, source_mat=None):
+    """Dense verbatim re-statement of the LEGACY ``FCT_alg``
+    (old_helpers.py:115-204): legacy sign convention M du/dt = A u + rhs,
+    low-order matrix M_L - dt (A + D - S), ChebSI rhs A u_low + rhs."""
+    N = len(u_n)
+    D = artificial_diffusion_dense(A_leg)  # cancels negative off-diags of A_leg
+    Low = np.diag(ML_diag) - dt * (A_leg + D)
+    if source_mat is not None:
+        Low += dt * source_mat
+    u_low = spsolve(sp.csr_matrix(Low), ML_diag * u_n + dt * rhs)
+
+    du_dt = chebsi_dense(A_leg @ u_low + rhs, M, np.diag(M).copy())
+
+    F = np.zeros((N, N))
+    for i in range(N):
+        for j in nbrs[i]:
+            F[i, j] = M[i, j] * (du_dt[i] - du_dt[j]) + D[i, j] * (u_low[i] - u_low[j])
+    np.fill_diagonal(F, 0.0)
+
+    p_pos = np.maximum(F, 0).sum(axis=1)
+    p_neg = np.minimum(F, 0).sum(axis=1)
+    u_max = np.array([max(u_low[j] for j in nbrs[i]) for i in range(N)])
+    u_min = np.array([min(u_low[j] for j in nbrs[i]) for i in range(N)])
+    q_pos = u_max - u_low
+    q_neg = u_min - u_low
+    r_pos = np.ones(N)
+    r_neg = np.ones(N)
+    m = p_pos != 0
+    r_pos[m] = np.minimum(1, ML_diag[m] * q_pos[m] / (dt * p_pos[m]))
+    m = p_neg != 0
+    r_neg[m] = np.minimum(1, ML_diag[m] * q_neg[m] / (dt * p_neg[m]))
+
+    fbar = np.zeros(N)
+    for i in range(N):
+        for j in range(N):
+            f = F[i, j]
+            if f > 0:
+                fbar[i] += min(r_pos[i], r_neg[j]) * f
+            elif f < 0:
+                fbar[i] += min(r_neg[i], r_pos[j]) * f
+    return u_low + dt * fbar / ML_diag

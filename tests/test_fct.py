@@ -149,3 +149,40 @@ def test_fct_preserves_local_bounds(setup):
     # global bounds of the low-order scheme are respected up to tiny slack
     assert u1.min() >= u_n.min() - 1e-8
     assert u1.max() <= u_n.max() + 1e-8
+
+
+def test_fct_step_matches_legacy_oracle():
+    """fct_step(-A_leg, rhs, ..., non_flux=S) reproduces the LEGACY FCT_alg
+    (old_helpers.py:115-204, its own low-order matrix and ChebSI signs) —
+    pinning the legacy->current mapping used by the solid-body and drift
+    drivers."""
+    import jax.numpy as jnp
+    import oracles
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.advection import AdvectionModel, rotation_drift_wind
+    from fem_fct_pdeco_tpu.ops import stencil as st
+    from fem_fct_pdeco_tpu.ops.fct import fct_step
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, dt = 17, 1e-3
+    g = Grid(-1.0, 1.0, n)
+    model = AdvectionModel(g, eps=0.0, wind_fn=rotation_drift_wind(np.pi / 40),
+                           solver_opts=SolverOpts(tol=1e-14))
+    # legacy convention: A_leg = A_adv - eps*Ad = N (eps=0); ours A = -A_leg
+    A_leg = st.to_dense(np.asarray(model.N))
+    M = st.to_dense(np.asarray(model.M))
+    ML = np.asarray(model.ML_diag).ravel()
+    nbrs = oracles.neighbors(n)
+    rng = np.random.default_rng(3)
+    u_n = rng.uniform(0.0, 1.0, (n, n))
+    rhs = rng.standard_normal((n, n))
+    S = 0.3 * M  # exercise the source_mat path too
+
+    want = oracles.fct_alg_legacy_dense(
+        A_leg, rhs.ravel(), u_n.ravel(), dt, M, ML, nbrs, source_mat=S)
+    Sst = 0.3 * model.M
+    got = fct_step(-model.N, jnp.asarray(rhs), jnp.asarray(u_n), dt, model.M,
+                   model.M_diag, model.ML_diag, non_flux=Sst,
+                   solver=SolverOpts(tol=1e-14))
+    np.testing.assert_allclose(np.asarray(got).ravel(), want, rtol=1e-9, atol=1e-11)
