@@ -361,64 +361,38 @@ class ChemotaxisModel(ModelBase):
         key = ("adjck", float(dt), optim, num_segments)
 
         def build():
+            from fem_fct_pdeco_tpu.timeloop import checkpointed_adjoint
+
             fwd_step = self._forward_step(dt)
             adj_step = self._adjoint_step(dt, optim)
 
             def run(control_traj, u0, v0, uhat, vhat):
-                steps = control_traj.shape[0] - 1
-                assert steps % num_segments == 0
-                seg = steps // num_segments
+                def terminal(final):
+                    uT, vT = final
+                    if optim == "finaltime":
+                        return uhat - uT, vhat - vT
+                    return jnp.zeros_like(uT), jnp.zeros_like(vT)
 
-                # 1. forward, keeping only segment-boundary states
-                def seg_fwd(carry, cs):
-                    def body(c2, c_i):
-                        return fwd_step(c2, c_i), None
-
-                    out, _ = jax.lax.scan(body, carry, cs)
-                    return out, carry
-
-                cs = control_traj[1:].reshape(num_segments, seg, *control_traj.shape[1:])
-                (uT, vT), bounds = jax.lax.scan(seg_fwd, (u0, v0), cs)
-
-                # terminal conditions
-                if optim == "finaltime":
-                    pT, qT = uhat - uT, vhat - vT
-                else:
-                    pT = jnp.zeros_like(uT)
-                    qT = jnp.zeros_like(vT)
-
-                # 2. backward over segments (static Python loop): recompute
-                # the segment's forward states, then adjoint-sweep it
-                p_next, q_next = pT, qT
-                p_chunks, q_chunks = [], []
-                for s in reversed(range(num_segments)):
-                    ub0 = jax.tree.map(lambda b: b[s], bounds)
+                def adj_xs(seg_traj, s, seg):
+                    u_seg, v_seg = seg_traj
                     cseg = jax.lax.dynamic_slice_in_dim(
-                        control_traj, s * seg, seg + 1, axis=0
-                    )
-                    u_seg, v_seg = forward_sweep(fwd_step, ub0, cseg[1:])
+                        control_traj, s * seg, seg, axis=0)
                     if optim == "finaltime":
                         zero = jnp.zeros_like(u_seg[:-1])
-                        xs = (u_seg[:-1], v_seg[:-1], cseg[:-1], zero, zero)
-                    else:
-                        uh = jax.lax.dynamic_slice_in_dim(uhat, s * seg, seg, axis=0)
-                        vh = jax.lax.dynamic_slice_in_dim(vhat, s * seg, seg, axis=0)
-                        mis_u = uh - u_seg[:-1]
-                        mis_v = vh - v_seg[:-1]
-                        if self.consistent_alltime_misfit:
-                            mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
-                            mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
-                        xs = (u_seg[:-1], v_seg[:-1], cseg[:-1], mis_u, mis_v)
-                    p_seg, q_seg = adjoint_sweep(adj_step, (p_next, q_next), xs)
-                    # segment s covers global indices s*seg..(s+1)*seg; its
-                    # first entry duplicates segment s-1's last — keep the
-                    # full chunk only for s = 0
-                    p_chunks.append(p_seg[1:] if s > 0 else p_seg)
-                    q_chunks.append(q_seg[1:] if s > 0 else q_seg)
-                    p_next, q_next = p_seg[0], q_seg[0]
-                p_traj = jnp.concatenate(list(reversed(p_chunks)), axis=0)
-                q_traj = jnp.concatenate(list(reversed(q_chunks)), axis=0)
-                return p_traj, q_traj
+                        return (u_seg[:-1], v_seg[:-1], cseg, zero, zero)
+                    uh = jax.lax.dynamic_slice_in_dim(uhat, s * seg, seg, axis=0)
+                    vh = jax.lax.dynamic_slice_in_dim(vhat, s * seg, seg, axis=0)
+                    mis_u = uh - u_seg[:-1]
+                    mis_v = vh - v_seg[:-1]
+                    if self.consistent_alltime_misfit:
+                        mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
+                        mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                    return (u_seg[:-1], v_seg[:-1], cseg, mis_u, mis_v)
+
+                return checkpointed_adjoint(
+                    fwd_step, adj_step, (u0, v0), control_traj[1:],
+                    terminal, adj_xs, num_segments,
+                )
 
             return run
 

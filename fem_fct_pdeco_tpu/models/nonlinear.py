@@ -56,6 +56,28 @@ class NonlinearModel(ModelBase):
             return (1.0 / 3.0) * Mu2 - self.M
         return Mu2 - self.M
 
+    def _forward_step(self, dt):
+        def step(u_n, c_i):
+            rhs = st.apply(self.M, c_i)
+            return fct_step(
+                self.A_state, rhs, u_n, dt, self.M, self.M_diag,
+                self.ML_diag, non_flux=self._nonflux(u_n, +1.0),
+                solver=self.solver_opts, node_mask=self.node_mask,
+            )
+
+        return step
+
+    def _adjoint_step(self, dt):
+        def step(p_np1, x):
+            u_n, mis = x
+            return fct_step(
+                self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
+                self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
+                solver=self.solver_opts, node_mask=self.node_mask,
+            )
+
+        return step
+
     def forward(self, control_traj, u0, dt):
         """State sweep; step i uses control_traj[i] (helpers.py:941-958).
         Returns (u_traj,)."""
@@ -75,14 +97,7 @@ class NonlinearModel(ModelBase):
 
                 return run_fused
 
-            def step(u_n, c_i):
-                rhs = st.apply(self.M, c_i)
-                return fct_step(
-                    self.A_state, rhs, u_n, dt, self.M, self.M_diag,
-                    self.ML_diag, non_flux=self._nonflux(u_n, +1.0),
-                    solver=self.solver_opts, node_mask=self.node_mask,
-                )
-
+            step = self._forward_step(dt)
             return lambda c, u0: (forward_sweep(step, u0, c[1:]),)
 
         return self._jitted(("fwd", float(dt)), build)(control_traj, u0)
@@ -121,13 +136,7 @@ class NonlinearModel(ModelBase):
 
                 return run_fused
 
-            def step(p_np1, x):
-                u_n, mis = x
-                return fct_step(
-                    self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
-                    self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
-                    solver=self.solver_opts, node_mask=self.node_mask,
-                )
+            step = self._adjoint_step(dt)
 
             def run(u_traj, uhat):
                 pT, mis = terminal(u_traj, uhat)
@@ -136,6 +145,45 @@ class NonlinearModel(ModelBase):
             return run
 
         return self._jitted(("adj", float(dt), optim), build)(u_traj, uhat)
+
+    def adjoint_checkpointed(self, control_traj, u0, uhat, dt,
+                             optim="finaltime", num_segments: int = 8):
+        """Segmented checkpoint/recompute adjoint without a stored forward
+        trajectory (timeloop.checkpointed_adjoint; SURVEY §5 long-trajectory
+        mechanism). Returns (p_traj,) matching adjoint(forward(...))."""
+        key = ("adjck", float(dt), optim, num_segments)
+
+        def build():
+            import jax
+
+            from fem_fct_pdeco_tpu.timeloop import checkpointed_adjoint
+
+            fwd_step = self._forward_step(dt)
+            adj_step = self._adjoint_step(dt)
+
+            def run(control_traj, u0, uhat):
+                def terminal(uT):
+                    if optim == "finaltime":
+                        return uhat - uT
+                    return jnp.zeros_like(uT)
+
+                def adj_xs(u_seg, s, seg):
+                    if optim == "finaltime":
+                        mis = jnp.zeros_like(u_seg[:-1])
+                    else:
+                        uh = jax.lax.dynamic_slice_in_dim(uhat, s * seg, seg, 0)
+                        mis = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            uh, u_seg[:-1])
+                    return (u_seg[:-1], mis)
+
+                return (checkpointed_adjoint(
+                    fwd_step, adj_step, u0, control_traj[1:], terminal,
+                    adj_xs, num_segments,
+                ),)
+
+            return run
+
+        return self._jitted(key, build)(control_traj, u0, uhat)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - p) (nonlinear_FCT_PDECO_refactored.py:148)."""

@@ -87,6 +87,83 @@ class SchnakenbergModel(ModelBase):
     def _wm(self, g_quad):
         return self.asm.weighted_mass(g_quad, degree=4)
 
+    def _forward_step(self, dt):
+        p = self.params
+        gM = p.gamma * self.M
+
+        def step(carry, x):
+            c_i, t_i = x
+            u_n, v_n = carry
+            if self.td_wind_fn is None:
+                A_u, B_v = self.A_u, self.B_v
+            else:
+                N = self.asm.convection_td(self.td_wind_fn, t_i)
+                A_u = p.Du * self.K - p.omega1 * N
+                B_v = p.Dv * self.K - p.omega2 * N
+            # u via FCT: rhs = γ(c/r + u_n² v_n), non_flux = γM
+            uq = self.asm.nodal_at_quad(u_n, 4)
+            vq = self.asm.nodal_at_quad(v_n, 4)
+            cq = self.asm.nodal_at_quad(c_i, 4)
+            rhs_u = self.asm.linear_form(
+                p.gamma / self.rescaling * cq + p.gamma * uq**2 * vq, 4
+            )
+            u_np1 = fct_step(
+                A_u, rhs_u, u_n, dt, self.M, self.M_diag,
+                self.ML_diag, non_flux=gM, solver=self.solver_opts,
+                node_mask=self.node_mask,
+            )
+            # v implicit with the *new* u (helpers.py:590-596)
+            Mu2 = self._wm(self.asm.nodal_at_quad(u_np1, 4) ** 2)
+            Mat_v = self.M + dt * (B_v + p.gamma * Mu2)
+            rhs_v = self.asm.linear_form(
+                jnp.full_like(self.asm.nodal_at_quad(v_n, 4), p.gamma * p.c_b), 4
+            )
+            v_np1 = solve_stencil(
+                Mat_v, st.apply(self.M, v_n) + dt * rhs_v, x0=v_n,
+                opts=self.solver_opts,
+            )
+            return (u_np1, v_np1)
+
+        return step
+
+    def _adjoint_step(self, dt):
+        p = self.params
+        gM = p.gamma * self.M
+
+        def step(carry, x):
+            p_np1, q_np1 = carry
+            u_n, v_n, t_n, mis_u, mis_v = x
+            if self.td_wind_fn is None:
+                A_u_adj, B_v_adj = self.A_u_adj, self.B_v_adj
+            else:
+                N = self.asm.convection_td(self.td_wind_fn, t_n)
+                Nt = st.transpose(N)
+                A_u_adj = p.Du * self.K - p.omega1 * Nt
+                B_v_adj = p.Dv * self.K - p.omega2 * Nt
+            uq = self.asm.nodal_at_quad(u_n, 4)
+            vq = self.asm.nodal_at_quad(v_n, 4)
+            pq = self.asm.nodal_at_quad(p_np1, 4)
+            # q: [M + dt(Dv K - ω₂N + γ M_u²)] q = M q_np1 + dt γ (p_np1 u²)
+            Mu2 = self._wm(uq**2)
+            rhs_q = self.asm.linear_form(p.gamma * pq * uq**2, 4) + mis_v
+            Mat_q = self.M + dt * (B_v_adj + p.gamma * Mu2)
+            q_n = solve_stencil(
+                Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1,
+                opts=self.solver_opts,
+            )
+            # p via FCT: rhs = -2γ u v q_n, non_flux = γM - 2γ M_uv
+            qq = self.asm.nodal_at_quad(q_n, 4)
+            rhs_p = self.asm.linear_form(-2.0 * p.gamma * uq * vq * qq, 4) + mis_u
+            Muv = self._wm(uq * vq)
+            p_n = fct_step(
+                A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
+                self.ML_diag, non_flux=gM - 2.0 * p.gamma * Muv,
+                solver=self.solver_opts, node_mask=self.node_mask,
+            )
+            return (p_n, q_n)
+
+        return step
+
     def forward(self, control_traj, u0, v0, dt):
         """Forward sweep (helpers.py:511-597). Step i uses control_traj[i]."""
 
@@ -107,40 +184,7 @@ class SchnakenbergModel(ModelBase):
                     )
 
                 return run_fused
-            gM = p.gamma * self.M
-
-            def step(carry, x):
-                c_i, t_i = x
-                u_n, v_n = carry
-                if self.td_wind_fn is None:
-                    A_u, B_v = self.A_u, self.B_v
-                else:
-                    N = self.asm.convection_td(self.td_wind_fn, t_i)
-                    A_u = p.Du * self.K - p.omega1 * N
-                    B_v = p.Dv * self.K - p.omega2 * N
-                # u via FCT: rhs = γ(c/r + u_n² v_n), non_flux = γM
-                uq = self.asm.nodal_at_quad(u_n, 4)
-                vq = self.asm.nodal_at_quad(v_n, 4)
-                cq = self.asm.nodal_at_quad(c_i, 4)
-                rhs_u = self.asm.linear_form(
-                    p.gamma / self.rescaling * cq + p.gamma * uq**2 * vq, 4
-                )
-                u_np1 = fct_step(
-                    A_u, rhs_u, u_n, dt, self.M, self.M_diag,
-                    self.ML_diag, non_flux=gM, solver=self.solver_opts,
-                    node_mask=self.node_mask,
-                )
-                # v implicit with the *new* u (helpers.py:590-596)
-                Mu2 = self._wm(self.asm.nodal_at_quad(u_np1, 4) ** 2)
-                Mat_v = self.M + dt * (B_v + p.gamma * Mu2)
-                rhs_v = self.asm.linear_form(
-                    jnp.full_like(self.asm.nodal_at_quad(v_n, 4), p.gamma * p.c_b), 4
-                )
-                v_np1 = solve_stencil(
-                    Mat_v, st.apply(self.M, v_n) + dt * rhs_v, x0=v_n,
-                    opts=self.solver_opts,
-                )
-                return (u_np1, v_np1)
+            step = self._forward_step(dt)
 
             def run(c, u0, v0):
                 steps = c.shape[0] - 1
@@ -189,39 +233,7 @@ class SchnakenbergModel(ModelBase):
                     )
 
                 return run_fused
-            gM = p.gamma * self.M
-
-            def step(carry, x):
-                p_np1, q_np1 = carry
-                u_n, v_n, t_n, mis_u, mis_v = x
-                if self.td_wind_fn is None:
-                    A_u_adj, B_v_adj = self.A_u_adj, self.B_v_adj
-                else:
-                    N = self.asm.convection_td(self.td_wind_fn, t_n)
-                    Nt = st.transpose(N)
-                    A_u_adj = p.Du * self.K - p.omega1 * Nt
-                    B_v_adj = p.Dv * self.K - p.omega2 * Nt
-                uq = self.asm.nodal_at_quad(u_n, 4)
-                vq = self.asm.nodal_at_quad(v_n, 4)
-                pq = self.asm.nodal_at_quad(p_np1, 4)
-                # q: [M + dt(Dv K - ω₂N + γ M_u²)] q = M q_np1 + dt γ (p_np1 u²)
-                Mu2 = self._wm(uq**2)
-                rhs_q = self.asm.linear_form(p.gamma * pq * uq**2, 4) + mis_v
-                Mat_q = self.M + dt * (B_v_adj + p.gamma * Mu2)
-                q_n = solve_stencil(
-                    Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1,
-                    opts=self.solver_opts,
-                )
-                # p via FCT: rhs = -2γ u v q_n, non_flux = γM - 2γ M_uv
-                qq = self.asm.nodal_at_quad(q_n, 4)
-                rhs_p = self.asm.linear_form(-2.0 * p.gamma * uq * vq * qq, 4) + mis_u
-                Muv = self._wm(uq * vq)
-                p_n = fct_step(
-                    A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
-                    self.ML_diag, non_flux=gM - 2.0 * p.gamma * Muv,
-                    solver=self.solver_opts, node_mask=self.node_mask,
-                )
-                return (p_n, q_n)
+            step = self._adjoint_step(dt)
 
             def run(u_traj, v_traj, uhat, vhat):
                 steps = u_traj.shape[0] - 1
@@ -248,6 +260,53 @@ class SchnakenbergModel(ModelBase):
             return run
 
         return self._jitted(("adj", float(dt), optim), build)(u_traj, v_traj, uhat, vhat)
+
+    def adjoint_checkpointed(self, control_traj, u0, v0, uhat, vhat, dt,
+                             optim="finaltime", num_segments: int = 8):
+        """Segmented checkpoint/recompute adjoint without a stored forward
+        trajectory (timeloop.checkpointed_adjoint; SURVEY §5 long-trajectory
+        mechanism). Returns (p_traj, q_traj) matching adjoint(forward(...))."""
+        key = ("adjck", float(dt), optim, num_segments)
+
+        def build():
+            from fem_fct_pdeco_tpu.timeloop import checkpointed_adjoint
+
+            fwd_step = self._forward_step(dt)
+            adj_step = self._adjoint_step(dt)
+
+            def run(control_traj, u0, v0, uhat, vhat):
+                steps = control_traj.shape[0] - 1
+                times_fwd = jnp.arange(1, steps + 1, dtype=control_traj.dtype) * dt
+
+                def terminal(final):
+                    uT, vT = final
+                    if optim == "finaltime":
+                        return uhat - uT, vhat - vT
+                    return jnp.zeros_like(uT), jnp.zeros_like(vT)
+
+                def adj_xs(seg_traj, s, seg):
+                    u_seg, v_seg = seg_traj
+                    times = (jnp.arange(seg, dtype=control_traj.dtype) + s * seg) * dt
+                    if optim == "finaltime":
+                        zero = jnp.zeros_like(u_seg[:-1])
+                        return (u_seg[:-1], v_seg[:-1], times, zero, zero)
+                    uh = jax.lax.dynamic_slice_in_dim(uhat, s * seg, seg, 0)
+                    vh = jax.lax.dynamic_slice_in_dim(vhat, s * seg, seg, 0)
+                    mis_u = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                        uh, u_seg[:-1])
+                    mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                        vh, v_seg[:-1])
+                    return (u_seg[:-1], v_seg[:-1], times, mis_u, mis_v)
+
+                return checkpointed_adjoint(
+                    fwd_step, adj_step, (u0, v0),
+                    (control_traj[1:], times_fwd), terminal, adj_xs,
+                    num_segments,
+                )
+
+            return run
+
+        return self._jitted(key, build)(control_traj, u0, v0, uhat, vhat)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - (γ/r) p) (Schnak_FCT_PDECO_refactored.py:166-167)."""

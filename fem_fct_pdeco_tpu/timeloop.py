@@ -61,3 +61,71 @@ def adjoint_sweep(
     return jax.tree.map(
         lambda f, t: jnp.concatenate([t, f[None]], axis=0), final_state, traj
     )
+
+
+def checkpointed_adjoint(
+    fwd_step: Callable,
+    adj_step: Callable,
+    init_state,
+    fwd_xs,
+    terminal_fn: Callable,
+    adj_xs_fn: Callable,
+    num_segments: int,
+):
+    """Segmented checkpoint/recompute adjoint — the long-trajectory mechanism
+    (SURVEY §5): when the stored forward trajectory exceeds HBM, keep only
+    segment-boundary states during the forward pass and recompute each
+    segment's states on the fly during the backward sweep. Memory scales with
+    num_steps/num_segments instead of num_steps. Generic over models: works
+    for any pytree state carried by ``fwd_step``/``adj_step``.
+
+    - ``fwd_xs``: per-step forward inputs (pytree with leading axis
+      num_steps, already sliced to steps 1..num_steps).
+    - ``terminal_fn(final_state) -> adjoint terminal carry``.
+    - ``adj_xs_fn(seg_traj, s, seg) -> adjoint per-step inputs`` for segment
+      ``s`` covering global steps [s*seg, (s+1)*seg); ``seg_traj`` is the
+      recomputed forward trajectory of the segment INCLUDING its initial
+      state (leading axis seg+1).
+
+    Returns the full adjoint trajectory (leading axis num_steps+1, terminal
+    state last), identical (to solver tolerance) to
+    ``adjoint_sweep(adj_step, terminal_fn(...), ...)`` on the stored
+    trajectory.
+    """
+    steps = jax.tree.leaves(fwd_xs)[0].shape[0]
+    assert steps % num_segments == 0, (steps, num_segments)
+    seg = steps // num_segments
+
+    # 1. forward, keeping only segment-boundary states
+    def seg_fwd(carry, xs_seg):
+        def body(c2, x):
+            return fwd_step(c2, x), None
+
+        out, _ = jax.lax.scan(body, carry, xs_seg)
+        return out, carry
+
+    xs_seg = jax.tree.map(
+        lambda a: a.reshape(num_segments, seg, *a.shape[1:]), fwd_xs
+    )
+    final_state, bounds = jax.lax.scan(seg_fwd, init_state, xs_seg)
+    adj_carry = terminal_fn(final_state)
+
+    # 2. backward over segments (static Python loop): recompute the
+    # segment's forward states, then adjoint-sweep it
+    chunks = []
+    for s in reversed(range(num_segments)):
+        b0 = jax.tree.map(lambda b: b[s], bounds)
+        sxs = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, s * seg, seg, axis=0),
+            fwd_xs,
+        )
+        seg_traj = forward_sweep(fwd_step, b0, sxs)
+        adj_traj = adjoint_sweep(adj_step, adj_carry, adj_xs_fn(seg_traj, s, seg))
+        # segment s covers global indices s*seg..(s+1)*seg; its first entry
+        # duplicates segment s-1's last — keep the full chunk only for s = 0
+        chunks.append(
+            jax.tree.map(lambda t: t[1:] if s > 0 else t, adj_traj)
+        )
+        adj_carry = jax.tree.map(lambda t: t[0], adj_traj)
+    chunks.reverse()
+    return jax.tree.map(lambda *ts: jnp.concatenate(ts, axis=0), *chunks)

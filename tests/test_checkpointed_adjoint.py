@@ -36,3 +36,45 @@ def test_checkpointed_adjoint_matches_full(optim, consistent):
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(q_ck), np.asarray(q_full),
                                rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
+def test_checkpointed_adjoint_nonlinear(optim):
+    """The generalized timeloop.checkpointed_adjoint on the nonlinear model."""
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+
+    g = Grid(0.0, 1.0, 17)
+    model = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13))
+    u0 = jnp.asarray(model.ic())
+    dt, steps = 1e-3, 12
+    c = jnp.broadcast_to(jnp.asarray(model.true_control()), (steps + 1, g.n, g.n))
+    (u,) = model.forward(c, u0, dt)
+    uhat = 1.01 * u[-1] if optim == "finaltime" else 1.01 * u
+    (p_full,) = model.adjoint(u, uhat, dt, optim)
+    (p_ck,) = model.adjoint_checkpointed(c, u0, uhat, dt, optim, num_segments=3)
+    np.testing.assert_allclose(np.asarray(p_ck), np.asarray(p_full),
+                               rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
+def test_checkpointed_adjoint_schnakenberg(optim):
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+
+    g = Grid(0.0, 1.0, 17)
+    model = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13))
+    u0np, v0np = model.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    dt, steps = 5e-4, 12
+    c = jnp.full((steps + 1, g.n, g.n), 0.1)
+    u, v = model.forward(c, u0, v0, dt)
+    if optim == "finaltime":
+        uhat, vhat = 1.01 * u[-1], 1.02 * v[-1]
+    else:
+        uhat, vhat = 1.01 * u, 1.02 * v
+    p_full, q_full = model.adjoint(u, v, uhat, vhat, dt, optim)
+    p_ck, q_ck = model.adjoint_checkpointed(c, u0, v0, uhat, vhat, dt, optim,
+                                            num_segments=4)
+    np.testing.assert_allclose(np.asarray(p_ck), np.asarray(p_full),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q_ck), np.asarray(q_full),
+                               rtol=1e-9, atol=1e-12)
