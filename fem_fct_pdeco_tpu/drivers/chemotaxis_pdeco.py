@@ -33,9 +33,11 @@ RESCALING = 1.0 / 10.0  # chemotaxis_FCT_PDECO_refactored.py rescaling r
 class ChemotaxisProblem(PDECOProblem):
     name = "Chtxs"
     num_vars = 2
+    use_linear_increments = False  # set by --linear-armijo
 
     def __init__(self, cfg: ExperimentConfig, rescaling: float = RESCALING,
-                 backend: str = "xla", dtype=None):
+                 backend: str = "xla", dtype=None, linear_armijo: bool = False):
+        self.use_linear_increments = linear_armijo
         super().__init__(cfg)
         import jax
 
@@ -98,6 +100,18 @@ class ChemotaxisProblem(PDECOProblem):
             var2_traj=state[1], var2_target=self._targets[1],
         )
 
+    def linear_increments(self, dk):
+        """Legacy coupled-system linear-increment Armijo
+        (chemotaxis_FCT_PDECO.py:240-276): the auxiliary (w_m, w_f) sweep is
+        the state system itself driven by the descent direction d from the
+        state initial conditions (w_mk = np.copy(mk), line 129; the w_f/w_m
+        update equations at 260-269 are the v/u state updates with c -> d);
+        Armijo then evaluates the trial states u + s w_u, v + s w_v. The
+        PGD driver re-solves the state at the accepted control before the
+        adjoint (the FCT limiter is nonlinear, so the increment state is an
+        Armijo-trial approximation only)."""
+        return self.model.forward(dk, self._u0, self._v0, self.cfg.dt)
+
     def true_control_norm_sq(self):
         steps = self.cfg.num_steps
         ct = jnp.full((steps + 1, self.grid.n, self.grid.n), self.model.params.gamma)
@@ -141,6 +155,9 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true")
     ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
                     default="xla")
+    ap.add_argument("--linear-armijo", action="store_true",
+                    help="legacy coupled-system (w_m, w_f) linear-increment "
+                         "Armijo trials (chemotaxis_FCT_PDECO.py:240-276)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
@@ -156,7 +173,8 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
     )
-    problem = ChemotaxisProblem(cfg, backend=args.backend)
+    problem = ChemotaxisProblem(cfg, backend=args.backend,
+                                linear_armijo=args.linear_armijo)
     return run_pdeco(problem, cfg)
 
 

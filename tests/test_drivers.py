@@ -41,6 +41,17 @@ def test_chemotaxis_driver(in_tmp):
     assert out["result"].iterations >= 1
 
 
+def test_chemotaxis_driver_linear_armijo(in_tmp):
+    """Legacy coupled-system (w_m, w_f) linear-increment Armijo path."""
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+
+    out = d.main(_common(["--T", "0.005", "--T-data", "0.005", "--dx", "0.05",
+                          "--linear-armijo"]))
+    res = out["result"]
+    assert res.iterations >= 1
+    assert res.history["cost"][-1] < res.history["cost"][0]
+
+
 def test_chemotaxis_driver_alltime(in_tmp):
     from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
 
