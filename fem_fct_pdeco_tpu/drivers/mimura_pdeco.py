@@ -39,9 +39,13 @@ class MimuraProblem(PDECOProblem):
     name = "Mimura"
     num_vars = 2
 
-    def __init__(self, cfg: ExperimentConfig):
+    def __init__(self, cfg: ExperimentConfig, backend: str = "xla"):
         super().__init__(cfg)
-        self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=1e-12))
+        import jax
+
+        tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+        self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=tol),
+                                 backend=backend)
         self._targets = self._load_targets()
         m0, f0 = self.model.ic()
         self._u0, self._v0 = jnp.asarray(m0), jnp.asarray(f0)
@@ -145,6 +149,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+                    default="xla")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T_data,
@@ -167,7 +173,7 @@ def main(argv=None):
     tag = "FT" if cfg.optim == "finaltime" else "AT"
     cfg.out_folder = args.out or f"Mimura_{tag}_T{cfg.T}_beta{cfg.beta}_tol{cfg.tol}"
     cfg.registry_csv = f"Mimura_{tag}_simulation_results.csv"
-    return run_pdeco(MimuraProblem(cfg), cfg)
+    return run_pdeco(MimuraProblem(cfg, backend=args.backend), cfg)
 
 
 if __name__ == "__main__":

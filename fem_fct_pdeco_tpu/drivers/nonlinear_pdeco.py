@@ -35,9 +35,13 @@ class NonlinearProblem(PDECOProblem):
     name = "NL"
     num_vars = 1
 
-    def __init__(self, cfg: ExperimentConfig):
+    def __init__(self, cfg: ExperimentConfig, backend: str = "xla"):
         super().__init__(cfg)
-        self.model = NonlinearModel(self.grid, solver_opts=SolverOpts(tol=1e-12))
+        import jax
+
+        tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+        self.model = NonlinearModel(self.grid, solver_opts=SolverOpts(tol=tol),
+                                    backend=backend)
         self._target = self._load_target()
 
     def _load_target(self):
@@ -140,6 +144,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+                    default="xla")
     ap.add_argument("--discrete-gradient", action="store_true",
                     help="use the exact discrete gradient (jax.grad through "
                          "the FCT scan) instead of the continuous adjoint")
@@ -153,7 +159,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
     )
-    problem = NonlinearProblem(cfg)
+    problem = NonlinearProblem(cfg, backend=args.backend)
     problem.use_discrete_gradient = args.discrete_gradient
     return run_pdeco(problem, cfg)
 

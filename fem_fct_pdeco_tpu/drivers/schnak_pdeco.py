@@ -34,7 +34,8 @@ class SchnakProblem(PDECOProblem):
     num_vars = 2
 
     def __init__(self, cfg: ExperimentConfig, rescaling: float = 1.0,
-                 dt_data: float | None = None, td_wind: bool = False):
+                 dt_data: float | None = None, td_wind: bool = False,
+                 backend: str = "xla"):
         super().__init__(cfg)
         # time-dependent vortex of Schnak_FCT_PDECO_alltime.py:56
         td_fn = None
@@ -43,9 +44,12 @@ class SchnakProblem(PDECOProblem):
                 -(y - 0.5) * jnp.sin(2 * jnp.pi * t),
                 (x - 0.5) * jnp.sin(2 * jnp.pi * t),
             )
+        import jax
+
+        tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
         self.model = SchnakenbergModel(
-            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=1e-12),
-            td_wind_fn=td_fn,
+            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=tol),
+            td_wind_fn=td_fn, backend=backend,
         )
         # target stored at dt_data resolution; subsample by skip = dt/dt_data
         # (Schnak_FCT_PDECO_alltime.py:45-48, 116-119)
@@ -154,6 +158,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+                    default="xla")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
@@ -167,7 +173,8 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
     )
-    return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data, td_wind=args.td_wind), cfg)
+    return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data,
+                                   td_wind=args.td_wind, backend=args.backend), cfg)
 
 
 if __name__ == "__main__":
