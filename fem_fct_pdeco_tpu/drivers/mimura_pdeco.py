@@ -9,7 +9,14 @@ driver re-expresses the problems on the current API with the MimuraModel
 adjoint, keeping the inverse-crime setup self-consistent (targets generated
 by the same model with the true control c=1).
 
+``--legacy-m4`` runs the OLDER m(4-m)-form system verbatim
+(old_helpers.py:87-111 builders + legacy-sign FCT, via
+models/legacy_mimura.py) with the legacy script's constants
+(chemotaxis_mimura_FCT_PGD.py:44-57: beta=1, c in [0, 1.5], dt=0.1, T=1,
+delta=32, Dm=0.0625, Df=1, chi=8.5).
+
 CLI:  python -m fem_fct_pdeco_tpu.drivers.mimura_pdeco [--optim alltime]
+      [--legacy-m4]
 """
 
 from __future__ import annotations
@@ -39,13 +46,20 @@ class MimuraProblem(PDECOProblem):
     name = "Mimura"
     num_vars = 2
 
-    def __init__(self, cfg: ExperimentConfig, backend: str = "xla"):
+    def __init__(self, cfg: ExperimentConfig, backend: str = "xla",
+                 legacy_m4: bool = False):
         super().__init__(cfg)
         import jax
 
         tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
-        self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=tol),
-                                 backend=backend)
+        if legacy_m4:
+            from fem_fct_pdeco_tpu.models.legacy_mimura import LegacyM4MimuraModel
+
+            self.model = LegacyM4MimuraModel(
+                self.grid, solver_opts=SolverOpts(tol=tol))
+        else:
+            self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=tol),
+                                     backend=backend)
         self._targets = self._load_targets()
         m0, f0 = self.model.ic()
         self._u0, self._v0 = jnp.asarray(m0), jnp.asarray(f0)
@@ -151,12 +165,24 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true")
     ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
                     default="xla")
+    ap.add_argument("--legacy-m4", action="store_true",
+                    help="legacy m(4-m) system (old_helpers.py:87-111)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T_data,
          "dt": args.dt, "dx": args.dx, "a2": args.a2, "beta": args.beta,
          "tol": args.tol, "max_iter_gd": args.max_iter_gd,
          "produce_plots": args.plots}
+    if args.legacy_m4:
+        # legacy script config (chemotaxis_mimura_FCT_PGD.py:44-57)
+        assert args.optim == "finaltime", "--legacy-m4 is final-time only"
+        d["c_lower"], d["c_upper"] = 0.0, 1.5
+        if args.beta == DEFAULTS["beta"]:
+            d["beta"] = 1.0
+        if args.T == DEFAULTS["T"]:
+            d["T"] = 1.0
+        if args.tol == DEFAULTS["tol"]:
+            d["tol"] = 1e-2
     if args.optim == "alltime":
         # reference alltime config (chemotaxis_mimura_FCT_PGD_alltime.py:43-57):
         # beta=1, c in [0, 1.5], dt=0.1, T=3dt, tol=1e-2; target = own
@@ -171,9 +197,12 @@ def main(argv=None):
         d["T_data"] = d["T"]
     cfg = ExperimentConfig(**d)
     tag = "FT" if cfg.optim == "finaltime" else "AT"
+    if args.legacy_m4:
+        tag = "legacyM4_" + tag
     cfg.out_folder = args.out or f"Mimura_{tag}_T{cfg.T}_beta{cfg.beta}_tol{cfg.tol}"
     cfg.registry_csv = f"Mimura_{tag}_simulation_results.csv"
-    return run_pdeco(MimuraProblem(cfg, backend=args.backend), cfg)
+    return run_pdeco(
+        MimuraProblem(cfg, backend=args.backend, legacy_m4=args.legacy_m4), cfg)
 
 
 if __name__ == "__main__":

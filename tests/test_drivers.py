@@ -133,3 +133,12 @@ def test_generate_targets_cli(in_tmp):
 
     g, (m, f) = chemotaxis(str(in_tmp / "gen"), T=0.002, dt=1e-3, dx=0.1)
     assert os.path.exists(in_tmp / "gen" / "chtxs_m_t0.002.csv")
+
+
+def test_mimura_driver_legacy_m4(in_tmp):
+    """Legacy m(4-m) system (--legacy-m4, old_helpers.py:87-111 builders)."""
+    from fem_fct_pdeco_tpu.drivers import mimura_pdeco as d
+
+    out = d.main(_common(["--legacy-m4", "--T", "0.2", "--T-data", "0.5",
+                          "--dt", "0.1", "--dx", "1.0", "--a2", "10.0"]))
+    assert out["result"].iterations >= 1
