@@ -48,9 +48,17 @@ class ChemotaxisProblem(PDECOProblem):
             self.grid, rescaling=rescaling, dtype=dtype,
             solver_opts=SolverOpts(tol=tol, maxiter=300), backend=backend,
         )
-        self._targets = self._load_targets()
+        # everything the sweeps touch lives in the MODEL dtype (under
+        # mixed precision x64 is on, so bare asarray would produce f64)
+        md = self.model.dtype
+        self._targets = tuple(t.astype(md) for t in self._load_targets())
         u0, v0 = self.model.ic()
-        self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
+        self._u0 = jnp.asarray(u0, dtype=md)
+        self._v0 = jnp.asarray(v0, dtype=md)
+
+    def initial_control(self):
+        n = self.grid.n
+        return jnp.zeros((self.cfg.num_steps + 1, n, n), dtype=self.model.dtype)
 
     def _load_targets(self):
         from fem_fct_pdeco_tpu.drivers.common import target_dir
@@ -76,6 +84,15 @@ class ChemotaxisProblem(PDECOProblem):
         )
 
     def mass(self):
+        # Under mixed precision the OBJECTIVE-grade mass is assembled in f64
+        # (the f32 model stencil carries ~1e-8 rounding that would cap the
+        # objective accuracy); norms upcast the f32 trajectories to meet it.
+        if self.accum_dtype is not None:
+            if not hasattr(self, "_M_obj"):
+                from fem_fct_pdeco_tpu.ops.assembly import P1Assembler
+
+                self._M_obj = P1Assembler(self.grid, dtype=self.accum_dtype).mass
+            return self._M_obj
         return self.model.M
 
     def targets(self):
@@ -95,9 +112,10 @@ class ChemotaxisProblem(PDECOProblem):
 
     def cost(self, state, c):
         return cost_functional(
-            state[0], self._targets[0], c, self.cfg.dt, self.model.M,
+            state[0], self._targets[0], c, self.cfg.dt, self.mass(),
             self.cfg.beta, self.cfg.optim,
             var2_traj=state[1], var2_target=self._targets[1],
+            accum_dtype=self.accum_dtype,
         )
 
     def linear_increments(self, dk):
@@ -158,6 +176,9 @@ def main(argv=None):
     ap.add_argument("--linear-armijo", action="store_true",
                     help="legacy coupled-system (w_m, w_f) linear-increment "
                          "Armijo trials (chemotaxis_FCT_PDECO.py:240-276)")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 sweeps + f64 objectives/norms (enables x64; "
+                         "parity-grade Armijo decisions at f32 sweep speed)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
@@ -167,13 +188,20 @@ def main(argv=None):
         # all-time tracks the trajectory over [0, T]; final-time tracks a
         # stored pattern at T_data (reference default 0.5)
         T_data = args.T if args.optim == "alltime" else DEFAULTS["T_data"]
+    dtype = None
+    if args.mixed_precision:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float32  # sweeps stay f32; objectives upcast to f64
     cfg = build_config(
         optim=args.optim, T=args.T, T_data=T_data, dt=args.dt, dx=args.dx,
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
+        mixed_precision=args.mixed_precision,
     )
-    problem = ChemotaxisProblem(cfg, backend=args.backend,
+    problem = ChemotaxisProblem(cfg, backend=args.backend, dtype=dtype,
                                 linear_armijo=args.linear_armijo)
     return run_pdeco(problem, cfg)
 

@@ -57,6 +57,9 @@ class ExperimentConfig:
     registry_csv: str | None = None
     checkpoint_path: str | None = None  # enable PGD save/resume
     tag: str = ""
+    # f32 sweeps + f64 objectives/norms (requires jax_enable_x64; see
+    # optimize/cost.py). Drivers set this from --mixed-precision.
+    mixed_precision: bool = False
 
     @property
     def num_steps(self) -> int:
@@ -85,6 +88,7 @@ class PDECOProblem:
     def __init__(self, cfg: ExperimentConfig):
         self.cfg = cfg
         self.grid = cfg.grid()
+        self.accum_dtype = jnp.float64 if cfg.mixed_precision else None
 
     # -- required hooks -------------------------------------------------
     def initial_control(self):
@@ -130,6 +134,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
     )
 
     targets = problem.targets()
+    ad = getattr(problem, "accum_dtype", None)
 
     def fidelity(state):
         out = {}
@@ -137,9 +142,11 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             if target is None:
                 continue
             if cfg.optim == "finaltime":
-                out[f"var{k+1}"] = float(l2_norm_sq_omega(traj[-1] - target, M))
+                out[f"var{k+1}"] = float(
+                    l2_norm_sq_omega(traj[-1] - target, M, accum_dtype=ad))
             else:
-                out[f"var{k+1}"] = float(l2_norm_sq_q(traj - target, dt, M))
+                out[f"var{k+1}"] = float(
+                    l2_norm_sq_q(traj - target, dt, M, accum_dtype=ad))
         return out
 
     def callback(it, info):
@@ -172,7 +179,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             solve_adjoint=problem.solve_adjoint,
             descent_direction=problem.descent_direction,
             cost_fn=problem.cost,
-            control_norm_sq=lambda c: l2_norm_sq_q(c, dt, M),
+            control_norm_sq=lambda c: l2_norm_sq_q(c, dt, M, accum_dtype=ad),
             fidelity_fn=fidelity,
             callback=callback,
             linear_increments=lin if getattr(problem, "use_linear_increments", False) else None,

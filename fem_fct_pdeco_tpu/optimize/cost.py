@@ -2,6 +2,14 @@
 
 Trajectories are ``(num_steps+1, n, n)`` fields; norms use the consistent
 mass stencil in space and the trapezoidal rule in time.
+
+Mixed precision: every norm accepts ``accum_dtype`` — when set (typically
+``jnp.float64`` with x64 enabled), the quadratic forms are evaluated in that
+dtype while the sweeps stay in the field dtype. This gives parity-grade
+objectives on f32 TPU sweeps: the norm is exact (to f64) for the f32
+trajectory it is given, so Armijo decisions and stopping criteria are not
+polluted by f32 reduction noise. (The reference is all-f64; this is the
+TPU-native speed/accuracy split — see docs/roadmap.md.)
 """
 
 from __future__ import annotations
@@ -12,14 +20,24 @@ import jax.numpy as jnp
 from fem_fct_pdeco_tpu.ops import stencil as st
 
 
-def l2_norm_sq_omega(phi: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
+def _cast(x, accum_dtype):
+    return x if accum_dtype is None else x.astype(accum_dtype)
+
+
+def l2_norm_sq_omega(phi: jnp.ndarray, M: jnp.ndarray,
+                     accum_dtype=None) -> jnp.ndarray:
     """||phi||^2_{L^2(Omega)} = phi^T M phi (helpers.py:362-381)."""
+    phi = _cast(phi, accum_dtype)
+    M = _cast(M, accum_dtype)
     return jnp.sum(phi * st.apply(M, phi))
 
 
-def l2_norm_sq_q(phi_traj: jnp.ndarray, dt, M: jnp.ndarray) -> jnp.ndarray:
+def l2_norm_sq_q(phi_traj: jnp.ndarray, dt, M: jnp.ndarray,
+                 accum_dtype=None) -> jnp.ndarray:
     """||phi||^2_{L^2(Q)}: trapezoid in time, mass matrix in space
     (helpers.py:330-360)."""
+    phi_traj = _cast(phi_traj, accum_dtype)
+    M = _cast(M, accum_dtype)
     per_step = jax.vmap(lambda p: l2_norm_sq_omega(p, M))(phi_traj)
     w = jnp.ones(phi_traj.shape[0], dtype=phi_traj.dtype)
     w = w.at[0].set(0.5).at[-1].set(0.5)
@@ -36,6 +54,7 @@ def cost_functional(
     optim: str,
     var2_traj: jnp.ndarray | None = None,
     var2_target: jnp.ndarray | None = None,
+    accum_dtype=None,
 ) -> jnp.ndarray:
     """J = misfit(s) + beta/2 ||c||^2_{L^2(Q)} (helpers.py:383-441).
 
@@ -44,15 +63,20 @@ def cost_functional(
     """
     if optim not in ("alltime", "finaltime"):
         raise ValueError(f"invalid optim {optim!r}")
+    ad = accum_dtype
     if optim == "alltime":
-        func = 0.5 * l2_norm_sq_q(var1_traj - var1_target, dt, M)
+        func = 0.5 * l2_norm_sq_q(
+            _cast(var1_traj, ad) - _cast(var1_target, ad), dt, M, ad)
         if var2_traj is not None and var2_target is not None:
-            func = func + 0.5 * l2_norm_sq_q(var2_traj - var2_target, dt, M)
+            func = func + 0.5 * l2_norm_sq_q(
+                _cast(var2_traj, ad) - _cast(var2_target, ad), dt, M, ad)
     else:
-        func = 0.5 * l2_norm_sq_omega(var1_traj[-1] - var1_target, M)
+        func = 0.5 * l2_norm_sq_omega(
+            _cast(var1_traj[-1], ad) - _cast(var1_target, ad), M, ad)
         if var2_traj is not None and var2_target is not None:
-            func = func + 0.5 * l2_norm_sq_omega(var2_traj[-1] - var2_target, M)
-    return func + beta / 2.0 * l2_norm_sq_q(control_traj, dt, M)
+            func = func + 0.5 * l2_norm_sq_omega(
+                _cast(var2_traj[-1], ad) - _cast(var2_target, ad), M, ad)
+    return func + beta / 2.0 * l2_norm_sq_q(control_traj, dt, M, ad)
 
 
 def rel_err(new, old) -> float:

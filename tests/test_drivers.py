@@ -142,3 +142,14 @@ def test_mimura_driver_legacy_m4(in_tmp):
     out = d.main(_common(["--legacy-m4", "--T", "0.2", "--T-data", "0.5",
                           "--dt", "0.1", "--dx", "1.0", "--a2", "10.0"]))
     assert out["result"].iterations >= 1
+
+
+def test_chemotaxis_driver_mixed_precision(in_tmp):
+    """--mixed-precision: f32 sweeps with f64 objectives (optimize/cost.py)."""
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+
+    out = d.main(_common(["--T", "0.005", "--T-data", "0.005", "--dx", "0.05",
+                          "--mixed-precision"]))
+    res = out["result"]
+    assert res.iterations >= 1
+    assert res.history["cost"][-1] < res.history["cost"][0]

@@ -106,3 +106,33 @@ def test_pgd_backup_restores_initial_control_on_first_iter_failure():
     assert res.status.endswith("_restored_backup")
     np.testing.assert_array_equal(np.asarray(res.control), np.asarray(c0))
     assert res.cost == pytest.approx(0.0)
+
+
+def test_mixed_precision_norms_match_f64_oracle():
+    """accum_dtype=f64 norms of f32 data must equal an independent NumPy f64
+    oracle of the SAME f32 values to ~1e-13 (given an f64-assembled mass,
+    as the drivers use), and be at least as close to it as the plain f32
+    evaluation (optimize/cost.py mixed-precision mode)."""
+    import oracles
+
+    n, h, dt = 17, 1.0 / 16.0, 1e-3
+    g = Grid(0.0, 1.0, n)
+    M32 = P1Assembler(g, dtype=jnp.float32).mass
+    M64 = P1Assembler(g, dtype=jnp.float64).mass
+    rng = np.random.RandomState(3)
+    traj32 = jnp.asarray(rng.rand(7, n, n), dtype=jnp.float32)
+
+    Md = oracles.mass_dense(n, h)
+    flat = np.asarray(traj32, dtype=np.float64).reshape(7, -1)
+    per = np.einsum("ti,ij,tj->t", flat, Md, flat)
+    w = np.ones(7); w[0] = w[-1] = 0.5
+    oracle = float(np.sum(w * per) * dt)
+
+    mixed = float(l2_norm_sq_q(traj32, dt, M64, accum_dtype=jnp.float64))
+    plain = float(l2_norm_sq_q(traj32, dt, M32))
+    assert abs(mixed - oracle) / oracle < 1e-12
+    assert abs(mixed - oracle) <= abs(plain - oracle) + 1e-15 * oracle
+
+    om_mixed = float(l2_norm_sq_omega(traj32[0], M64, accum_dtype=jnp.float64))
+    om_oracle = float(flat[0] @ Md @ flat[0])
+    assert abs(om_mixed - om_oracle) / om_oracle < 1e-12
