@@ -1,7 +1,8 @@
 """ctypes wrapper for the native CSV float parser (native/fastcsv.cpp).
 
-Builds lazily with g++ on first use if the shared library is missing
-(no pybind11 in this environment; plain C ABI + ctypes instead).
+Builds lazily with g++ on first use if the shared library is missing or
+older than the source (no pybind11 in this environment; plain C ABI +
+ctypes instead).
 """
 
 from __future__ import annotations
@@ -23,32 +24,44 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
         if not os.path.exists(_SRC):
             raise OSError("fastcsv source unavailable")
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-pthread",
+             "-o", _LIB_PATH, _SRC],
             check=True,
             capture_output=True,
         )
     lib = ctypes.CDLL(_LIB_PATH)
-    lib.fastcsv_parse.argtypes = [
+    lib.fastcsv_parse_mt.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
         ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
     ]
-    lib.fastcsv_parse.restype = ctypes.c_int
+    lib.fastcsv_parse_mt.restype = ctypes.c_int
     lib.fastcsv_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
     lib.fastcsv_free.restype = None
     _lib = lib
     return lib
 
 
-def parse_file(path: str) -> np.ndarray:
+def parse_file(path: str, threads: int = 0) -> np.ndarray:
+    """Parse all floats in ``path``. ``threads``: 0 = auto (one worker per
+    ~8 MB up to the hardware concurrency), 1 = serial, N = cap at N.
+    Chunked parallel parsing is bit-identical to the serial scan."""
     lib = _load()
     out = ctypes.POINTER(ctypes.c_double)()
     count = ctypes.c_long()
-    rc = lib.fastcsv_parse(str(path).encode(), ctypes.byref(out), ctypes.byref(count))
+    rc = lib.fastcsv_parse_mt(
+        str(path).encode(), ctypes.byref(out), ctypes.byref(count), threads
+    )
     if rc != 0:
         raise OSError(f"fastcsv_parse failed with code {rc} for {path}")
     try:

@@ -185,6 +185,7 @@ class ChemotaxisModel(ModelBase):
                     self.ML_diag, Mat2, h=self.grid.h, dt=dt, Dm=p.Dm,
                     chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol, reaction=self._fused_reaction,
+                    Df=p.Df, delta=p.delta,
                 )
 
             return run_fused
@@ -316,7 +317,7 @@ class ChemotaxisModel(ModelBase):
                     self.M_diag, self.ML_diag, Mat2, mis_u, mis_v,
                     h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi, eta=p.eta,
                     rescaling=self.rescaling, tol=self.solver_opts.tol,
-                    reaction=self._fused_reaction,
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta,
                 )
 
             return run_fused

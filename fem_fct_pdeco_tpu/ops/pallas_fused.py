@@ -47,10 +47,71 @@ def _safe_div(a, d, eps=1e-30):
     return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d >= 0, eps, -eps))
 
 
-def _bicgstab(apply_A, Kinv, b, x0, tol, iters):
-    """Jacobi-preconditioned BiCGStab to relative tolerance ``tol`` (vs ‖b‖),
-    fixed-shape in-kernel while loop. Matches scipy semantics closely enough
+def _as_pinv(prec):
+    """Normalize a preconditioner spec: an (n, n) array means Jacobi
+    (elementwise inverse-diagonal multiply); a callable is applied as
+    r -> P^{-1} r."""
+    if callable(prec):
+        return prec
+    return lambda r: prec * r
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix: C[k, i] = s_k cos(pi k (2i+1) / (2n))."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    C = np.cos(np.pi * k * (2 * i + 1) / (2.0 * n)) * np.sqrt(2.0 / n)
+    C[0] *= np.sqrt(0.5)
+    return C
+
+
+def dct_precond_ilam(n: int, h: float, dt: float, diff_coef: float,
+                     mass_coef: float = 1.0) -> np.ndarray:
+    """Inverse modal eigenvalues of the spectral preconditioner
+    P = mass_coef*h^2*I + dt*diff_coef*K5 for the Krylov solves.
+
+    On the right-triangulated uniform P1 mesh the stiffness matrix IS the
+    5-point Laplacian in the interior (the (+1,+1)/(-1,-1) couplings cancel),
+    and cosine modes diagonalize it under the natural Neumann boundary; the
+    mass is approximated by its interior lumped value h^2. P^{-1} is applied
+    exactly per mode via two DCTs (MXU matmuls in-kernel) — it captures the
+    stiff diffusive part of the operators, leaving Krylov only the advective
+    / artificial-diffusion / boundary-scaling remainder.
+    """
+    mu = 2.0 - 2.0 * np.cos(np.pi * np.arange(n) / n)
+    lam = mass_coef * h * h + dt * diff_coef * (mu[:, None] + mu[None, :])
+    return 1.0 / lam
+
+
+def _make_dct_pinv(C_ref, ilam_ref, dtype, precision=None):
+    """r -> C^T ((C r C^T) * invLam) C, all four contractions on the MXU.
+
+    Default precision: bf16 MXU passes with f32 accumulation — plenty for a
+    preconditioner (the Krylov loops exit on the TRUE residual, so P^{-1}
+    accuracy affects only the iteration count, never the solution)."""
+    hi = precision if precision is not None else jax.lax.Precision.DEFAULT
+
+    def pinv(r):
+        C = C_ref[:, :]
+        t = jax.lax.dot_general(C, r, (((1,), (0,)), ((), ())), precision=hi,
+                                preferred_element_type=dtype)
+        rh = jax.lax.dot_general(t, C, (((1,), (1,)), ((), ())), precision=hi,
+                                 preferred_element_type=dtype)
+        rh = rh * ilam_ref[:, :]
+        t2 = jax.lax.dot_general(C, rh, (((0,), (0,)), ((), ())), precision=hi,
+                                 preferred_element_type=dtype)
+        return jax.lax.dot_general(t2, C, (((1,), (0,)), ((), ())), precision=hi,
+                                   preferred_element_type=dtype)
+
+    return pinv
+
+
+def _bicgstab(apply_A, prec, b, x0, tol, iters):
+    """Preconditioned BiCGStab to relative tolerance ``tol`` (vs ‖b‖),
+    fixed-shape in-kernel while loop. ``prec``: Jacobi array or P^{-1}
+    callable (_as_pinv). Matches scipy semantics closely enough
     for the low-order FCT solve (M-matrix, diagonally dominant)."""
+    Pinv = _as_pinv(prec)
     x = x0
     r = b - apply_A(x)
     rhat = r
@@ -64,11 +125,11 @@ def _bicgstab(apply_A, Kinv, b, x0, tol, iters):
 
     def body(c):
         k, x, r, p, rho, _ = c
-        phat = Kinv * p
+        phat = Pinv(p)
         v = apply_A(phat)
         alpha = _safe_div(rho, jnp.sum(rhat * v))
         s = r - alpha * v
-        shat = Kinv * s
+        shat = Pinv(s)
         t2 = apply_A(shat)
         omega = _safe_div(jnp.sum(t2 * s), jnp.sum(t2 * t2))
         x2 = x + alpha * phat + omega * shat
@@ -83,11 +144,13 @@ def _bicgstab(apply_A, Kinv, b, x0, tol, iters):
     return x
 
 
-def _cg(apply_A, Kinv, b, x0, tol, iters):
-    """Jacobi-preconditioned CG to relative tolerance ``tol`` (vs ‖b‖)."""
+def _cg(apply_A, prec, b, x0, tol, iters):
+    """Preconditioned CG to relative tolerance ``tol`` (vs ‖b‖). ``prec``:
+    Jacobi array or SPD P^{-1} callable (_as_pinv)."""
+    Pinv = _as_pinv(prec)
     x = x0
     r = b - apply_A(x)
-    z = Kinv * r
+    z = Pinv(r)
     p = z
     rz = jnp.sum(r * z)
     atol2 = tol * tol * jnp.sum(b * b)
@@ -102,7 +165,7 @@ def _cg(apply_A, Kinv, b, x0, tol, iters):
         alpha = _safe_div(rz, jnp.sum(p * Ap))
         x2 = x + alpha * p
         r2 = r - alpha * Ap
-        z2 = Kinv * r2
+        z2 = Pinv(r2)
         rz2 = jnp.sum(r2 * z2)
         beta = _safe_div(rz2, rz)
         p2 = z2 + beta * p
@@ -191,7 +254,7 @@ def _fused_u_kernel(
 
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
-              *, n, dt, tol, iters, cheb_iters, x0=None, S=None):
+              *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
@@ -252,8 +315,8 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
 
     # ---- 4. low-order solve (BiCGStab, in-kernel while loop) ------------
     b = ML * u_prev + dt * rhs
-    u_low = _bicgstab(apply_low, 1.0 / A_ref[CENTER], b,
-                      u_prev if x0 is None else x0, tol, iters)
+    u_low = _bicgstab(apply_low, 1.0 / A_ref[CENTER] if prec is None else prec,
+                      b, u_prev if x0 is None else x0, tol, iters)
 
     # ---- 5. Chebyshev du/dt on M du = -A u_low + rhs --------------------
     rdot = -apply_A(u_low) + rhs
@@ -581,10 +644,11 @@ def fused_chemotaxis_q_step(q_np1, p_n, u_n, mis_v, Mat_q, M, *, h, dt, chi,
 
 def _fwd_sweep_kernel(
     c_ref, u0_ref, v0_ref, K_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, wts3, bary3, grads, warm, reaction,
+    wts4, bary4, wts3, bary3, grads, warm, reaction, precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -600,6 +664,12 @@ def _fwd_sweep_kernel(
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
     c_i = c_ref[0, :, :]
+    if precond == "dct":
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, u_n.dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, u_n.dtype)
+    else:
+        prec_u = None
+        prec_v = 1.0 / Mat2_ref[CENTER]
 
     # ---- v half-step (helpers.py:1339-1342) -----------------------------
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
@@ -610,7 +680,7 @@ def _fwd_sweep_kernel(
     load = _v_load(c_i, u_n, nc=n - 1, wts=wts3, bary=bary3, dtype=u_n.dtype)
     b = apply_M(v_n) + (dt * inv_r) * load
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
-    v_np1 = _cg(apply_mat, 1.0 / Mat2_ref[CENTER], b, x0v, tol, iters)
+    v_np1 = _cg(apply_mat, prec_v, b, x0v, tol, iters)
 
     # ---- u half-step (helpers.py:1350-1356) -----------------------------
     _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
@@ -625,6 +695,7 @@ def _fwd_sweep_kernel(
     u_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
+        prec=prec_u,
     )
 
     uprev_ref[:, :] = u_n
@@ -635,14 +706,29 @@ def _fwd_sweep_kernel(
     vout_ref[0, :, :] = v_np1
 
 
+def _dct_inputs(n, h, dt, dtype, coefs):
+    """(C, ilam...) device inputs for the spectral preconditioner;
+    ``coefs``: list of (diff_coef, mass_coef) per solve."""
+    C = jnp.asarray(dct_matrix(n), dtype=dtype)
+    ilams = [
+        jnp.asarray(dct_precond_ilam(n, h, dt, dc, mc), dtype=dtype)
+        for (dc, mc) in coefs
+    ]
+    return (C, *ilams)
+
+
 def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                    Mat2, *, h, dt, Dm, chi, eta, rescaling,
                                    tol=1e-6, iters=60, cheb_iters=20,
-                                   warm=True, reaction=None):
+                                   warm=True, reaction=None, precond="dct",
+                                   Df=None, delta=None):
     """Full forward sweep (helpers.py:1321-1385) as ONE pallas_call.
 
     ``c_traj``: (num_steps+1, n, n); step i uses c_traj[i]. Returns
     (u_traj, v_traj), each (num_steps+1, n, n) including the initial state.
+    ``precond``: "dct" (spectral MXU preconditioner for both Krylov solves,
+    see dct_precond_ilam; needs ``Df``/``delta`` of the v equation, else the
+    v solve keeps Jacobi semantics via a mass-only spectral P) or "jacobi".
     """
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
@@ -654,8 +740,15 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         _fwd_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts4=wts4, bary4=bary4, wts3=wts3, bary3=bary3, grads=grads,
-        warm=warm, reaction=reaction,
+        warm=warm, reaction=reaction, precond=precond,
     )
+    # P_u targets the low-order matrix M_L + dt(A - D) (stiff part dt*Dm*K);
+    # P_v targets Mat2 = M(1+dt*delta) + dt*Df*K
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype,
+        [(Dm, 1.0),
+         (Df if Df is not None else 0.0,
+          1.0 + dt * delta if delta is not None else 1.0)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     frame_in = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -667,7 +760,8 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
         ),
-        in_specs=[frame_in, field, field, stencil, stencil, field, field, stencil],
+        in_specs=[frame_in, field, field, stencil, stencil, field, field,
+                  stencil, field, field, field],
         out_specs=(frame_out, frame_out),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
@@ -682,7 +776,7 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
             vmem_limit_bytes=int(1024 * 1024 * 100),
         ),
         interpret=_interp(),
-    )(c_traj[1:], u0, v0, K, M, M_diag, ML_diag, Mat2)
+    )(c_traj[1:], u0, v0, K, M, M_diag, ML_diag, Mat2, dct_C, ilam_u, ilam_v)
     u_traj = jnp.concatenate([u0[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0[None], v_traj], axis=0)
     return u_traj, v_traj
@@ -691,10 +785,11 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
 def _adj_sweep_kernel(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     K_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts5, bary5, wts4, bary4, grads, warm, has_mis, reaction,
+    wts5, bary5, wts4, bary4, grads, warm, has_mis, reaction, precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -712,6 +807,12 @@ def _adj_sweep_kernel(
     u_n = u_ref[0, :, :]
     v_n = v_ref[0, :, :]
     c_n = c_ref[0, :, :]
+    if precond == "dct":
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, u_n.dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, u_n.dtype)
+    else:
+        prec_p = None
+        prec_q = 1.0 / Mat2_ref[CENTER]
 
     # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
     load = _assemble_adjoint_A_and_load(
@@ -730,6 +831,7 @@ def _adj_sweep_kernel(
     p_n = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
+        prec=prec_p,
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
@@ -744,7 +846,7 @@ def _adj_sweep_kernel(
         qload = qload + misv_ref[0, :, :]
     b = apply_M(q_np1) + dt * qload
     x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
-    q_n = _cg(apply_mat, 1.0 / Mat2_ref[CENTER], b, x0q, tol, iters)
+    q_n = _cg(apply_mat, prec_q, b, x0q, tol, iters)
 
     pprev_ref[:, :] = p_np1
     qprev_ref[:, :] = q_np1
@@ -758,13 +860,14 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                    M_diag, ML_diag, Mat2, mis_u=None,
                                    mis_v=None, *, h, dt, Dm, chi, eta,
                                    rescaling, tol=1e-6, iters=60,
-                                   cheb_iters=20, warm=True, reaction=None):
+                                   cheb_iters=20, warm=True, reaction=None,
+                                   precond="dct", Df=None, delta=None):
     """Full adjoint sweep (helpers.py:1387-1581) as ONE pallas_call.
 
     Trajectories stream per backward step via reversed block index maps.
     ``mis_u``/``mis_v``: (num_steps, n, n) all-time misfit loads, or None
     (final-time). Returns (p_traj, q_traj), (num_steps+1, n, n) including
-    the terminal condition.
+    the terminal condition. ``precond``: see fused_chemotaxis_forward_sweep.
     """
     n = pT.shape[-1]
     steps = u_traj.shape[0] - 1
@@ -777,8 +880,13 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         _adj_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, grads=grads,
-        warm=warm, has_mis=has_mis, reaction=reaction,
+        warm=warm, has_mis=has_mis, reaction=reaction, precond=precond,
     )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype,
+        [(Dm, 1.0),
+         (Df if Df is not None else 0.0,
+          1.0 + dt * delta if delta is not None else 1.0)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     # backward step i consumes global frame steps-1-i and writes the same slot
@@ -799,7 +907,8 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
-                  stencil, stencil, field, field, stencil],
+                  stencil, stencil, field, field, stencil,
+                  field, field, field],
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
@@ -815,7 +924,7 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         ),
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
-      K, M, M_diag, ML_diag, Mat2)
+      K, M, M_diag, ML_diag, Mat2, dct_C, ilam_p, ilam_q)
     p_traj = jnp.concatenate([p_traj, pT[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT[None]], axis=0)
     return p_traj, q_traj

@@ -2,8 +2,9 @@
 //
 // The reference loads trajectory CSVs (hundreds of MB of ASCII floats, e.g.
 // Chtxs_data_*/chtxs_m_*.csv) through numpy.genfromtxt / pandas.read_csv
-// (helpers.py:1900, 1952). This replaces that path with a single-pass
-// mmap'd strtod scan, ~20-40x faster than genfromtxt.
+// (helpers.py:1900, 1952). This replaces that path with an mmap'd strtod
+// scan, ~20-40x faster than genfromtxt single-threaded, parsed in parallel
+// across chunks for multi-GB files (fastcsv_parse_mt).
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 
@@ -14,13 +15,71 @@
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline bool is_sep(char c) {
+    return c == ',' || c == ' ' || c == '\n' || c == '\r' || c == '\t';
+}
+
+// Growable per-chunk output buffer. Cache-line aligned: the hot counters
+// (n, and the vals pointer) are written per parsed value from different
+// threads — adjacent Bufs in a vector would false-share otherwise.
+struct alignas(64) Buf {
+    double* vals = nullptr;
+    long n = 0;
+    long cap = 0;
+    int rc = 0;
+    char pad_[64 - sizeof(double*) - 2 * sizeof(long) - sizeof(int)];
+
+    bool reserve(long want) {
+        if (want <= cap) return true;
+        double* nv = (double*)realloc(vals, sizeof(double) * want);
+        if (!nv) { rc = 4; return false; }
+        vals = nv;
+        cap = want;
+        return true;
+    }
+
+    bool push(double v) {
+        if (n == cap && !reserve(cap ? cap * 2 : 4096)) return false;
+        vals[n++] = v;
+        return true;
+    }
+};
+
+// Parse every token STARTING in [p, end); strtod may read past `end` into
+// still-mapped bytes (it stops at the first separator), which is exactly how
+// chunk boundaries hand straddling tokens to the chunk that owns their start.
+void parse_range(const char* p, const char* end, Buf* b) {
+    // Preallocate for the common dense-CSV case (ASCII doubles are >= 2
+    // chars + separator) so the hot loop almost never reallocs.
+    if (end > p && !b->reserve((long)((end - p) / 3) + 64)) return;
+    while (p < end) {
+        while (p < end && is_sep(*p)) ++p;
+        if (p >= end) break;
+        char* next = nullptr;
+        double v = strtod(p, &next);
+        if (next == p) { ++p; continue; }  // unparseable char; skip
+        if (!b->push(v)) return;
+        p = next;
+    }
+}
+
+}  // namespace
 
 extern "C" {
 
-// Parse all floats in `path`, separated by commas/whitespace/newlines.
-// Returns a malloc'd array in *out and the count; caller frees with
-// fastcsv_free. Returns 0 on success, nonzero errno-style code on failure.
-int fastcsv_parse(const char* path, double** out, long* count) {
+// Parse all floats in `path`, separated by commas/whitespace/newlines, using
+// up to `max_threads` worker threads (<=1 means single-threaded; 0 picks the
+// hardware concurrency). Returns a malloc'd array in *out and the count;
+// caller frees with fastcsv_free. Returns 0 on success, nonzero code on
+// failure. Results are bit-identical to the single-threaded scan: chunk
+// boundaries are aligned so each token is parsed exactly once, in order.
+int fastcsv_parse_mt(const char* path, double** out, long* count,
+                     int max_threads) {
     int fd = open(path, O_RDONLY);
     if (fd < 0) return 1;
     struct stat st;
@@ -30,12 +89,6 @@ int fastcsv_parse(const char* path, double** out, long* count) {
     char* data = (char*)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
     close(fd);
     if (data == MAP_FAILED) return 3;
-
-    // Upper bound on value count: one per two chars is far more than enough
-    // for "0," but be safe with size/1 for pathological "1,1,1".
-    long cap = (long)(size / 2) + 16;
-    double* vals = (double*)malloc(sizeof(double) * cap);
-    if (!vals) { munmap(data, size); return 4; }
 
     // mmap zero-fills the tail of a *partial* last page, so strtod on a
     // trailing number is normally NUL-terminated. When the file size is an
@@ -50,61 +103,106 @@ int fastcsv_parse(const char* path, double** out, long* count) {
     if (size % pagesz == 0) {
         tail_len = size < pagesz ? size : pagesz;
         tail = (char*)malloc(tail_len + 1);
-        if (!tail) { free(vals); munmap(data, size); return 4; }
+        if (!tail) { munmap(data, size); return 4; }
         memcpy(tail, data + size - tail_len, tail_len);
         tail[tail_len] = '\0';
         safe_end = data + size - tail_len;
     }
 
-    long n = 0;
-    const char* p = data;
-    // Pass 1: the mmap'd region up to safe_end. Only tokens *starting*
-    // before safe_end are parsed here; a token straddling safe_end ends at a
-    // separator inside the (still mapped) last page, so strtod stays in
-    // bounds, and `p = next` then hands the remainder to pass 2.
-    while (p < safe_end) {
-        while (p < safe_end && (*p == ',' || *p == ' ' || *p == '\n' || *p == '\r' || *p == '\t'))
-            ++p;
-        if (p >= safe_end) break;
-        char* next = nullptr;
-        double v = strtod(p, &next);
-        if (next == p) { ++p; continue; }  // unparseable char; skip
-        if (n == cap) {
-            cap *= 2;
-            double* nv = (double*)realloc(vals, sizeof(double) * cap);
-            if (!nv) { free(vals); free(tail); munmap(data, size); return 4; }
-            vals = nv;
-        }
-        vals[n++] = v;
-        p = next;
+    // Pick a thread count: one thread per ~8 MB. Auto (0) is capped by the
+    // hardware concurrency; an explicit request is honored (up to 64) so the
+    // chunked path is exercisable on any host.
+    long hw = (long)std::thread::hardware_concurrency();
+    if (hw < 1) hw = 1;
+    long want = max_threads == 0 ? hw : (long)max_threads;
+    if (want > 64) want = 64;
+    // auto mode also requires enough data to be worth a thread (~8 MB each)
+    long by_size = max_threads == 0 ? (long)(size / (8u << 20)) + 1
+                                    : (long)size;
+    long T = want < by_size ? want : by_size;
+    if (T < 1) T = 1;
+
+    // Chunk boundaries: begin[0] = data; begin[i>0] = one past the first
+    // separator at/after data + i*size/T (so a token straddling the raw
+    // split belongs to the chunk its START is in). All within [data,
+    // safe_end]; the copied tail page is parsed serially afterwards.
+    size_t scan_len = (size_t)(safe_end - data);
+    std::vector<const char*> begin(T + 1);
+    begin[0] = data;
+    begin[T] = safe_end;
+    for (long i = 1; i < T; ++i) {
+        const char* q = data + (scan_len * (size_t)i) / (size_t)T;
+        while (q < safe_end && !is_sep(*q)) ++q;
+        if (q < safe_end) ++q;  // step past the separator
+        begin[i] = q;
     }
-    // Pass 2: the NUL-terminated copy of the final page, resuming where
-    // pass 1 stopped (p - safe_end >= 0 skips any part already consumed).
+
+    std::vector<Buf> bufs(T);
+    if (T == 1) {
+        parse_range(begin[0], begin[1], &bufs[0]);
+    } else {
+        std::vector<std::thread> workers;
+        workers.reserve(T);
+        for (long i = 0; i < T; ++i)
+            workers.emplace_back(parse_range, begin[i], begin[i + 1], &bufs[i]);
+        for (auto& w : workers) w.join();
+    }
+
+    // The NUL-terminated copy of the final page, resuming where the mapped
+    // scan stopped: parse_range consumed every token STARTING before
+    // safe_end; a token straddling safe_end was fully parsed from the
+    // mapping (the first page of the tail copy duplicates those bytes), so
+    // resume at the first separator in the copy, then skip it.
+    Buf tailbuf;
     if (tail) {
-        const char* q = tail + (p - safe_end);
+        const char* q = tail;
         const char* tend = tail + tail_len;
-        while (q < tend) {
-            while (q < tend && (*q == ',' || *q == ' ' || *q == '\n' || *q == '\r' || *q == '\t'))
-                ++q;
-            if (q >= tend) break;
-            char* next = nullptr;
-            double v = strtod(q, &next);
-            if (next == q) { ++q; continue; }
-            if (n == cap) {
-                cap *= 2;
-                double* nv = (double*)realloc(vals, sizeof(double) * cap);
-                if (!nv) { free(vals); free(tail); munmap(data, size); return 4; }
-                vals = nv;
-            }
-            vals[n++] = v;
-            q = next;
+        // A token straddled safe_end iff the last mapped-scan byte is a
+        // non-separator: that token's start was < safe_end, so the last
+        // chunk already parsed it fully (strtod read into the mapped tail
+        // bytes) — skip its remainder in the copy. If that byte is a
+        // separator, the copy starts a fresh token: parse from the top.
+        if (scan_len > 0 && !is_sep(data[scan_len - 1])) {
+            while (q < tend && !is_sep(*q)) ++q;
         }
+        parse_range(q, tend, &tailbuf);
         free(tail);
     }
+
+    long total = tailbuf.n;
+    int rc = tailbuf.rc;
+    for (auto& b : bufs) { total += b.n; rc = rc ? rc : b.rc; }
+    if (rc != 0) {
+        for (auto& b : bufs) free(b.vals);
+        free(tailbuf.vals);
+        munmap(data, size);
+        return rc;
+    }
+    double* vals = (double*)malloc(sizeof(double) * (total ? total : 1));
+    if (!vals) {
+        for (auto& b : bufs) free(b.vals);
+        free(tailbuf.vals);
+        munmap(data, size);
+        return 4;
+    }
+    long off = 0;
+    for (auto& b : bufs) {
+        if (b.n) memcpy(vals + off, b.vals, sizeof(double) * b.n);
+        off += b.n;
+        free(b.vals);
+    }
+    if (tailbuf.n) memcpy(vals + off, tailbuf.vals, sizeof(double) * tailbuf.n);
+    free(tailbuf.vals);
+
     munmap(data, size);
     *out = vals;
-    *count = n;
+    *count = total;
     return 0;
+}
+
+// Single-threaded entry point (back-compat).
+int fastcsv_parse(const char* path, double** out, long* count) {
+    return fastcsv_parse_mt(path, out, count, 1);
 }
 
 void fastcsv_free(double* p) { free(p); }

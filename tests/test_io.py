@@ -60,3 +60,39 @@ def test_fastcsv_reads_reference_fixture():
     got = _fastcsv.parse_file(path)
     want = np.genfromtxt(path, delimiter=",")
     np.testing.assert_array_equal(got, want)
+
+
+def test_fastcsv_multithreaded_matches_serial(tmp_path):
+    """Forced chunked parsing (fastcsv_parse_mt) is bit-identical to the
+    serial scan, including page-boundary tail handling."""
+    import os
+
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.io import _fastcsv
+
+    rng = np.random.RandomState(7)
+    vals = rng.randn(40_000) * np.exp(rng.randn(40_000) * 3)
+    p = tmp_path / "mt.csv"
+    with open(p, "w") as f:
+        for i in range(0, len(vals), 9):
+            f.write(",".join(repr(float(v)) for v in vals[i : i + 9]) + "\n")
+    a1 = _fastcsv.parse_file(p, threads=1)
+    a8 = _fastcsv.parse_file(p, threads=8)
+    assert np.array_equal(a1, a8)
+    assert np.array_equal(a1, vals)
+
+    # exact page-size multiple ending in a digit (strtod overrun guard) and
+    # in a separator (no token straddles the copied tail page)
+    pg = os.sysconf("SC_PAGE_SIZE")
+    for ending in ("9.25", "1.5,"):
+        body = "1.5," * pg
+        cut = pg * 2 - len(ending)
+        cut -= cut % 4
+        s = body[:cut] + "," * (pg * 2 - cut - len(ending)) + ending
+        assert len(s) % pg == 0
+        p2 = tmp_path / f"edge_{ending.strip(',')}.csv"
+        p2.write_text(s)
+        got = _fastcsv.parse_file(p2, threads=4)
+        exp = np.array([float(x) for x in s.split(",") if x.strip()])
+        assert np.array_equal(got, exp), ending
