@@ -89,6 +89,37 @@ def tpu_steps_per_sec() -> dict:
     return {"forward_steps_per_sec": fwd_sps, "adjoint_steps_per_sec": adj_sps}
 
 
+def tpu_schnak_steps_per_sec() -> dict:
+    """Schnakenberg coupled FCT sweep throughput at 256^2 f32 (the second
+    model family's whole-sweep kernel, DCT-preconditioned)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    g = Grid(0.0, 1.0, GRID_N)
+    model = SchnakenbergModel(g, dtype=jnp.float32,
+                              solver_opts=SolverOpts(tol=1e-6, maxiter=200),
+                              backend="pallas_fused")
+    u0np, v0np = model.ic()
+    u0 = jnp.asarray(u0np, jnp.float32)
+    v0 = jnp.asarray(v0np, jnp.float32)
+    c = jnp.full((STEPS_PER_CALL + 1, GRID_N, GRID_N), model.params.c_a,
+                 jnp.float32)
+    u, v = model.forward(c, u0, v0, DT)
+    jax.block_until_ready((u, v))
+    assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = model.forward(c, u0, v0, DT)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return {"schnak_forward_steps_per_sec": round(STEPS_PER_CALL / best, 3)}
+
+
 def tpu_pdeco_wallclock(max_iter_gd: int = 5) -> dict:
     """Full 256^2 chemotaxis PDECO solve wall-clock (the reference's
     'Sim. duration' mechanism, Schnak_FCT_PDECO_refactored.py:250-251):
@@ -310,6 +341,10 @@ def main():
     except Exception as e:  # PDECO metric is auxiliary; never mask the headline
         pdeco = {"pdeco_error": f"{type(e).__name__}: {e}"}
     try:
+        schnak = tpu_schnak_steps_per_sec()
+    except Exception as e:
+        schnak = {"schnak_error": f"{type(e).__name__}: {e}"}
+    try:
         base = cpu_baseline_steps_per_sec()
     except Exception:
         base = None
@@ -321,6 +356,7 @@ def main():
         "extra": {
             "adjoint_steps_per_sec": round(sweep["adjoint_steps_per_sec"], 3),
             **pdeco,
+            **schnak,
         },
     }
     print(json.dumps(out))

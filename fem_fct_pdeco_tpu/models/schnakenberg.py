@@ -180,7 +180,7 @@ class SchnakenbergModel(ModelBase):
                         c, u0, v0, self.A_u, self.M, self.M_diag,
                         self.ML_diag, Mbase_v, h=self.grid.h, dt=dt,
                         gamma=p.gamma, c_b=p.c_b, rescaling=self.rescaling,
-                        tol=self.solver_opts.tol,
+                        tol=self.solver_opts.tol, Du=p.Du, Dv=p.Dv,
                     )
 
                 return run_fused
@@ -229,7 +229,7 @@ class SchnakenbergModel(ModelBase):
                         u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
                         self.M_diag, self.ML_diag, Mbase_q, mis_u, mis_v,
                         h=self.grid.h, dt=dt, gamma=p.gamma,
-                        tol=self.solver_opts.tol,
+                        tol=self.solver_opts.tol, Du=p.Du, Dv=p.Dv,
                     )
 
                 return run_fused

@@ -1017,9 +1017,11 @@ def _add_planes(p1, p2, s2=1.0):
 
 def _schnak_fwd_kernel(
     c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, gamma, c_b, inv_r, tol, iters, cheb_iters, wts, bary, warm,
+    precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -1036,6 +1038,12 @@ def _schnak_fwd_kernel(
     v_n = vcur_ref[:, :]
     c_i = c_ref[0, :, :]
     nc = n - 1
+    if precond == "dct":
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, u_n.dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, u_n.dtype)
+    else:
+        prec_u = None
+        prec_v = None
 
     # u FCT: rhs = γ(c/r + u² v), non_flux = γM (helpers.py:581-588)
     rhs_u = _lf_quad(
@@ -1048,6 +1056,7 @@ def _schnak_fwd_kernel(
     u_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u, S=S,
+        prec=prec_u,
     )
 
     # v implicit with the NEW u: Mat_v = M + dt(B_v + γ M_{u²})
@@ -1067,7 +1076,9 @@ def _schnak_fwd_kernel(
                      nc=nc, wts=wts, bary=bary)
     b = apply_M(v_n) + dt * rhs_v
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
-    v_np1 = _cg(apply_mat, 1.0 / A_ref[CENTER], b, x0v, tol, iters)
+    v_np1 = _cg(apply_mat,
+                prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
+                b, x0v, tol, iters)
 
     uprev_ref[:, :] = u_n
     vprev_ref[:, :] = v_n
@@ -1079,19 +1090,29 @@ def _schnak_fwd_kernel(
 
 def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
                                Mbase_v, *, h, dt, gamma, c_b, rescaling,
-                               tol=1e-6, iters=60, cheb_iters=20, warm=True):
+                               tol=1e-6, iters=60, cheb_iters=20, warm=True,
+                               precond="dct", Du=None, Dv=None):
     """Full Schnakenberg forward sweep (helpers.py:511-597) in ONE
     pallas_call. ``A_u`` = Du K - ω₁ N; ``Mbase_v`` = M + dt (Dv K - ω₂ N).
-    Stationary wind only (the td-wind variant uses the piecewise path)."""
+    Stationary wind only (the td-wind variant uses the piecewise path).
+    ``precond="dct"``: spectral preconditioner (dct_precond_ilam); the mass
+    coefficients fold in the γM non-flux term (u solve) and the γM_{u²}
+    linearization at the u ≈ a+b = 1 steady state (v solve)."""
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
     wts, bary, _ = _quad_consts(4, h)
     wts = wts * h * h
+    if Du is None or Dv is None:
+        precond = "jacobi"
     kern = functools.partial(
         _schnak_fwd_kernel, n=n, dt=dt, gamma=gamma, c_b=c_b,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
-        wts=wts, bary=bary, warm=warm,
+        wts=wts, bary=bary, warm=warm, precond=precond,
     )
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype,
+        [(Du if Du is not None else 0.0, 1.0 + dt * gamma),
+         (Dv if Dv is not None else 0.0, 1.0 + dt * gamma)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -1102,7 +1123,8 @@ def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
         ),
-        in_specs=[frame, field, field, stencil, stencil, field, field, stencil],
+        in_specs=[frame, field, field, stencil, stencil, field, field,
+                  stencil, field, field, field],
         out_specs=(frame, frame),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),
@@ -1117,7 +1139,8 @@ def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
             vmem_limit_bytes=int(1024 * 1024 * 100),
         ),
         interpret=_interp(),
-    )(c_traj[1:], u0, v0, A_u, M, M_diag, ML_diag, Mbase_v)
+    )(c_traj[1:], u0, v0, A_u, M, M_diag, ML_diag, Mbase_v,
+      dct_C, ilam_u, ilam_v)
     return (jnp.concatenate([u0[None], u_traj], axis=0),
             jnp.concatenate([v0[None], v_traj], axis=0))
 
@@ -1125,9 +1148,11 @@ def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
 def _schnak_adj_kernel(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, gamma, tol, iters, cheb_iters, wts, bary, warm, has_mis,
+    precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -1145,6 +1170,12 @@ def _schnak_adj_kernel(
     u_n = u_ref[0, :, :]
     v_n = v_ref[0, :, :]
     nc = n - 1
+    if precond == "dct":
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, u_n.dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, u_n.dtype)
+    else:
+        prec_p = None
+        prec_q = None
 
     # q implicit first (helpers.py:680-688): Mat_q = M + dt(B_v_adj + γM_u²)
     Mu2 = _wm_quad(lambda uq: uq * uq, [u_n], nc=nc, wts=wts, bary=bary)
@@ -1164,7 +1195,9 @@ def _schnak_adj_kernel(
         rhs_q = rhs_q + misv_ref[0, :, :]
     b = apply_M(q_np1) + dt * rhs_q
     x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
-    q_n = _cg(apply_mat, 1.0 / A_ref[CENTER], b, x0q, tol, iters)
+    q_n = _cg(apply_mat,
+              prec_q if prec_q is not None else 1.0 / A_ref[CENTER],
+              b, x0q, tol, iters)
 
     # p FCT (helpers.py:690-697): rhs = -2γ u v q_n, S = γM - 2γ M_{uv}
     rhs_p = _lf_quad(lambda uq, vq, qq: -2.0 * gamma * uq * vq * qq,
@@ -1178,6 +1211,7 @@ def _schnak_adj_kernel(
     p_n = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs_p,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
+        prec=prec_p,
     )
 
     pprev_ref[:, :] = p_np1
@@ -1191,7 +1225,8 @@ def _schnak_adj_kernel(
 def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
                                ML_diag, Mbase_q, mis_u=None, mis_v=None, *,
                                h, dt, gamma, tol=1e-6, iters=60,
-                               cheb_iters=20, warm=True):
+                               cheb_iters=20, warm=True, precond="dct",
+                               Du=None, Dv=None):
     """Full Schnakenberg adjoint sweep (helpers.py:599-698) in ONE
     pallas_call. ``A_u_adj`` = Du K - ω₁ Nᵀ; ``Mbase_q`` = M + dt(Dv K - ω₂ Nᵀ)."""
     n = pT.shape[-1]
@@ -1199,10 +1234,17 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
     has_mis = mis_u is not None
     wts, bary, _ = _quad_consts(4, h)
     wts = wts * h * h
+    if Du is None or Dv is None:
+        precond = "jacobi"
     kern = functools.partial(
         _schnak_adj_kernel, n=n, dt=dt, gamma=gamma, tol=tol, iters=iters,
         cheb_iters=cheb_iters, wts=wts, bary=bary, warm=warm, has_mis=has_mis,
+        precond=precond,
     )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype,
+        [(Du if Du is not None else 0.0, 1.0 + dt * gamma),
+         (Dv if Dv is not None else 0.0, 1.0 + dt * gamma)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
@@ -1222,7 +1264,8 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
         ),
         in_specs=[rev, rev, mis_spec, mis_spec, field, field,
-                  stencil, stencil, field, field, stencil],
+                  stencil, stencil, field, field, stencil,
+                  field, field, field],
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
@@ -1238,7 +1281,7 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
         ),
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
-      A_u_adj, M, M_diag, ML_diag, Mbase_q)
+      A_u_adj, M, M_diag, ML_diag, Mbase_q, dct_C, ilam_p, ilam_q)
     return (jnp.concatenate([p_traj, pT[None]], axis=0),
             jnp.concatenate([q_traj, qT[None]], axis=0))
 
