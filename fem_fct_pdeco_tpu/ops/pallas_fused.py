@@ -206,37 +206,22 @@ def _assemble_forward_A(u, v, K_ref, A_ref, *, nc, Dm, chi, eta, wts, bary, grad
                 contrib = bary[q, b] * e
                 Vb[b] = contrib if Vb[b] is None else Vb[b] + contrib
         for a, (ai, aj) in enumerate(corners):
-            ga = grads[t, a, 0] * gvx + grads[t, a, 1] * gvy
+            # fold the -chi scale into the test-gradient factor once per a
+            ga = (-chi * grads[t, a, 0]) * gvx + (-chi * grads[t, a, 1]) * gvy
             for b, (bi, bj) in enumerate(corners):
                 d = _offset_index(bi - ai, bj - aj)
-                placed = jnp.pad(
-                    (-chi) * ga * Vb[b], ((ai, 1 - ai), (aj, 1 - aj))
-                )
+                placed = jnp.pad(ga * Vb[b], ((ai, 1 - ai), (aj, 1 - aj)))
                 planes[d] = placed if planes[d] is None else planes[d] + placed
     for d in range(9):
         base = Dm * K_ref[d, :, :]
         A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
 
 
-def _v_load(c, u, *, nc, wts, bary, dtype):
+def _v_load(c, u, *, nc, h2):
     """Load vector (c_h u_h, φ_a) as an (n, n) value (helpers.py:1339-1340;
-    the dt/r factor is applied by the caller)."""
-    cc2, uc2 = _corners(c, nc), _corners(u, nc)
-    scat = None
-    for t in range(2):
-        cc, uc = cc2[t], uc2[t]
-        contribs = [None, None, None]
-        for q in range(len(wts)):
-            cq = bary[q, 0] * cc[0] + bary[q, 1] * cc[1] + bary[q, 2] * cc[2]
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            f = wts[q] * cq * uq
-            for a in range(3):
-                add = bary[q, a] * f
-                contribs[a] = add if contribs[a] is None else contribs[a] + add
-        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
-            placed = jnp.pad(contribs[a], ((ai, 1 - ai), (aj, 1 - aj)))
-            scat = placed if scat is None else scat + placed
-    return scat
+    the dt/r factor is applied by the caller). The integrand is cubic, so
+    the closed-form moments equal the reference's degree-3 rule exactly."""
+    return _lf_prod([c, u], nc=nc, h2=h2)
 
 
 def _fused_u_kernel(
@@ -425,7 +410,7 @@ def fused_chemotaxis_u_step(u_n, v_np1, K, M, M_diag, ML_diag, rhs, *,
 
 
 def _fused_v_kernel(c_ref, u_ref, v_ref, Mat_ref, M_ref, out_ref, pad_ref,
-                    *, n, dt, inv_r, tol, iters, wts, bary):
+                    *, n, dt, inv_r, tol, iters, h2):
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -435,8 +420,7 @@ def _fused_v_kernel(c_ref, u_ref, v_ref, Mat_ref, M_ref, out_ref, pad_ref,
                           skip_planes=ANTI_DIAGONAL_IDS)
 
     # load vector: (v_n, phi) + dt * (c_h u_h / r, phi)  (helpers.py:1339-1340)
-    scat = _v_load(c_ref[:, :], u_ref[:, :], nc=n - 1, wts=wts, bary=bary,
-                   dtype=out_ref.dtype)
+    scat = _v_load(c_ref[:, :], u_ref[:, :], nc=n - 1, h2=h2)
     b = apply_M(v_ref[:, :]) + (dt * inv_r) * scat
 
     # CG solve
@@ -448,11 +432,9 @@ def fused_chemotaxis_v_step(c_i, u_n, v_n, Mat_v, M, *, h, dt, rescaling,
                             tol=1e-6, iters=60, quad_degree=3):
     """Fused load-assembly + implicit CG solve for the chemotaxis v equation."""
     n = u_n.shape[-1]
-    wts, bary, _ = _quad_consts(quad_degree, h)
-    wts = wts * h * h
     kern = functools.partial(
         _fused_v_kernel, n=n, dt=dt, inv_r=1.0 / rescaling, tol=tol,
-        iters=iters, wts=wts, bary=bary,
+        iters=iters, h2=h * h,
     )
     return pl.pallas_call(
         kern,
@@ -472,45 +454,42 @@ def fused_chemotaxis_v_step(c_i, u_n, v_n, Mat_v, M, *, h, dt, rescaling,
 # ---------------------------------------------------------------------------
 
 def _assemble_adjoint_A_and_load(q_np1, u, v, c, K_ref, A_ref,
-                                 *, nc, Dm, chi, eta, inv_r, wts, bary, grads):
+                                 *, nc, Dm, chi, eta, inv_r, wts, bary,
+                                 grads, h2):
     """Write Mat_p = Dm K - χ ((1-ηu)e^{-ηu} ∇v_h·∇φ_trial, φ_test) — the
     transpose of the forward advective stencil (helpers.py:1499-1503) — into
-    A_ref, and return the load (c_h q_np1_h / r, φ_a) (helpers.py:1505)."""
+    A_ref, and return the load (c_h q_np1_h / r, φ_a) (helpers.py:1505).
+    The load is cubic -> evaluated by the exact closed-form moments; the
+    exp coefficient keeps the reference's quadrature rule."""
     planes = [None] * 9
-    load = None
     uc2, vc2 = _corners(u, nc), _corners(v, nc)
-    cc2, qc2 = _corners(c, nc), _corners(q_np1, nc)
     for t in range(2):
         corners = TRI_CORNERS[t]
-        uc, vc, cc, qc = uc2[t], vc2[t], cc2[t], qc2[t]
+        uc, vc = uc2[t], vc2[t]
         gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
         gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
-        # Va[a] = Σ_q w_q (1-ηu(q)) e^{-ηu(q)} λ_a(q)  and the load
-        # La[a] = Σ_q w_q c(q) q_np1(q)/r λ_a(q)   (detJ folded into wts)
+        # Va[a] = Σ_q w_q (1-ηu(q)) e^{-ηu(q)} λ_a(q)  (detJ folded into wts)
         Va = [None] * 3
-        La = [None] * 3
         for q in range(len(wts)):
             uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            cq = bary[q, 0] * cc[0] + bary[q, 1] * cc[1] + bary[q, 2] * cc[2]
-            qq = bary[q, 0] * qc[0] + bary[q, 1] * qc[1] + bary[q, 2] * qc[2]
             e = wts[q] * (1.0 - eta * uq) * jnp.exp(-eta * uq)
-            f = wts[q] * inv_r * cq * qq
             for a in range(3):
                 Va[a] = bary[q, a] * e if Va[a] is None else Va[a] + bary[q, a] * e
-                La[a] = bary[q, a] * f if La[a] is None else La[a] + bary[q, a] * f
+        # gradient on the TRIAL function b -> transposed pairing; the -chi
+        # scale is folded into the trial-gradient factor once per b
+        gb3 = [
+            (-chi * grads[t, b, 0]) * gvx + (-chi * grads[t, b, 1]) * gvy
+            for b in range(3)
+        ]
         for a, (ai, aj) in enumerate(corners):
-            placed_l = jnp.pad(La[a], ((ai, 1 - ai), (aj, 1 - aj)))
-            load = placed_l if load is None else load + placed_l
             for b, (bi, bj) in enumerate(corners):
-                # gradient on the TRIAL function b -> transposed pairing
-                gb = grads[t, b, 0] * gvx + grads[t, b, 1] * gvy
                 d = _offset_index(bi - ai, bj - aj)
-                placed = jnp.pad((-chi) * gb * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
+                placed = jnp.pad(gb3[b] * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
                 planes[d] = placed if planes[d] is None else planes[d] + placed
     for d in range(9):
         base = Dm * K_ref[d, :, :]
         A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
-    return load
+    return _lf_prod([c, q_np1], nc=nc, h2=h2, scale=inv_r)
 
 
 def _q_load(p_n, u, *, nc, chi, eta, wts, bary, grads):
@@ -540,13 +519,14 @@ def _fused_p_kernel(
     p_ref, q_ref, u_ref, v_ref, c_ref, mis_ref, K_ref, M_ref, Md_ref, ML_ref,
     out_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters, wts, bary, grads,
+    h2,
 ):
     """Adjoint p FCT step: transposed-stencil matrix + load + raw misfit
     (helpers.py:1499-1510), then the shared FCT core."""
     load = _assemble_adjoint_A_and_load(
         q_ref[:, :], u_ref[:, :], v_ref[:, :], c_ref[:, :], K_ref, A_ref,
         nc=n - 1, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r,
-        wts=wts, bary=bary, grads=grads,
+        wts=wts, bary=bary, grads=grads, h2=h2,
     )
     rhs = load + mis_ref[:, :]
     out_ref[:, :] = _fct_core(
@@ -565,7 +545,7 @@ def fused_chemotaxis_p_step(p_np1, q_np1, u_n, v_n, c_n, mis_u, K, M, M_diag,
     kern = functools.partial(
         _fused_p_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
-        wts=wts, bary=bary, grads=grads,
+        wts=wts, bary=bary, grads=grads, h2=h * h,
     )
     return pl.pallas_call(
         kern,
@@ -648,7 +628,7 @@ def _fwd_sweep_kernel(
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, wts3, bary3, grads, warm, reaction, precond,
+    wts4, bary4, h2, grads, warm, reaction, precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -677,7 +657,7 @@ def _fwd_sweep_kernel(
                             skip_planes=ANTI_DIAGONAL_IDS)
     apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
-    load = _v_load(c_i, u_n, nc=n - 1, wts=wts3, bary=bary3, dtype=u_n.dtype)
+    load = _v_load(c_i, u_n, nc=n - 1, h2=h2)
     b = apply_M(v_n) + (dt * inv_r) * load
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
     v_np1 = _cg(apply_mat, prec_v, b, x0v, tol, iters)
@@ -686,9 +666,10 @@ def _fwd_sweep_kernel(
     _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
                         eta=eta, wts=wts4, bary=bary4, grads=grads)
     if reaction == "mimura":
-        # explicit m²(1-m) source (mimura_data_helpers.py:70)
-        rhs_u = _lf_quad(lambda uq: uq * uq * (1.0 - uq), [u_n],
-                         nc=n - 1, wts=wts4, bary=bary4)
+        # explicit m²(1-m) = m² - m³ source (mimura_data_helpers.py:70);
+        # quartic -> the closed-form moments equal the degree-4 rule exactly
+        rhs_u = (_lf_prod([u_n, u_n], nc=n - 1, h2=h2)
+                 + _lf_prod([u_n, u_n, u_n], nc=n - 1, h2=h2, scale=-1.0))
     else:
         rhs_u = jnp.zeros_like(u_n)
     x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
@@ -733,13 +714,11 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
     wts4, bary4, grads = _quad_consts(4, h)
-    wts3, bary3, _ = _quad_consts(3, h)
     wts4 = wts4 * h * h
-    wts3 = wts3 * h * h
     kern = functools.partial(
         _fwd_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
-        wts4=wts4, bary4=bary4, wts3=wts3, bary3=bary3, grads=grads,
+        wts4=wts4, bary4=bary4, h2=h * h, grads=grads,
         warm=warm, reaction=reaction, precond=precond,
     )
     # P_u targets the low-order matrix M_L + dt(A - D) (stiff part dt*Dm*K);
@@ -789,7 +768,7 @@ def _adj_sweep_kernel(
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts5, bary5, wts4, bary4, grads, warm, has_mis, reaction, precond,
+    wts5, bary5, wts4, bary4, h2, grads, warm, has_mis, reaction, precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -817,14 +796,14 @@ def _adj_sweep_kernel(
     # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
     load = _assemble_adjoint_A_and_load(
         q_np1, u_n, v_n, c_n, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
-        eta=eta, inv_r=inv_r, wts=wts5, bary=bary5, grads=grads,
+        eta=eta, inv_r=inv_r, wts=wts5, bary=bary5, grads=grads, h2=h2,
     )
     rhs = load + misu_ref[0, :, :] if has_mis else load
     if reaction == "mimura":
         # IMEX linearization of m²(1-m): non_flux = -M_{2m-3m²}
-        # (models/mimura.py:_reaction_nonflux_adj)
-        S = _wm_quad(lambda uq: -(2.0 * uq - 3.0 * uq * uq), [u_n],
-                     nc=n - 1, wts=wts4, bary=bary4)
+        # (models/mimura.py:_reaction_nonflux_adj); quartic -> closed form
+        S = _add_planes(_wm_prod([u_n], nc=n - 1, h2=h2, scale=-2.0),
+                        _wm_prod([u_n, u_n], nc=n - 1, h2=h2), s2=3.0)
     else:
         S = None
     x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
@@ -879,8 +858,9 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     kern = functools.partial(
         _adj_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
-        wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, grads=grads,
-        warm=warm, has_mis=has_mis, reaction=reaction, precond=precond,
+        wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, h2=h * h,
+        grads=grads, warm=warm, has_mis=has_mis, reaction=reaction,
+        precond=precond,
     )
     dct_C, ilam_p, ilam_q = _dct_inputs(
         n, h, dt, pT.dtype,
@@ -935,6 +915,86 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
 # P1Assembler.weighted_mass / linear_form) — building blocks for the
 # per-model whole-sweep kernels below.
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _moments(total: int) -> np.ndarray:
+    """Exact reference-triangle moments ∫ λ_{i1}···λ_{i_total} dξdη as a
+    (3,)*total numpy tensor: Π α_i! / (Σα + 2)! by the multiset of indices.
+
+    These replace quadrature loops for PURELY POLYNOMIAL integrands (the
+    weighted masses u², uv, m and the product loads c·u, u²v, ...): every
+    rule in use here is exact for those degrees, so swapping the quadrature
+    sum for the closed form changes floating-point rounding only — pinned by
+    the fused-vs-XLA equality tests at 1e-9.
+    """
+    import math
+
+    T = np.zeros((3,) * total)
+    for idx in np.ndindex(*T.shape):
+        counts = [0, 0, 0]
+        for i in idx:
+            counts[i] += 1
+        num = (math.factorial(counts[0]) * math.factorial(counts[1])
+               * math.factorial(counts[2]))
+        T[idx] = num / math.factorial(total + 2)
+    return T
+
+
+def _corner_products(cs, t):
+    """All Π_k f_k[corner i_k] products for triangle type ``t`` as a flat
+    list of 3^k arrays in np.ndindex order (i1 outermost), built
+    incrementally (3^k - 3 multiplies total)."""
+    prods = [cs[0][t][i] for i in range(3)]
+    for m in range(1, len(cs)):
+        fm = cs[m][t]
+        prods = [p * fm[j] for p in prods for j in range(3)]
+    return prods
+
+
+def _lf_prod(fields, *, nc, h2, scale=1.0):
+    """Exact load value (n, n) of scale·∫ (Π_k f_k,h) φ_a dx for P1 fields
+    (closed-form barycentric moments; see _moments)."""
+    k = len(fields)
+    T = _moments(k + 1) * h2
+    cs = [_corners(f, nc) for f in fields]
+    out = None
+    for t in range(2):
+        prods = _corner_products(cs, t)
+        contribs = [None, None, None]
+        for flat, idx in enumerate(np.ndindex(*((3,) * k))):
+            p = prods[flat]
+            for a in range(3):
+                w = scale * float(T[idx + (a,)])
+                add = w * p
+                contribs[a] = add if contribs[a] is None else contribs[a] + add
+        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
+            placed = jnp.pad(contribs[a], ((ai, 1 - ai), (aj, 1 - aj)))
+            out = placed if out is None else out + placed
+    return out
+
+
+def _wm_prod(fields, *, nc, h2, scale=1.0):
+    """Exact stencil planes (9-list, None where structurally zero) of
+    scale·∫ (Π_k f_k,h) φ_a φ_b dx (closed-form; see _moments)."""
+    k = len(fields)
+    T = _moments(k + 2) * h2
+    cs = [_corners(f, nc) for f in fields]
+    planes = [None] * 9
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        prods = _corner_products(cs, t)
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                vab = None
+                for flat, idx in enumerate(np.ndindex(*((3,) * k))):
+                    w = scale * float(T[idx + (a, b)])
+                    add = w * prods[flat]
+                    vab = add if vab is None else vab + add
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(vab, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    return planes
 
 
 def _wm_quad(coef_fn, fields, *, nc, wts, bary):
@@ -1020,7 +1080,7 @@ def _schnak_fwd_kernel(
     dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
-    *, n, dt, gamma, c_b, inv_r, tol, iters, cheb_iters, wts, bary, warm,
+    *, n, dt, gamma, c_b, inv_r, tol, iters, cheb_iters, h2, warm,
     precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
@@ -1045,11 +1105,14 @@ def _schnak_fwd_kernel(
         prec_u = None
         prec_v = None
 
-    # u FCT: rhs = γ(c/r + u² v), non_flux = γM (helpers.py:581-588)
-    rhs_u = _lf_quad(
-        lambda cq, uq, vq: (gamma * inv_r) * cq + gamma * uq * uq * vq,
-        [c_i, u_n, v_n], nc=nc, wts=wts, bary=bary,
-    )
+    # u FCT: rhs = γ(c/r + u² v), non_flux = γM (helpers.py:581-588).
+    # Both terms are polynomial (deg 2 / deg 4), exactly integrated by the
+    # degree-4 rule they replace: ∫cφ = Mc; ∫u²vφ via closed-form moments.
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS as _AD
+    apply_M0 = _make_apply(M_ref, pad_ref, n, prezeroed=True, skip_planes=_AD)
+    rhs_u = ((gamma * inv_r) * apply_M0(c_i)
+             + _lf_prod([u_n, u_n, v_n], nc=nc, h2=h2, scale=gamma))
     _copy_stencil(A_ref, Au_ref)
     S = _scaled_planes(M_ref, gamma)
     x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
@@ -1061,7 +1124,7 @@ def _schnak_fwd_kernel(
 
     # v implicit with the NEW u: Mat_v = M + dt(B_v + γ M_{u²})
     # (helpers.py:590-596); Mbv = M + dt B_v precomputed
-    Mu2 = _wm_quad(lambda uq: uq * uq, [u_np1], nc=nc, wts=wts, bary=bary)
+    Mu2 = _wm_prod([u_np1, u_np1], nc=nc, h2=h2)
     for d in range(9):
         plane = Mbv_ref[d, :, :]
         if Mu2[d] is not None:
@@ -1072,8 +1135,8 @@ def _schnak_fwd_kernel(
                             skip_planes=ANTI_DIAGONAL_IDS)
     apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
-    rhs_v = _lf_quad(lambda uq: jnp.full_like(uq, gamma * c_b), [u_np1],
-                     nc=nc, wts=wts, bary=bary)
+    # rhs = γ c_b ∫φ_a: the constant load is exactly the lumped-mass diag
+    rhs_v = (gamma * c_b) * ML_ref[:, :]
     b = apply_M(v_n) + dt * rhs_v
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
     v_np1 = _cg(apply_mat,
@@ -1100,14 +1163,12 @@ def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
     linearization at the u ≈ a+b = 1 steady state (v solve)."""
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
-    wts, bary, _ = _quad_consts(4, h)
-    wts = wts * h * h
     if Du is None or Dv is None:
         precond = "jacobi"
     kern = functools.partial(
         _schnak_fwd_kernel, n=n, dt=dt, gamma=gamma, c_b=c_b,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
-        wts=wts, bary=bary, warm=warm, precond=precond,
+        h2=h * h, warm=warm, precond=precond,
     )
     dct_C, ilam_u, ilam_v = _dct_inputs(
         n, h, dt, u0.dtype,
@@ -1151,7 +1212,7 @@ def _schnak_adj_kernel(
     dct_ref, ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
-    *, n, dt, gamma, tol, iters, cheb_iters, wts, bary, warm, has_mis,
+    *, n, dt, gamma, tol, iters, cheb_iters, h2, warm, has_mis,
     precond,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
@@ -1178,7 +1239,7 @@ def _schnak_adj_kernel(
         prec_q = None
 
     # q implicit first (helpers.py:680-688): Mat_q = M + dt(B_v_adj + γM_u²)
-    Mu2 = _wm_quad(lambda uq: uq * uq, [u_n], nc=nc, wts=wts, bary=bary)
+    Mu2 = _wm_prod([u_n, u_n], nc=nc, h2=h2)
     for d in range(9):
         plane = Mbq_ref[d, :, :]
         if Mu2[d] is not None:
@@ -1189,8 +1250,7 @@ def _schnak_adj_kernel(
                             skip_planes=ANTI_DIAGONAL_IDS)
     apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
-    rhs_q = _lf_quad(lambda pq, uq: gamma * pq * uq * uq, [p_np1, u_n],
-                     nc=nc, wts=wts, bary=bary)
+    rhs_q = _lf_prod([p_np1, u_n, u_n], nc=nc, h2=h2, scale=gamma)
     if has_mis:
         rhs_q = rhs_q + misv_ref[0, :, :]
     b = apply_M(q_np1) + dt * rhs_q
@@ -1200,11 +1260,10 @@ def _schnak_adj_kernel(
               b, x0q, tol, iters)
 
     # p FCT (helpers.py:690-697): rhs = -2γ u v q_n, S = γM - 2γ M_{uv}
-    rhs_p = _lf_quad(lambda uq, vq, qq: -2.0 * gamma * uq * vq * qq,
-                     [u_n, v_n, q_n], nc=nc, wts=wts, bary=bary)
+    rhs_p = _lf_prod([u_n, v_n, q_n], nc=nc, h2=h2, scale=-2.0 * gamma)
     if has_mis:
         rhs_p = rhs_p + misu_ref[0, :, :]
-    Muv = _wm_quad(lambda uq, vq: uq * vq, [u_n, v_n], nc=nc, wts=wts, bary=bary)
+    Muv = _wm_prod([u_n, v_n], nc=nc, h2=h2)
     S = _add_planes(_scaled_planes(M_ref, gamma), Muv, s2=-2.0 * gamma)
     _copy_stencil(A_ref, Aadj_ref)
     x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
@@ -1232,13 +1291,11 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
     n = pT.shape[-1]
     steps = u_traj.shape[0] - 1
     has_mis = mis_u is not None
-    wts, bary, _ = _quad_consts(4, h)
-    wts = wts * h * h
     if Du is None or Dv is None:
         precond = "jacobi"
     kern = functools.partial(
         _schnak_adj_kernel, n=n, dt=dt, gamma=gamma, tol=tol, iters=iters,
-        cheb_iters=cheb_iters, wts=wts, bary=bary, warm=warm, has_mis=has_mis,
+        cheb_iters=cheb_iters, h2=h * h, warm=warm, has_mis=has_mis,
         precond=precond,
     )
     dct_C, ilam_p, ilam_q = _dct_inputs(
@@ -1298,7 +1355,7 @@ def _scalar_sweep_kernel(
     load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
     out_ref,
     cur_ref, prev_ref, A_ref, D_ref, pad_ref,
-    *, n, dt, tol, iters, cheb_iters, wts, bary, warm,
+    *, n, dt, tol, iters, cheb_iters, h2, warm,
     nonflux_mode, load_is_mass, reverse,
 ):
     """One FCT field: per step, rhs = M @ load_frame (load_is_mass=True,
@@ -1333,7 +1390,7 @@ def _scalar_sweep_kernel(
         # u for the IMEX weighted mass: forward uses the CARRIED state u_n;
         # the adjoint linearizes around the stored state (frame 1)
         u_for_S = x_n if nonflux_mode > 0 else load_ref[1, :, :]
-        Mu2 = _wm_quad(lambda uq: uq * uq, [u_for_S], nc=nc, wts=wts, bary=bary)
+        Mu2 = _wm_prod([u_for_S, u_for_S], nc=nc, h2=h2)
         scale = (1.0 / 3.0) if nonflux_mode > 0 else 1.0
         S = _add_planes(_scaled_planes(M_ref, -1.0), Mu2, s2=scale)
 
@@ -1368,11 +1425,9 @@ def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
     n = x0.shape[-1]
     steps = load_traj.shape[0]
     F = load_traj.shape[1]
-    wts, bary, _ = _quad_consts(4, h)
-    wts = wts * h * h
     kern = functools.partial(
         _scalar_sweep_kernel, n=n, dt=dt, tol=tol, iters=iters,
-        cheb_iters=cheb_iters, wts=wts, bary=bary, warm=warm,
+        cheb_iters=cheb_iters, h2=h * h, warm=warm,
         nonflux_mode=nonflux_mode, load_is_mass=load_is_mass, reverse=reverse,
     )
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
