@@ -1,0 +1,725 @@
+"""Distributed (multi-chip) fused FCT sweep: Pallas + inter-chip RDMA.
+
+The single-chip whole-sweep kernels (ops/pallas_fused.py) keep every vector
+VMEM-resident and amortize kernel-dispatch over the whole time loop — but
+they are single-core: under GSPMD sharding the models fall back to the XLA
+path, whose per-iteration HBM round-trips dominate at large grids
+(roadmap.md "multi-chip fast path"). This module is that fast path: the
+ENTIRE chemotaxis forward sweep (helpers.py:1321-1385 semantics, identical
+to fused_chemotaxis_forward_sweep) runs as ONE ``pallas_call`` per device
+under ``shard_map`` over a 1-D device axis, with
+
+- **row-block domain decomposition**: device ``k`` of ``nd`` owns rows
+  ``[k*nl, (k+1)*nl)`` of every (n, n) field (nl = n // nd),
+- **explicit halo exchange** over ICI via ``pltpu.make_async_remote_copy``
+  (one row up/down per stencil apply; two rows for the P1 assembly, whose
+  cells straddle the cut),
+- **credit-based flow control**: a neighbor may overwrite my halo buffer
+  only after I signal that the previous message was consumed (a REGULAR
+  semaphore per direction), which makes the exchange safe inside
+  data-dependent ``while_loop`` solver iterations where double-buffering
+  by parity is impossible,
+- **deterministic distributed reductions** for the Krylov dot products:
+  each device broadcasts its partial to all peers (all-to-all of one
+  (1, 128) row, scalars packed in lanes) and every device reduces the
+  partials in GLOBAL device order, so the reduced value is bitwise
+  identical everywhere and the tolerance-based ``while_loop`` exits in
+  lockstep on all chips.
+
+The Krylov solves are Jacobi-preconditioned (the spectral DCT
+preconditioner needs a distributed transpose — an all-to-all of (nl, nl)
+blocks — left as a future lever; the low-order matrix is an M-matrix, so
+Jacobi-BiCGStab converges in a handful of iterations regardless).
+
+Correctness is pinned by tests/test_pallas_dist.py: the sweep on an
+``xla_force_host_platform_device_count`` CPU mesh (TPU interpret mode
+simulates the remote DMAs and semaphores) matches the single-device XLA
+path to solver tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS, opposite
+from fem_fct_pdeco_tpu.ops.assembly import TRI_CORNERS, _basis_gradients, _offset_index
+from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+from fem_fct_pdeco_tpu.ops.pallas_fused import (
+    _moments, _quad_consts, _safe_div)
+
+
+# Flip on (tests) to run the interpret-mode data-race detector over the
+# credit-based flow-control protocol.
+_DETECT_RACES = False
+
+
+def _dist_interp():
+    """TPU interpret mode (simulates RDMA + semaphores) off-TPU."""
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams(detect_races=_DETECT_RACES)
+
+
+# ---------------------------------------------------------------------------
+# Rectangular in-kernel P1 assembly building blocks (row-extended fields)
+# ---------------------------------------------------------------------------
+
+
+def _corners_rect(val, ncr, ncc):
+    """Per-cell corner values of an (nr, nc) field block."""
+    return [
+        [val[ai : ai + ncr, aj : aj + ncc] for (ai, aj) in TRI_CORNERS[t]]
+        for t in range(2)
+    ]
+
+
+def _corner_products_rect(cs, t):
+    prods = [cs[0][t][i] for i in range(3)]
+    for m in range(1, len(cs)):
+        fm = cs[m][t]
+        prods = [p * fm[j] for p in prods for j in range(3)]
+    return prods
+
+
+def _lf_prod_rect(fields, *, ncr, ncc, h2, cmask, scale=1.0):
+    """Rect analogue of pallas_fused._lf_prod: the (ncr+1, ncc+1) load block
+    of scale * integral of (prod_k f_k,h) phi_a over the cell block.
+    ``cmask``: (ncr, 1) validity of each cell row — cells whose global row
+    falls outside the domain (the edge devices' halo rows) must contribute
+    NOTHING even though their inside corners hold real values."""
+    k = len(fields)
+    T = _moments(k + 1) * h2
+    cs = [_corners_rect(f, ncr, ncc) for f in fields]
+    out = None
+    for t in range(2):
+        prods = _corner_products_rect(cs, t)
+        contribs = [None, None, None]
+        for flat, idx in enumerate(np.ndindex(*((3,) * k))):
+            p = prods[flat]
+            for a in range(3):
+                w = scale * float(T[idx + (a,)])
+                add = w * p
+                contribs[a] = add if contribs[a] is None else contribs[a] + add
+        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
+            placed = jnp.pad(contribs[a] * cmask, ((ai, 1 - ai), (aj, 1 - aj)))
+            out = placed if out is None else out + placed
+    return out
+
+
+def _assemble_forward_A_rect(u, v, K_ref, A_ref, *, ncr, ncc, Dm, chi, eta,
+                             wts, bary, grads, cmask):
+    """Row-extended analogue of pallas_fused._assemble_forward_A: write
+    A = Dm*K - chi (e^{-eta u} grad v_h . grad phi_a, phi_b) for the
+    (ncr+1, ncc+1) node block covered by the given cell block. ``K_ref`` and
+    ``A_ref`` are (9, ncr+1, ncc+1) (ext-node-row aligned). ``cmask``:
+    (ncr, 1) global cell-row validity (see _lf_prod_rect); K's phantom rows
+    are already zero, so only the advective part needs the mask."""
+    planes = [None] * 9
+    uc2, vc2 = _corners_rect(u, ncr, ncc), _corners_rect(v, ncr, ncc)
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        uc, vc = uc2[t], vc2[t]
+        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
+        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        Vb = [None] * 3
+        for q in range(len(wts)):
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            e = wts[q] * jnp.exp(-eta * uq)
+            for b in range(3):
+                contrib = bary[q, b] * e
+                Vb[b] = contrib if Vb[b] is None else Vb[b] + contrib
+        Vb = [vb * cmask for vb in Vb]
+        for a, (ai, aj) in enumerate(corners):
+            ga = (-chi * grads[t, a, 0]) * gvx + (-chi * grads[t, a, 1]) * gvy
+            for b, (bi, bj) in enumerate(corners):
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(ga * Vb[b], ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    for d in range(9):
+        base = Dm * K_ref[d, :, :]
+        A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
+
+
+# ---------------------------------------------------------------------------
+# The distributed sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _dist_fwd_kernel(
+    # inputs (per-device blocks)
+    c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    # outputs
+    uout_ref, vout_ref,
+    # scratch
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    uext_ref, vext_ref, cext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts4, bary4, h2, grads, warm,
+):
+    i = pl.program_id(0)
+    me = jax.lax.axis_index(axis)
+    has_up = me > 0
+    has_dn = me < nd - 1
+    row0 = me * nl
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+        hpad_ref[:, :] = jnp.zeros_like(hpad_ref)
+        rtop[:, :] = jnp.zeros_like(rtop)
+        rbot[:, :] = jnp.zeros_like(rbot)
+        uext_ref[:, :] = jnp.zeros_like(uext_ref)
+        vext_ref[:, :] = jnp.zeros_like(vext_ref)
+        cext_ref[:, :] = jnp.zeros_like(cext_ref)
+        # initial flow-control credits: my halo buffers start free, so each
+        # neighbor gets one token to send into them
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_signal(credit_dn, inc=1, device_id=me - 1,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_signal(credit_up, inc=1, device_id=me + 1,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        if nd > 1:
+            for o in range(1, nd):
+                src = (me - o + nd) % nd
+                pltpu.semaphore_signal(
+                    credit_dot.at[o - 1], inc=1, device_id=src,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    # ---- halo exchange (credit-flow-controlled, edge-masked) -------------
+    def exchange_bufs(k):
+        """Exchange the first ``k`` pre-written rows of sbuf_up/sbuf_dn with
+        the neighbors; return (top_halo, bot_halo) values ((k, n) each,
+        zeros at the global domain edge)."""
+        up_d = pltpu.make_async_remote_copy(
+            src_ref=sbuf_up.at[0:k, :], dst_ref=rbot.at[0:k, :],
+            send_sem=hsend_sem.at[0], recv_sem=hrecv_sem.at[0],
+            device_id=me - 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+        dn_d = pltpu.make_async_remote_copy(
+            src_ref=sbuf_dn.at[0:k, :], dst_ref=rtop.at[0:k, :],
+            send_sem=hsend_sem.at[1], recv_sem=hrecv_sem.at[1],
+            device_id=me + 1,
+            device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_wait(credit_up, 1)
+            up_d.start()
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_wait(credit_dn, 1)
+            dn_d.start()
+
+        # my top halo arrives from (me-1)'s down-send, which signals
+        # hrecv_sem[1] here — the recv leg of MY dn descriptor; and
+        # symmetrically for the bottom halo
+        @pl.when(has_up)
+        def _():
+            dn_d.wait_recv()
+            up_d.wait_send()
+
+        @pl.when(has_dn)
+        def _():
+            up_d.wait_recv()
+            dn_d.wait_send()
+
+        th = rtop[0:k, :] + 0.0
+        bh = rbot[0:k, :] + 0.0
+
+        # consumed: grant the senders a new token
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_signal(credit_dn, inc=1, device_id=me - 1,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_signal(credit_up, inc=1, device_id=me + 1,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        return th, bh
+
+    def exchange(top_send, bot_send):
+        k = top_send.shape[0]
+        sbuf_up[0:k, :] = top_send
+        sbuf_dn[0:k, :] = bot_send
+        return exchange_bufs(k)
+
+    # ---- deterministic distributed scalar reductions ---------------------
+    def dist_sums(*scalars):
+        """Global sums of up to 8 packed scalars, bitwise identical on every
+        device (partials reduced in global device order)."""
+        if nd == 1:
+            return scalars
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.zeros((1, 128), dtype=ucur_ref.dtype)
+        for t, s in enumerate(scalars):
+            row = jnp.where(lane == t, s, row)
+        dot_s[0:1, :] = row
+        descs = []
+        for o in range(1, nd):
+            dst = (me + o) % nd
+            d_ = pltpu.make_async_remote_copy(
+                src_ref=dot_s.at[0:1, :], dst_ref=dot_r.at[o - 1 : o, :],
+                send_sem=dsend_sem.at[o - 1], recv_sem=drecv_sem.at[o - 1],
+                device_id=dst,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+            d_.start()
+            descs.append(d_)
+        for d_ in descs:
+            d_.wait_recv()
+            d_.wait_send()
+        total = jnp.zeros((1, 128), dtype=ucur_ref.dtype)
+        own = dot_s[0:1, :] + 0.0
+        for dev in range(nd):
+            o = (me - dev + nd) % nd
+            slot = jnp.maximum(o - 1, 0)
+            row = dot_r[pl.ds(slot, 1), :]
+            total = total + jnp.where(o == 0, own, row)
+        for o in range(1, nd):
+            src = (me - o + nd) % nd
+            pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1, device_id=src,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+        return tuple(total[0, t] for t in range(len(scalars)))
+
+    # ---- halo-extended stencil applies -----------------------------------
+    def fill_hpad(x, th, bh):
+        hpad_ref[1 : nl + 1, 1 : n + 1] = x
+        hpad_ref[0:1, 1 : n + 1] = th
+        hpad_ref[nl + 1 : nl + 2, 1 : n + 1] = bh
+
+    def window(d):
+        di, dj = OFFSETS[d]
+        return hpad_ref[1 + di : 1 + di + nl, 1 + dj : 1 + dj + n]
+
+    def plane_sum(S_at, x):
+        acc = S_at(CENTER) * x
+        for d in range(9):
+            if d == CENTER or d in ANTI_DIAGONAL_IDS:
+                continue
+            acc = acc + S_at(d) * window(d)
+        return acc
+
+    def make_apply(S_ref):
+        S_at = lambda d: S_ref[d, :, :]
+
+        def apply(x):
+            th, bh = exchange(x[0:1, :], x[nl - 1 : nl, :])
+            fill_hpad(x, th, bh)
+            return plane_sum(S_at, x)
+
+        return apply
+
+    # ext-node row e of Aext/Kx holds global row row0 - 2 + e, so the
+    # device's own rows live at ext rows 2 .. nl+1
+    low_at = lambda d: Aext_ref[d, 2 : nl + 2, :]
+
+    def apply_low(x, th=None, bh=None):
+        if th is None:
+            th, bh = exchange(x[0:1, :], x[nl - 1 : nl, :])
+        fill_hpad(x, th, bh)
+        return plane_sum(low_at, x)
+
+    apply_M = make_apply(M_ref)
+    apply_Mat2 = make_apply(Mat2_ref)
+
+    # ---- distributed Krylov (pallas_fused._bicgstab/_cg + dist_sums) ----
+    def dbicgstab(apply_A, Kinv, b, x0):
+        x = x0
+        r = b - apply_A(x)
+        rhat = r
+        rho, bb, rr = dist_sums(jnp.sum(rhat * r), jnp.sum(b * b),
+                                jnp.sum(r * r))
+        atol2 = tol * tol * bb
+
+        def cond(c):
+            k, x, r, p, rho, rn2 = c
+            return (k < iters) & (rn2 > atol2)
+
+        def body(c):
+            k, x, r, p, rho, _ = c
+            phat = Kinv * p
+            v = apply_A(phat)
+            (rv,) = dist_sums(jnp.sum(rhat * v))
+            alpha = _safe_div(rho, rv)
+            s = r - alpha * v
+            shat = Kinv * s
+            t2 = apply_A(shat)
+            ts, tt = dist_sums(jnp.sum(t2 * s), jnp.sum(t2 * t2))
+            omega = _safe_div(ts, tt)
+            x2 = x + alpha * phat + omega * shat
+            r2 = s - omega * t2
+            rho2, rn2 = dist_sums(jnp.sum(rhat * r2), jnp.sum(r2 * r2))
+            beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
+            p2 = r2 + beta * (p - omega * v)
+            return k + 1, x2, r2, p2, rho2, rn2
+
+        init = (jnp.asarray(0, jnp.int32), x, r, r, rho, rr)
+        _, x, *_ = jax.lax.while_loop(cond, body, init)
+        return x
+
+    def dcg(apply_A, Kinv, b, x0):
+        x = x0
+        r = b - apply_A(x)
+        z = Kinv * r
+        rz, bb, rr = dist_sums(jnp.sum(r * z), jnp.sum(b * b),
+                               jnp.sum(r * r))
+        atol2 = tol * tol * bb
+
+        def cond(c):
+            k, x, r, z, p, rz, rn2 = c
+            return (k < iters) & (rn2 > atol2)
+
+        def body(c):
+            k, x, r, z, p, rz, _ = c
+            Ap = apply_A(p)
+            (pAp,) = dist_sums(jnp.sum(p * Ap))
+            alpha = _safe_div(rz, pAp)
+            x2 = x + alpha * p
+            r2 = r - alpha * Ap
+            z2 = Kinv * r2
+            rz2, rn2 = dist_sums(jnp.sum(r2 * z2), jnp.sum(r2 * r2))
+            beta = _safe_div(rz2, rz)
+            p2 = z2 + beta * p
+            return k + 1, x2, r2, z2, p2, rz2, rn2
+
+        init = (jnp.asarray(0, jnp.int32), x, r, z, z, rz, rr)
+        _, x, *_ = jax.lax.while_loop(cond, body, init)
+        return x
+
+    # =====================================================================
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+
+    # ---- v half-step: Mat2 v^{n+1} = M v^n + dt/r (c u, phi) ------------
+    # pack the 2-row u halo and the 1-row c halo into one k=3 exchange
+    sbuf_up[0:2, :] = u_n[0:2, :]
+    sbuf_up[2:3, :] = c_i[0:1, :]
+    sbuf_dn[0:2, :] = u_n[nl - 2 : nl, :]
+    sbuf_dn[2:3, :] = c_i[nl - 1 : nl, :]
+    th, bh = exchange_bufs(3)
+    uext_ref[0:2, :] = th[0:2, :]
+    uext_ref[2 : nl + 2, :] = u_n
+    uext_ref[nl + 2 : nl + 4, :] = bh[0:2, :]
+    cext_ref[0:1, :] = th[2:3, :]
+    cext_ref[1 : nl + 1, :] = c_i
+    cext_ref[nl + 1 : nl + 2, :] = bh[2:3, :]
+
+    uext1 = uext_ref[1 : nl + 3, :]  # 1-row-halo window
+    cext1 = cext_ref[:, :]
+    # global cell-row validity for the 1-row-halo block (rows row0-1 ..)
+    cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
+    cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(u_n.dtype)
+    load_ext = _lf_prod_rect([cext1, uext1], ncr=nl + 1, ncc=n - 1, h2=h2,
+                             cmask=cmask1)
+    load = load_ext[1 : nl + 1, :]
+
+    b_v = apply_M(v_n) + (dt * inv_r) * load
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = dcg(apply_Mat2, 1.0 / Mat2_ref[CENTER, :, :], b_v, x0v)
+
+    # ---- u half-step: assemble A on the row-extended block --------------
+    th, bh = exchange(v_np1[0:2, :], v_np1[nl - 2 : nl, :])
+    vext_ref[0:2, :] = th
+    vext_ref[2 : nl + 2, :] = v_np1
+    vext_ref[nl + 2 : nl + 4, :] = bh
+
+    cr2 = row0 - 2 + jax.lax.broadcasted_iota(jnp.int32, (nl + 3, 1), 0)
+    cmask2 = ((cr2 >= 0) & (cr2 <= n - 2)).astype(u_n.dtype)
+    _assemble_forward_A_rect(
+        uext_ref[:, :], vext_ref[:, :], Kx_ref, Aext_ref,
+        ncr=nl + 3, ncc=n - 1, Dm=Dm, chi=chi, eta=eta,
+        wts=wts4, bary=bary4, grads=grads, cmask=cmask2)
+
+    # artificial diffusion at local rows (needs the +-1 ext rows of A)
+    offsum = None
+    for d in range(9):
+        if d == CENTER:
+            continue
+        di, dj = OFFSETS[d]
+        hpad_ref[1 : nl + 1, 1 : n + 1] = Aext_ref[
+            opposite(d), 2 + di : 2 + di + nl, :]
+        Atr = hpad_ref[1 : nl + 1, 1 + dj : 1 + dj + n]
+        Dd = jnp.maximum(0.0, jnp.maximum(Aext_ref[d, 2 : nl + 2, :], Atr))
+        D_ref[d, :, :] = Dd
+        offsum = Dd if offsum is None else offsum + Dd
+    D_ref[CENTER, :, :] = -offsum
+    # restore the hpad zero border invariant after the row writes above
+    hpad_ref[1 : nl + 1, 1 : n + 1] = jnp.zeros((nl, n), dtype=u_n.dtype)
+
+    # transform local A rows -> Low in place: Low = diag(ML) + dt (A - D)
+    ML = ML_ref[:, :]
+    for d in range(9):
+        plane = dt * (Aext_ref[d, 2 : nl + 2, :] - D_ref[d, :, :])
+        if d == CENTER:
+            plane = plane + ML
+        Aext_ref[d, 2 : nl + 2, :] = plane
+
+    b_u = ML * u_n
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_low = dbicgstab(apply_low, 1.0 / Aext_ref[CENTER, 2 : nl + 2, :],
+                      b_u, x0u)
+
+    # ---- Chebyshev du/dt on M du = -A u_low ------------------------------
+    thl, bhl = exchange(u_low[0:1, :], u_low[nl - 1 : nl, :])
+    fill_hpad(u_low, thl, bhl)
+    low_x = plane_sum(low_at, u_low)
+    D_x = plane_sum(lambda d: D_ref[d, :, :], u_low)
+    rdot = -((low_x - ML * u_low) / dt + D_x)
+
+    lmin, lmax = 0.5, 2.0
+    rho_c = (lmax - lmin) / (lmax + lmin)
+    Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
+    yold = jnp.zeros_like(rdot)
+    ymid = jnp.zeros_like(rdot)
+    om = 1.0
+    for k in range(1, cheb_iters + 1):
+        if k == 2:
+            om = 1.0 / (1.0 - rho_c**2 / 2.0)
+        elif k > 2:
+            om = 1.0 / (1.0 - om * rho_c**2 / 4.0)
+        rr_ = rdot - apply_M(ymid)
+        ynew = om * (rr_ * Mdinv + ymid - yold) + yold
+        yold, ymid = ymid, ynew
+    du = ymid
+
+    # ---- fluxes + Zalesak limiter (global-row-masked) --------------------
+    sbuf_up[0:1, :] = u_low[0:1, :]
+    sbuf_up[1:2, :] = du[0:1, :]
+    sbuf_dn[0:1, :] = u_low[nl - 1 : nl, :]
+    sbuf_dn[1:2, :] = du[nl - 1 : nl, :]
+    th2, bh2 = exchange_bufs(2)
+    fill_hpad(u_low, th2[0:1, :], bh2[0:1, :])
+    ul_sh = {d: window(d) + 0.0 for d in EDGE_NEIGHBOR_IDS}
+    fill_hpad(du, th2[1:2, :], bh2[1:2, :])
+    du_sh = {d: window(d) + 0.0 for d in EDGE_NEIGHBOR_IDS}
+
+    grow = row0 + jax.lax.broadcasted_iota(jnp.int32, (nl, n), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (nl, n), 1)
+
+    fluxes = {}
+    p_pos = jnp.zeros_like(u_low)
+    p_neg = jnp.zeros_like(u_low)
+    u_max = u_low
+    u_min = u_low
+    oks = {}
+    for d in EDGE_NEIGHBOR_IDS:
+        di, dj = OFFSETS[d]
+        F = M_ref[d, :, :] * (du - du_sh[d]) + D_ref[d, :, :] * (
+            u_low - ul_sh[d])
+        fluxes[d] = F
+        p_pos += jnp.maximum(F, 0.0)
+        p_neg += jnp.minimum(F, 0.0)
+        ok = ((grow + di >= 0) & (grow + di < n)
+              & (gcol + dj >= 0) & (gcol + dj < n))
+        oks[d] = ok
+        nbr = jnp.where(ok, ul_sh[d], u_low)
+        u_max = jnp.maximum(u_max, nbr)
+        u_min = jnp.minimum(u_min, nbr)
+
+    q_pos = u_max - u_low
+    q_neg = u_min - u_low
+    r_pos = jnp.where(
+        p_pos > 0.0,
+        jnp.minimum(1.0, ML * q_pos / (dt * jnp.where(p_pos > 0.0, p_pos, 1.0))),
+        1.0,
+    )
+    r_neg = jnp.where(
+        p_neg < 0.0,
+        jnp.minimum(1.0, ML * q_neg / (dt * jnp.where(p_neg < 0.0, p_neg, 1.0))),
+        1.0,
+    )
+
+    sbuf_up[0:1, :] = r_pos[0:1, :]
+    sbuf_up[1:2, :] = r_neg[0:1, :]
+    sbuf_dn[0:1, :] = r_pos[nl - 1 : nl, :]
+    sbuf_dn[1:2, :] = r_neg[nl - 1 : nl, :]
+    th3, bh3 = exchange_bufs(2)
+    fill_hpad(r_pos, th3[0:1, :], bh3[0:1, :])
+    rp_sh = {d: jnp.where(oks[d], window(d), 1.0) for d in EDGE_NEIGHBOR_IDS}
+    fill_hpad(r_neg, th3[1:2, :], bh3[1:2, :])
+    rn_sh = {d: jnp.where(oks[d], window(d), 1.0) for d in EDGE_NEIGHBOR_IDS}
+
+    fbar = jnp.zeros_like(u_low)
+    for d in EDGE_NEIGHBOR_IDS:
+        F = fluxes[d]
+        lim_p = jnp.minimum(r_pos, rn_sh[d])
+        lim_n = jnp.minimum(r_neg, rp_sh[d])
+        fbar += jnp.where(F > 0.0, lim_p * F,
+                          jnp.where(F < 0.0, lim_n * F, 0.0))
+
+    u_np1 = u_low + dt * fbar / ML
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+    # drain the outstanding flow-control tokens on the last step so every
+    # semaphore exits at zero (also asserts the protocol invariant: exactly
+    # one credit per peer is in flight between exchanges)
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_wait(credit_up, 1)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_wait(credit_dn, 1)
+
+        if nd > 1:
+            for o in range(1, nd):
+                pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+
+
+def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
+                  Mat2_rep, *, axis, n, nl, nd, steps, dt, Dm, chi, eta,
+                  inv_r, tol, iters, cheb_iters, wts4, bary4, h2, grads,
+                  warm):
+    """Per-device body run under shard_map: slice this device's operator
+    rows, then run the whole sweep in one pallas_call."""
+    me = jax.lax.axis_index(axis)
+    row0 = me * nl
+
+    def rows(x, lo, k):
+        return jax.lax.dynamic_slice_in_dim(x, lo, k, axis=1)
+
+    # K with a 2-row halo each side (ext-node rows row0-2 .. row0+nl+1),
+    # aligned with the kernel's row-extended assembly block
+    K_pad = jnp.pad(K_rep, ((0, 0), (2, 2), (0, 0)))
+    Kx = rows(K_pad, row0, nl + 4)
+    M_loc = rows(M_rep, row0, nl)
+    Md_loc = jax.lax.dynamic_slice_in_dim(Md_rep, row0, nl, axis=0)
+    ML_loc = jax.lax.dynamic_slice_in_dim(ML_rep, row0, nl, axis=0)
+    Mat2_loc = rows(Mat2_rep, row0, nl)
+
+    dtype = u0_loc.dtype
+    kern = functools.partial(
+        _dist_fwd_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
+        chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, wts4=wts4, bary4=bary4, h2=h2, grads=grads,
+        warm=warm,
+    )
+    field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nl + 4, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        ),
+        in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
+                  field, stencil_loc],
+        out_specs=(frame, frame),
+        scratch_shapes=[
+            pltpu.VMEM((nl, n), dtype),          # u current
+            pltpu.VMEM((nl, n), dtype),          # v current
+            pltpu.VMEM((nl, n), dtype),          # u prev (warm start)
+            pltpu.VMEM((nl, n), dtype),          # v prev
+            pltpu.VMEM((9, nl + 4, n), dtype),   # A ext (-> Low in rows 1..nl)
+            pltpu.VMEM((9, nl, n), dtype),       # D
+            pltpu.VMEM((nl + 2, n + 2), dtype),  # halo/shift pad
+            pltpu.VMEM((nl + 4, n), dtype),      # u ext (2-row halo)
+            pltpu.VMEM((nl + 4, n), dtype),      # v ext
+            pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
+            pltpu.VMEM((3, n), dtype),           # halo send up
+            pltpu.VMEM((3, n), dtype),           # halo send down
+            pltpu.VMEM((3, n), dtype),           # halo recv top
+            pltpu.VMEM((3, n), dtype),           # halo recv bottom
+            pltpu.VMEM((1, 128), dtype),         # dot partial (mine)
+            pltpu.VMEM((max(nd - 1, 1), 128), dtype),  # dot partials (peers)
+            pltpu.SemaphoreType.DMA((2,)),       # halo send sems
+            pltpu.SemaphoreType.DMA((2,)),       # halo recv sems
+            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot send sems
+            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot recv sems
+            pltpu.SemaphoreType.REGULAR,         # credit: may send up
+            pltpu.SemaphoreType.REGULAR,         # credit: may send down
+            pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 110),
+            has_side_effects=True,
+            collective_id=0,
+        ),
+        interpret=_dist_interp(),
+    )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+    u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
+    v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
+    return u_traj, v_traj
+
+
+def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
+                                  Mat2, mesh, *, h, dt, Dm, chi, eta,
+                                  rescaling, tol=1e-6, iters=60,
+                                  cheb_iters=20, warm=True, axis=None):
+    """Multi-chip fused chemotaxis forward sweep over a 1-D device axis.
+
+    Semantics identical to pallas_fused.fused_chemotaxis_forward_sweep
+    (helpers.py:1321-1385), distributed by row blocks. ``mesh``: a
+    ``jax.sharding.Mesh``; ``axis`` defaults to its first axis name. The
+    row count n must be divisible by the axis size (use
+    parallel/padding.mesh_padded_n + a padded model for reference sizes).
+    """
+    from jax import shard_map
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    n = u0.shape[-1]
+    if n % nd:
+        raise ValueError(f"n={n} not divisible by mesh axis {axis}={nd}")
+    nl = n // nd
+    steps = c_traj.shape[0] - 1
+    wts4, bary4, grads = _quad_consts(4, h)
+    wts4 = wts4 * h * h
+
+    body = functools.partial(
+        _device_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps, dt=dt,
+        Dm=Dm, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
+        h2=h * h, grads=grads, warm=warm,
+    )
+    spec_t = P(None, axis, None)
+    spec_f = P(axis, None)
+    rep = P(*([None] * 3))
+    rep2 = P(None, None)
+    rep1 = P(None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_f, spec_f, rep, rep, rep2, rep2, rep),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2)
