@@ -28,6 +28,7 @@ class ModelBase:
         solver_opts: SolverOpts | None = None,
         backend: str = "xla",
         pad_to: int | None = None,
+        mesh=None,
     ):
         """``pad_to``: enlarge all operators and fields to a ``pad_to`` x
         ``pad_to`` grid with the extra cells masked out of every assembled
@@ -37,6 +38,12 @@ class ModelBase:
         divisible by a device mesh — this is how reference-sized grids
         (41/81/129 nodes) run sharded (parallel/padding.py). Inputs to the
         sweeps must be padded with ``parallel.pad_field``; XLA backend only.
+
+        ``backend="pallas_dist"`` + ``mesh``: the multi-chip RDMA fast path
+        (ops/pallas_dist.py) — forward sweeps run as one Pallas kernel per
+        device over the mesh's first axis (n divisible by its size); other
+        sweeps use the XLA path under GSPMD. Models without a distributed
+        kernel treat it as "xla".
         """
         self.grid = grid
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
@@ -64,6 +71,24 @@ class ModelBase:
                     stacklevel=3,
                 )
                 backend = "xla"
+        if backend == "pallas_dist":
+            if mesh is None:
+                import warnings
+
+                warnings.warn(
+                    "backend='pallas_dist' needs a device mesh; "
+                    "falling back to backend='xla'", stacklevel=3)
+                backend = "xla"
+            else:
+                nd = mesh.shape[mesh.axis_names[0]]
+                if grid.n % nd:
+                    import warnings
+
+                    warnings.warn(
+                        f"grid n={grid.n} not divisible by mesh axis size "
+                        f"{nd}; falling back to backend='xla'", stacklevel=3)
+                    backend = "xla"
+        self.mesh = mesh
         self.backend = backend
         self.pad_to = pad_to
         if pad_to is None:

@@ -42,14 +42,14 @@ class ChemotaxisModel(ModelBase):
                  rescaling: float = 1.0 / 10.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, backend: str = "xla",
                  consistent_alltime_misfit: bool = False,
-                 pad_to: int | None = None):
+                 pad_to: int | None = None, mesh=None):
         """``consistent_alltime_misfit``: the reference adds the RAW nodal
         misfit û-u to the assembled adjoint loads in all-time mode
         (helpers.py:1506-1507, dimensionally inconsistent — the gradient is
         off by ~1/mass-scale, which projected Armijo absorbs). Set True for
         the mass-weighted M(û-u) variant that satisfies the adjoint identity.
         """
-        super().__init__(grid, dtype, solver_opts, backend, pad_to)
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
         self.params = params
         self.rescaling = rescaling
         self.consistent_alltime_misfit = consistent_alltime_misfit
@@ -172,6 +172,24 @@ class ChemotaxisModel(ModelBase):
         return base or self._fused_reaction is not None
 
     def _make_forward(self, dt):
+        if (
+            self.backend == "pallas_dist"
+            and type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
+        ):
+            from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                dist_chemotaxis_forward_sweep)
+
+            p = self.params
+            Mat2 = self._rd_matrix(dt)
+
+            def run_dist(control_traj, u0, v0):
+                return dist_chemotaxis_forward_sweep(
+                    control_traj, u0, v0, self.K, self.M, self.M_diag,
+                    self.ML_diag, Mat2, self.mesh, h=self.grid.h, dt=dt,
+                    Dm=p.Dm, chi=p.chi, eta=p.eta, rescaling=self.rescaling,
+                    tol=self.solver_opts.tol)
+
+            return run_dist
         if self._uses_fused_sweep():
             from fem_fct_pdeco_tpu.ops.pallas_fused import (
                 fused_chemotaxis_forward_sweep)

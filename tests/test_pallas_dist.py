@@ -68,6 +68,41 @@ def test_dist_sweep_single_device_degenerate():
     assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
 
 
+def test_model_backend_pallas_dist():
+    """backend='pallas_dist' + mesh routes ChemotaxisModel.forward through
+    the RDMA sweep and matches the XLA path."""
+    g, m, c, u0, v0 = _setup()
+    u_ref, v_ref = m.forward(c, u0, v0, DT)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    md = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float64,
+                         solver_opts=SolverOpts(tol=1e-12, maxiter=200),
+                         backend="pallas_dist", mesh=mesh)
+    c_s = jax.device_put(c, NamedSharding(mesh, P(None, "x", None)))
+    u0_s = jax.device_put(u0, NamedSharding(mesh, P("x", None)))
+    v0_s = jax.device_put(v0, NamedSharding(mesh, P("x", None)))
+    u_d, v_d = md.forward(c_s, u0_s, v0_s, DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+    assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
+
+
+def test_model_backend_pallas_dist_guards():
+    """Missing mesh or an indivisible grid falls back to the XLA path with
+    a warning instead of failing at run time."""
+    import warnings
+
+    g = Grid(0.0, 1.0, N)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = ChemotaxisModel(g, backend="pallas_dist")
+    assert m.backend == "xla" and any("mesh" in str(x.message) for x in w)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    g41 = Grid(0.0, 1.0, 41)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        m = ChemotaxisModel(g41, backend="pallas_dist", mesh=mesh)
+    assert m.backend == "xla" and any("divisible" in str(x.message) for x in w)
+
+
 def test_dist_sweep_race_detector():
     """Run the interpreter's vector-clock race detector over the credit
     protocol (a halo buffer overwritten before its consumer read it would
