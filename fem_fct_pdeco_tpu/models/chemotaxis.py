@@ -310,6 +310,38 @@ class ChemotaxisModel(ModelBase):
         return fn(u_traj, v_traj, uhat, vhat, control_traj)
 
     def _make_adjoint(self, dt, optim):
+        if (
+            self.backend == "pallas_dist"
+            and type(self)._reaction_nonflux_adj
+            is ChemotaxisModel._reaction_nonflux_adj
+        ):
+            from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                dist_chemotaxis_adjoint_sweep)
+
+            p = self.params
+            Mat2 = self._rd_matrix(dt)
+
+            def run_dist(u_traj, v_traj, uhat, vhat, control_traj):
+                if optim == "finaltime":
+                    pT = uhat - u_traj[-1]
+                    qT = vhat - v_traj[-1]
+                    mis_u = mis_v = None
+                else:
+                    pT = jnp.zeros_like(u_traj[-1])
+                    qT = jnp.zeros_like(pT)
+                    mis_u = uhat[:-1] - u_traj[:-1]
+                    mis_v = vhat[:-1] - v_traj[:-1]
+                    if self.consistent_alltime_misfit:
+                        mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
+                        mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                return dist_chemotaxis_adjoint_sweep(
+                    u_traj, v_traj, control_traj, pT, qT, self.K, self.M,
+                    self.M_diag, self.ML_diag, Mat2, self.mesh, mis_u,
+                    mis_v, h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi,
+                    eta=p.eta, rescaling=self.rescaling,
+                    tol=self.solver_opts.tol)
+
+            return run_dist
         if self._uses_fused_sweep():
             from fem_fct_pdeco_tpu.ops.pallas_fused import (
                 fused_chemotaxis_adjoint_sweep)

@@ -148,64 +148,128 @@ def _assemble_forward_A_rect(u, v, K_ref, A_ref, *, ncr, ncc, Dm, chi, eta,
 
 
 # ---------------------------------------------------------------------------
-# The distributed sweep kernel
+# Adjoint-side rectangular assembly (transposed pairing)
 # ---------------------------------------------------------------------------
 
 
-def _dist_fwd_kernel(
-    # inputs (per-device blocks)
-    c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
-    # outputs
-    uout_ref, vout_ref,
-    # scratch
-    ucur_ref, vcur_ref, uprev_ref, vprev_ref,
-    Aext_ref, D_ref, hpad_ref,
-    uext_ref, vext_ref, cext_ref,
-    sbuf_up, sbuf_dn, rtop, rbot,
-    dot_s, dot_r,
-    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
-    credit_up, credit_dn, credit_dot,
-    *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, h2, grads, warm,
-):
-    i = pl.program_id(0)
+def _assemble_adjoint_A_rect(u, v, K_ref, A_ref, *, ncr, ncc, Dm, chi, eta,
+                             wts, bary, grads, cmask):
+    """Rect/masked analogue of the matrix part of
+    pallas_fused._assemble_adjoint_A_and_load: Mat_p = Dm K - chi
+    ((1-eta u)e^{-eta u} grad v_h . grad phi_TRIAL, phi_TEST) — the
+    transposed pairing of the forward advective stencil
+    (helpers.py:1499-1503)."""
+    planes = [None] * 9
+    uc2, vc2 = _corners_rect(u, ncr, ncc), _corners_rect(v, ncr, ncc)
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        uc, vc = uc2[t], vc2[t]
+        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
+        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        Va = [None] * 3
+        for q in range(len(wts)):
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            e = wts[q] * (1.0 - eta * uq) * jnp.exp(-eta * uq)
+            for a in range(3):
+                Va[a] = bary[q, a] * e if Va[a] is None else Va[a] + bary[q, a] * e
+        Va = [va * cmask for va in Va]
+        gb3 = [
+            (-chi * grads[t, b, 0]) * gvx + (-chi * grads[t, b, 1]) * gvy
+            for b in range(3)
+        ]
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(gb3[b] * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    for d in range(9):
+        base = Dm * K_ref[d, :, :]
+        A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
+
+
+def _q_load_rect(p_n, u, *, ncr, ncc, chi, eta, wts, bary, grads, cmask):
+    """Rect/masked analogue of pallas_fused._q_load:
+    (chi u_h e^{-eta u_h} grad p_h . grad phi_a) (helpers.py:1531-1532)."""
+    uc2, pc2 = _corners_rect(u, ncr, ncc), _corners_rect(p_n, ncr, ncc)
+    load = None
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        uc, pc = uc2[t], pc2[t]
+        gpx = sum(pc[a] * grads[t, a, 0] for a in range(3))
+        gpy = sum(pc[a] * grads[t, a, 1] for a in range(3))
+        gsum = None
+        for q in range(len(wts)):
+            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            g = wts[q] * chi * uq * jnp.exp(-eta * uq)
+            gsum = g if gsum is None else gsum + g
+        gsum = gsum * cmask
+        for a, (ai, aj) in enumerate(corners):
+            ga = grads[t, a, 0] * gpx + grads[t, a, 1] * gpy
+            placed = jnp.pad(gsum * ga, ((ai, 1 - ai), (aj, 1 - aj)))
+            load = placed if load is None else load + placed
+    return load
+
+
+# ---------------------------------------------------------------------------
+# Shared per-device machinery: halo exchange, distributed reductions,
+# halo-extended stencil applies, distributed Krylov, the FCT tail
+# ---------------------------------------------------------------------------
+
+
+def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
+              hpad_ref, sbuf_up, sbuf_dn, rtop, rbot, dot_s, dot_r,
+              hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+              credit_up, credit_dn, credit_dot):
+    """Build the communication and solver closures shared by the forward
+    and adjoint sweep kernels (see the module docstring for the protocol)."""
+    import types
+
     me = jax.lax.axis_index(axis)
     has_up = me > 0
     has_dn = me < nd - 1
-    row0 = me * nl
+    LOGICAL = pltpu.DeviceIdType.LOGICAL
 
-    @pl.when(i == 0)
-    def _():
-        ucur_ref[:, :] = u0_ref[:, :]
-        vcur_ref[:, :] = v0_ref[:, :]
-        uprev_ref[:, :] = u0_ref[:, :]
-        vprev_ref[:, :] = v0_ref[:, :]
+    def init_buffers():
         hpad_ref[:, :] = jnp.zeros_like(hpad_ref)
         rtop[:, :] = jnp.zeros_like(rtop)
         rbot[:, :] = jnp.zeros_like(rbot)
-        uext_ref[:, :] = jnp.zeros_like(uext_ref)
-        vext_ref[:, :] = jnp.zeros_like(vext_ref)
-        cext_ref[:, :] = jnp.zeros_like(cext_ref)
-        # initial flow-control credits: my halo buffers start free, so each
-        # neighbor gets one token to send into them
+
+    def init_credits():
+        """Grant every peer one send token (my buffers start free); call
+        inside pl.when(i == 0)."""
         @pl.when(has_up)
         def _():
             pltpu.semaphore_signal(credit_dn, inc=1, device_id=me - 1,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+                                   device_id_type=LOGICAL)
 
         @pl.when(has_dn)
         def _():
             pltpu.semaphore_signal(credit_up, inc=1, device_id=me + 1,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+                                   device_id_type=LOGICAL)
 
         if nd > 1:
             for o in range(1, nd):
                 src = (me - o + nd) % nd
-                pltpu.semaphore_signal(
-                    credit_dot.at[o - 1], inc=1, device_id=src,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1,
+                                       device_id=src, device_id_type=LOGICAL)
 
-    # ---- halo exchange (credit-flow-controlled, edge-masked) -------------
+    def drain():
+        """Consume the outstanding tokens so every semaphore exits at zero;
+        call inside pl.when(i == last). Also asserts the protocol
+        invariant: exactly one credit per peer in flight between
+        exchanges."""
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_wait(credit_up, 1)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_wait(credit_dn, 1)
+
+        if nd > 1:
+            for o in range(1, nd):
+                pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+
     def exchange_bufs(k):
         """Exchange the first ``k`` pre-written rows of sbuf_up/sbuf_dn with
         the neighbors; return (top_halo, bot_halo) values ((k, n) each,
@@ -213,13 +277,11 @@ def _dist_fwd_kernel(
         up_d = pltpu.make_async_remote_copy(
             src_ref=sbuf_up.at[0:k, :], dst_ref=rbot.at[0:k, :],
             send_sem=hsend_sem.at[0], recv_sem=hrecv_sem.at[0],
-            device_id=me - 1,
-            device_id_type=pltpu.DeviceIdType.LOGICAL)
+            device_id=me - 1, device_id_type=LOGICAL)
         dn_d = pltpu.make_async_remote_copy(
             src_ref=sbuf_dn.at[0:k, :], dst_ref=rtop.at[0:k, :],
             send_sem=hsend_sem.at[1], recv_sem=hrecv_sem.at[1],
-            device_id=me + 1,
-            device_id_type=pltpu.DeviceIdType.LOGICAL)
+            device_id=me + 1, device_id_type=LOGICAL)
 
         @pl.when(has_up)
         def _():
@@ -251,12 +313,12 @@ def _dist_fwd_kernel(
         @pl.when(has_up)
         def _():
             pltpu.semaphore_signal(credit_dn, inc=1, device_id=me - 1,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+                                   device_id_type=LOGICAL)
 
         @pl.when(has_dn)
         def _():
             pltpu.semaphore_signal(credit_up, inc=1, device_id=me + 1,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+                                   device_id_type=LOGICAL)
 
         return th, bh
 
@@ -266,16 +328,15 @@ def _dist_fwd_kernel(
         sbuf_dn[0:k, :] = bot_send
         return exchange_bufs(k)
 
-    # ---- deterministic distributed scalar reductions ---------------------
     def dist_sums(*scalars):
         """Global sums of up to 8 packed scalars, bitwise identical on every
         device (partials reduced in global device order)."""
         if nd == 1:
             return scalars
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        row = jnp.zeros((1, 128), dtype=ucur_ref.dtype)
-        for t, s in enumerate(scalars):
-            row = jnp.where(lane == t, s, row)
+        row = jnp.zeros((1, 128), dtype=dtype)
+        for t, sc in enumerate(scalars):
+            row = jnp.where(lane == t, sc, row)
         dot_s[0:1, :] = row
         descs = []
         for o in range(1, nd):
@@ -283,28 +344,26 @@ def _dist_fwd_kernel(
             d_ = pltpu.make_async_remote_copy(
                 src_ref=dot_s.at[0:1, :], dst_ref=dot_r.at[o - 1 : o, :],
                 send_sem=dsend_sem.at[o - 1], recv_sem=drecv_sem.at[o - 1],
-                device_id=dst,
-                device_id_type=pltpu.DeviceIdType.LOGICAL)
+                device_id=dst, device_id_type=LOGICAL)
             pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
             d_.start()
             descs.append(d_)
         for d_ in descs:
             d_.wait_recv()
             d_.wait_send()
-        total = jnp.zeros((1, 128), dtype=ucur_ref.dtype)
+        total = jnp.zeros((1, 128), dtype=dtype)
         own = dot_s[0:1, :] + 0.0
         for dev in range(nd):
             o = (me - dev + nd) % nd
             slot = jnp.maximum(o - 1, 0)
-            row = dot_r[pl.ds(slot, 1), :]
-            total = total + jnp.where(o == 0, own, row)
+            r = dot_r[pl.ds(slot, 1), :]
+            total = total + jnp.where(o == 0, own, r)
         for o in range(1, nd):
             src = (me - o + nd) % nd
-            pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1, device_id=src,
-                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1,
+                                   device_id=src, device_id_type=LOGICAL)
         return tuple(total[0, t] for t in range(len(scalars)))
 
-    # ---- halo-extended stencil applies -----------------------------------
     def fill_hpad(x, th, bh):
         hpad_ref[1 : nl + 1, 1 : n + 1] = x
         hpad_ref[0:1, 1 : n + 1] = th
@@ -332,20 +391,6 @@ def _dist_fwd_kernel(
 
         return apply
 
-    # ext-node row e of Aext/Kx holds global row row0 - 2 + e, so the
-    # device's own rows live at ext rows 2 .. nl+1
-    low_at = lambda d: Aext_ref[d, 2 : nl + 2, :]
-
-    def apply_low(x, th=None, bh=None):
-        if th is None:
-            th, bh = exchange(x[0:1, :], x[nl - 1 : nl, :])
-        fill_hpad(x, th, bh)
-        return plane_sum(low_at, x)
-
-    apply_M = make_apply(M_ref)
-    apply_Mat2 = make_apply(Mat2_ref)
-
-    # ---- distributed Krylov (pallas_fused._bicgstab/_cg + dist_sums) ----
     def dbicgstab(apply_A, Kinv, b, x0):
         x = x0
         r = b - apply_A(x)
@@ -355,12 +400,12 @@ def _dist_fwd_kernel(
         atol2 = tol * tol * bb
 
         def cond(c):
-            k, x, r, p, rho, rn2 = c
+            k, x, r, p_, rho, rn2 = c
             return (k < iters) & (rn2 > atol2)
 
         def body(c):
-            k, x, r, p, rho, _ = c
-            phat = Kinv * p
+            k, x, r, p_, rho, _ = c
+            phat = Kinv * p_
             v = apply_A(phat)
             (rv,) = dist_sums(jnp.sum(rhat * v))
             alpha = _safe_div(rho, rv)
@@ -373,7 +418,7 @@ def _dist_fwd_kernel(
             r2 = s - omega * t2
             rho2, rn2 = dist_sums(jnp.sum(rhat * r2), jnp.sum(r2 * r2))
             beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
-            p2 = r2 + beta * (p - omega * v)
+            p2 = r2 + beta * (p_ - omega * v)
             return k + 1, x2, r2, p2, rho2, rn2
 
         init = (jnp.asarray(0, jnp.int32), x, r, r, rho, rr)
@@ -389,71 +434,43 @@ def _dist_fwd_kernel(
         atol2 = tol * tol * bb
 
         def cond(c):
-            k, x, r, z, p, rz, rn2 = c
+            k, x, r, z, p_, rz, rn2 = c
             return (k < iters) & (rn2 > atol2)
 
         def body(c):
-            k, x, r, z, p, rz, _ = c
-            Ap = apply_A(p)
-            (pAp,) = dist_sums(jnp.sum(p * Ap))
+            k, x, r, z, p_, rz, _ = c
+            Ap = apply_A(p_)
+            (pAp,) = dist_sums(jnp.sum(p_ * Ap))
             alpha = _safe_div(rz, pAp)
-            x2 = x + alpha * p
+            x2 = x + alpha * p_
             r2 = r - alpha * Ap
             z2 = Kinv * r2
             rz2, rn2 = dist_sums(jnp.sum(r2 * z2), jnp.sum(r2 * r2))
             beta = _safe_div(rz2, rz)
-            p2 = z2 + beta * p
+            p2 = z2 + beta * p_
             return k + 1, x2, r2, z2, p2, rz2, rn2
 
         init = (jnp.asarray(0, jnp.int32), x, r, z, z, rz, rr)
         _, x, *_ = jax.lax.while_loop(cond, body, init)
         return x
 
-    # =====================================================================
-    u_n = ucur_ref[:, :]
-    v_n = vcur_ref[:, :]
-    c_i = c_ref[0, :, :]
+    return types.SimpleNamespace(
+        me=me, has_up=has_up, has_dn=has_dn, row0=me * nl,
+        init_buffers=init_buffers, init_credits=init_credits, drain=drain,
+        exchange_bufs=exchange_bufs, exchange=exchange, dist_sums=dist_sums,
+        fill_hpad=fill_hpad, window=window, plane_sum=plane_sum,
+        make_apply=make_apply, dbicgstab=dbicgstab, dcg=dcg,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn)
 
-    # ---- v half-step: Mat2 v^{n+1} = M v^n + dt/r (c u, phi) ------------
-    # pack the 2-row u halo and the 1-row c halo into one k=3 exchange
-    sbuf_up[0:2, :] = u_n[0:2, :]
-    sbuf_up[2:3, :] = c_i[0:1, :]
-    sbuf_dn[0:2, :] = u_n[nl - 2 : nl, :]
-    sbuf_dn[2:3, :] = c_i[nl - 1 : nl, :]
-    th, bh = exchange_bufs(3)
-    uext_ref[0:2, :] = th[0:2, :]
-    uext_ref[2 : nl + 2, :] = u_n
-    uext_ref[nl + 2 : nl + 4, :] = bh[0:2, :]
-    cext_ref[0:1, :] = th[2:3, :]
-    cext_ref[1 : nl + 1, :] = c_i
-    cext_ref[nl + 1 : nl + 2, :] = bh[2:3, :]
 
-    uext1 = uext_ref[1 : nl + 3, :]  # 1-row-halo window
-    cext1 = cext_ref[:, :]
-    # global cell-row validity for the 1-row-halo block (rows row0-1 ..)
-    cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
-    cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(u_n.dtype)
-    load_ext = _lf_prod_rect([cext1, uext1], ncr=nl + 1, ncc=n - 1, h2=h2,
-                             cmask=cmask1)
-    load = load_ext[1 : nl + 1, :]
-
-    b_v = apply_M(v_n) + (dt * inv_r) * load
-    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
-    v_np1 = dcg(apply_Mat2, 1.0 / Mat2_ref[CENTER, :, :], b_v, x0v)
-
-    # ---- u half-step: assemble A on the row-extended block --------------
-    th, bh = exchange(v_np1[0:2, :], v_np1[nl - 2 : nl, :])
-    vext_ref[0:2, :] = th
-    vext_ref[2 : nl + 2, :] = v_np1
-    vext_ref[nl + 2 : nl + 4, :] = bh
-
-    cr2 = row0 - 2 + jax.lax.broadcasted_iota(jnp.int32, (nl + 3, 1), 0)
-    cmask2 = ((cr2 >= 0) & (cr2 <= n - 2)).astype(u_n.dtype)
-    _assemble_forward_A_rect(
-        uext_ref[:, :], vext_ref[:, :], Kx_ref, Aext_ref,
-        ncr=nl + 3, ncc=n - 1, Dm=Dm, chi=chi, eta=eta,
-        wts=wts4, bary=bary4, grads=grads, cmask=cmask2)
-
+def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
+                   u_prev, rhs, x0, *, n, nl, dt, cheb_iters):
+    """Distributed FCT step tail, given the assembled flux matrix in the
+    row-extended Aext_ref (ext row e = global row row0-2+e): artificial
+    diffusion -> Low (in place, local rows) -> distributed BiCGStab ->
+    Chebyshev du/dt -> halo-exchanged fluxes + Zalesak limiter. Mirrors
+    pallas_fused._fct_core with the out-of-block accesses going through
+    halo exchanges and the out-of-DOMAIN ones through global-row masks."""
     # artificial diffusion at local rows (needs the +-1 ext rows of A)
     offsum = None
     for d in range(9):
@@ -468,28 +485,34 @@ def _dist_fwd_kernel(
         offsum = Dd if offsum is None else offsum + Dd
     D_ref[CENTER, :, :] = -offsum
     # restore the hpad zero border invariant after the row writes above
-    hpad_ref[1 : nl + 1, 1 : n + 1] = jnp.zeros((nl, n), dtype=u_n.dtype)
+    hpad_ref[1 : nl + 1, 1 : n + 1] = jnp.zeros((nl, n), dtype=u_prev.dtype)
 
     # transform local A rows -> Low in place: Low = diag(ML) + dt (A - D)
-    ML = ML_ref[:, :]
     for d in range(9):
         plane = dt * (Aext_ref[d, 2 : nl + 2, :] - D_ref[d, :, :])
         if d == CENTER:
             plane = plane + ML
         Aext_ref[d, 2 : nl + 2, :] = plane
 
-    b_u = ML * u_n
-    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
-    u_low = dbicgstab(apply_low, 1.0 / Aext_ref[CENTER, 2 : nl + 2, :],
-                      b_u, x0u)
+    low_at = lambda d: Aext_ref[d, 2 : nl + 2, :]
 
-    # ---- Chebyshev du/dt on M du = -A u_low ------------------------------
-    thl, bhl = exchange(u_low[0:1, :], u_low[nl - 1 : nl, :])
-    fill_hpad(u_low, thl, bhl)
-    low_x = plane_sum(low_at, u_low)
-    D_x = plane_sum(lambda d: D_ref[d, :, :], u_low)
-    rdot = -((low_x - ML * u_low) / dt + D_x)
+    def apply_low(x):
+        th, bh = ops.exchange(x[0:1, :], x[nl - 1 : nl, :])
+        ops.fill_hpad(x, th, bh)
+        return ops.plane_sum(low_at, x)
 
+    b = ML * u_prev + dt * rhs
+    u_low = ops.dbicgstab(apply_low, 1.0 / Aext_ref[CENTER, 2 : nl + 2, :],
+                          b, x0)
+
+    # Chebyshev du/dt on M du = -A u_low + rhs
+    thl, bhl = ops.exchange(u_low[0:1, :], u_low[nl - 1 : nl, :])
+    ops.fill_hpad(u_low, thl, bhl)
+    low_x = ops.plane_sum(low_at, u_low)
+    D_x = ops.plane_sum(lambda d: D_ref[d, :, :], u_low)
+    rdot = -((low_x - ML * u_low) / dt + D_x) + rhs
+
+    apply_M = ops.make_apply(M_ref)
     lmin, lmax = 0.5, 2.0
     rho_c = (lmax - lmin) / (lmax + lmin)
     Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
@@ -506,18 +529,18 @@ def _dist_fwd_kernel(
         yold, ymid = ymid, ynew
     du = ymid
 
-    # ---- fluxes + Zalesak limiter (global-row-masked) --------------------
-    sbuf_up[0:1, :] = u_low[0:1, :]
-    sbuf_up[1:2, :] = du[0:1, :]
-    sbuf_dn[0:1, :] = u_low[nl - 1 : nl, :]
-    sbuf_dn[1:2, :] = du[nl - 1 : nl, :]
-    th2, bh2 = exchange_bufs(2)
-    fill_hpad(u_low, th2[0:1, :], bh2[0:1, :])
-    ul_sh = {d: window(d) + 0.0 for d in EDGE_NEIGHBOR_IDS}
-    fill_hpad(du, th2[1:2, :], bh2[1:2, :])
-    du_sh = {d: window(d) + 0.0 for d in EDGE_NEIGHBOR_IDS}
+    # fluxes + Zalesak limiter (global-row-masked)
+    ops.sbuf_up[0:1, :] = u_low[0:1, :]
+    ops.sbuf_up[1:2, :] = du[0:1, :]
+    ops.sbuf_dn[0:1, :] = u_low[nl - 1 : nl, :]
+    ops.sbuf_dn[1:2, :] = du[nl - 1 : nl, :]
+    th2, bh2 = ops.exchange_bufs(2)
+    ops.fill_hpad(u_low, th2[0:1, :], bh2[0:1, :])
+    ul_sh = {d: ops.window(d) + 0.0 for d in EDGE_NEIGHBOR_IDS}
+    ops.fill_hpad(du, th2[1:2, :], bh2[1:2, :])
+    du_sh = {d: ops.window(d) + 0.0 for d in EDGE_NEIGHBOR_IDS}
 
-    grow = row0 + jax.lax.broadcasted_iota(jnp.int32, (nl, n), 0)
+    grow = ops.row0 + jax.lax.broadcasted_iota(jnp.int32, (nl, n), 0)
     gcol = jax.lax.broadcasted_iota(jnp.int32, (nl, n), 1)
 
     fluxes = {}
@@ -553,15 +576,17 @@ def _dist_fwd_kernel(
         1.0,
     )
 
-    sbuf_up[0:1, :] = r_pos[0:1, :]
-    sbuf_up[1:2, :] = r_neg[0:1, :]
-    sbuf_dn[0:1, :] = r_pos[nl - 1 : nl, :]
-    sbuf_dn[1:2, :] = r_neg[nl - 1 : nl, :]
-    th3, bh3 = exchange_bufs(2)
-    fill_hpad(r_pos, th3[0:1, :], bh3[0:1, :])
-    rp_sh = {d: jnp.where(oks[d], window(d), 1.0) for d in EDGE_NEIGHBOR_IDS}
-    fill_hpad(r_neg, th3[1:2, :], bh3[1:2, :])
-    rn_sh = {d: jnp.where(oks[d], window(d), 1.0) for d in EDGE_NEIGHBOR_IDS}
+    ops.sbuf_up[0:1, :] = r_pos[0:1, :]
+    ops.sbuf_up[1:2, :] = r_neg[0:1, :]
+    ops.sbuf_dn[0:1, :] = r_pos[nl - 1 : nl, :]
+    ops.sbuf_dn[1:2, :] = r_neg[nl - 1 : nl, :]
+    th3, bh3 = ops.exchange_bufs(2)
+    ops.fill_hpad(r_pos, th3[0:1, :], bh3[0:1, :])
+    rp_sh = {d: jnp.where(oks[d], ops.window(d), 1.0)
+             for d in EDGE_NEIGHBOR_IDS}
+    ops.fill_hpad(r_neg, th3[1:2, :], bh3[1:2, :])
+    rn_sh = {d: jnp.where(oks[d], ops.window(d), 1.0)
+             for d in EDGE_NEIGHBOR_IDS}
 
     fbar = jnp.zeros_like(u_low)
     for d in EDGE_NEIGHBOR_IDS:
@@ -571,7 +596,103 @@ def _dist_fwd_kernel(
         fbar += jnp.where(F > 0.0, lim_p * F,
                           jnp.where(F < 0.0, lim_n * F, 0.0))
 
-    u_np1 = u_low + dt * fbar / ML
+    return u_low + dt * fbar / ML
+
+
+# ---------------------------------------------------------------------------
+# The distributed sweep kernels
+# ---------------------------------------------------------------------------
+
+
+def _dist_fwd_kernel(
+    # inputs (per-device blocks)
+    c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    # outputs
+    uout_ref, vout_ref,
+    # scratch
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    uext_ref, vext_ref, cext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts4, bary4, h2, grads, warm,
+):
+    i = pl.program_id(0)
+    ops = _make_ops(
+        axis=axis, n=n, nl=nl, nd=nd, tol=tol, iters=iters,
+        dtype=ucur_ref.dtype, hpad_ref=hpad_ref, sbuf_up=sbuf_up,
+        sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
+        drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
+        credit_dot=credit_dot)
+    row0 = ops.row0
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+        uext_ref[:, :] = jnp.zeros_like(uext_ref)
+        vext_ref[:, :] = jnp.zeros_like(vext_ref)
+        cext_ref[:, :] = jnp.zeros_like(cext_ref)
+        ops.init_buffers()
+        ops.init_credits()
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+
+    # ---- v half-step: Mat2 v^{n+1} = M v^n + dt/r (c u, phi) ------------
+    # pack the 2-row u halo and the 1-row c halo into one k=3 exchange
+    sbuf_up[0:2, :] = u_n[0:2, :]
+    sbuf_up[2:3, :] = c_i[0:1, :]
+    sbuf_dn[0:2, :] = u_n[nl - 2 : nl, :]
+    sbuf_dn[2:3, :] = c_i[nl - 1 : nl, :]
+    th, bh = ops.exchange_bufs(3)
+    uext_ref[0:2, :] = th[0:2, :]
+    uext_ref[2 : nl + 2, :] = u_n
+    uext_ref[nl + 2 : nl + 4, :] = bh[0:2, :]
+    cext_ref[0:1, :] = th[2:3, :]
+    cext_ref[1 : nl + 1, :] = c_i
+    cext_ref[nl + 1 : nl + 2, :] = bh[2:3, :]
+
+    uext1 = uext_ref[1 : nl + 3, :]  # 1-row-halo window
+    cext1 = cext_ref[:, :]
+    # global cell-row validity for the 1-row-halo block (rows row0-1 ..)
+    cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
+    cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(u_n.dtype)
+    load_ext = _lf_prod_rect([cext1, uext1], ncr=nl + 1, ncc=n - 1, h2=h2,
+                             cmask=cmask1)
+    load = load_ext[1 : nl + 1, :]
+
+    apply_M = ops.make_apply(M_ref)
+    b_v = apply_M(v_n) + (dt * inv_r) * load
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = ops.dcg(ops.make_apply(Mat2_ref), 1.0 / Mat2_ref[CENTER, :, :],
+                    b_v, x0v)
+
+    # ---- u half-step: assemble A on the row-extended block --------------
+    th, bh = ops.exchange(v_np1[0:2, :], v_np1[nl - 2 : nl, :])
+    vext_ref[0:2, :] = th
+    vext_ref[2 : nl + 2, :] = v_np1
+    vext_ref[nl + 2 : nl + 4, :] = bh
+
+    cr2 = row0 - 2 + jax.lax.broadcasted_iota(jnp.int32, (nl + 3, 1), 0)
+    cmask2 = ((cr2 >= 0) & (cr2 <= n - 2)).astype(u_n.dtype)
+    _assemble_forward_A_rect(
+        uext_ref[:, :], vext_ref[:, :], Kx_ref, Aext_ref,
+        ncr=nl + 3, ncc=n - 1, Dm=Dm, chi=chi, eta=eta,
+        wts=wts4, bary=bary4, grads=grads, cmask=cmask2)
+
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _dist_fct_tail(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        u_n, jnp.zeros_like(u_n), x0u, n=n, nl=nl, dt=dt,
+        cheb_iters=cheb_iters)
 
     uprev_ref[:, :] = u_n
     vprev_ref[:, :] = v_n
@@ -580,22 +701,179 @@ def _dist_fwd_kernel(
     uout_ref[0, :, :] = u_np1
     vout_ref[0, :, :] = v_np1
 
-    # drain the outstanding flow-control tokens on the last step so every
-    # semaphore exits at zero (also asserts the protocol invariant: exactly
-    # one credit per peer is in flight between exchanges)
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        @pl.when(has_up)
-        def _():
-            pltpu.semaphore_wait(credit_up, 1)
+        ops.drain()
 
-        @pl.when(has_dn)
-        def _():
-            pltpu.semaphore_wait(credit_dn, 1)
 
-        if nd > 1:
-            for o in range(1, nd):
-                pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+def _dist_adj_kernel(
+    # inputs (per-device blocks, streamed in reverse)
+    u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    # outputs
+    pout_ref, qout_ref,
+    # scratch
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    uext_ref, vext_ref, cext_ref, qext_ref, pext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts5, bary5, wts4, bary4, h2, grads, warm,
+):
+    """Distributed chemotaxis adjoint sweep step (helpers.py:1387-1581
+    semantics, identical to pallas_fused._adj_sweep_kernel): p FCT with the
+    transposed-stencil matrix, then the implicit q solve."""
+    i = pl.program_id(0)
+    ops = _make_ops(
+        axis=axis, n=n, nl=nl, nd=nd, tol=tol, iters=iters,
+        dtype=pcur_ref.dtype, hpad_ref=hpad_ref, sbuf_up=sbuf_up,
+        sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
+        drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
+        credit_dot=credit_dot)
+    row0 = ops.row0
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+        uext_ref[:, :] = jnp.zeros_like(uext_ref)
+        vext_ref[:, :] = jnp.zeros_like(vext_ref)
+        cext_ref[:, :] = jnp.zeros_like(cext_ref)
+        qext_ref[:, :] = jnp.zeros_like(qext_ref)
+        pext_ref[:, :] = jnp.zeros_like(pext_ref)
+        ops.init_buffers()
+        ops.init_credits()
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    c_n = c_ref[0, :, :]
+
+    # one k=6 exchange: u (2 rows, assembly), v (2 rows, assembly),
+    # c (1 row, p load), q (1 row, p load)
+    sbuf_up[0:2, :] = u_n[0:2, :]
+    sbuf_up[2:4, :] = v_n[0:2, :]
+    sbuf_up[4:5, :] = c_n[0:1, :]
+    sbuf_up[5:6, :] = q_np1[0:1, :]
+    sbuf_dn[0:2, :] = u_n[nl - 2 : nl, :]
+    sbuf_dn[2:4, :] = v_n[nl - 2 : nl, :]
+    sbuf_dn[4:5, :] = c_n[nl - 1 : nl, :]
+    sbuf_dn[5:6, :] = q_np1[nl - 1 : nl, :]
+    th, bh = ops.exchange_bufs(6)
+    uext_ref[0:2, :] = th[0:2, :]
+    uext_ref[2 : nl + 2, :] = u_n
+    uext_ref[nl + 2 : nl + 4, :] = bh[0:2, :]
+    vext_ref[0:2, :] = th[2:4, :]
+    vext_ref[2 : nl + 2, :] = v_n
+    vext_ref[nl + 2 : nl + 4, :] = bh[2:4, :]
+    cext_ref[0:1, :] = th[4:5, :]
+    cext_ref[1 : nl + 1, :] = c_n
+    cext_ref[nl + 1 : nl + 2, :] = bh[4:5, :]
+    qext_ref[0:1, :] = th[5:6, :]
+    qext_ref[1 : nl + 1, :] = q_np1
+    qext_ref[nl + 1 : nl + 2, :] = bh[5:6, :]
+
+    # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
+    cr2 = row0 - 2 + jax.lax.broadcasted_iota(jnp.int32, (nl + 3, 1), 0)
+    cmask2 = ((cr2 >= 0) & (cr2 <= n - 2)).astype(u_n.dtype)
+    _assemble_adjoint_A_rect(
+        uext_ref[:, :], vext_ref[:, :], Kx_ref, Aext_ref,
+        ncr=nl + 3, ncc=n - 1, Dm=Dm, chi=chi, eta=eta,
+        wts=wts5, bary=bary5, grads=grads, cmask=cmask2)
+
+    cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
+    cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(u_n.dtype)
+    load_ext = _lf_prod_rect([cext_ref[:, :], qext_ref[:, :]],
+                             ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1,
+                             scale=inv_r)
+    rhs = load_ext[1 : nl + 1, :] + misu_ref[0, :, :]
+
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _dist_fct_tail(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        p_np1, rhs, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters)
+
+    # ---- q implicit half-step (helpers.py:1531-1538) --------------------
+    thp, bhp = ops.exchange(p_n[0:1, :], p_n[nl - 1 : nl, :])
+    pext_ref[0:1, :] = thp
+    pext_ref[1 : nl + 1, :] = p_n
+    pext_ref[nl + 1 : nl + 2, :] = bhp
+    qload_ext = _q_load_rect(
+        pext_ref[:, :], uext_ref[1 : nl + 3, :], ncr=nl + 1, ncc=n - 1,
+        chi=chi, eta=eta, wts=wts4, bary=bary4, grads=grads, cmask=cmask1)
+    qload = qload_ext[1 : nl + 1, :] + misv_ref[0, :, :]
+
+    apply_M = ops.make_apply(M_ref)
+    b = apply_M(q_np1) + dt * qload
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = ops.dcg(ops.make_apply(Mat2_ref), 1.0 / Mat2_ref[CENTER, :, :],
+                  b, x0q)
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers
+# ---------------------------------------------------------------------------
+
+
+def _comm_scratch(nd, n, dtype, sbuf_rows):
+    """The communication scratch block shared by both sweep kernels."""
+    return [
+        pltpu.VMEM((sbuf_rows, n), dtype),          # halo send up
+        pltpu.VMEM((sbuf_rows, n), dtype),          # halo send down
+        pltpu.VMEM((sbuf_rows, n), dtype),          # halo recv top
+        pltpu.VMEM((sbuf_rows, n), dtype),          # halo recv bottom
+        pltpu.VMEM((1, 128), dtype),                # dot partial (mine)
+        pltpu.VMEM((max(nd - 1, 1), 128), dtype),   # dot partials (peers)
+        pltpu.SemaphoreType.DMA((2,)),              # halo send sems
+        pltpu.SemaphoreType.DMA((2,)),              # halo recv sems
+        pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot send sems
+        pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot recv sems
+        pltpu.SemaphoreType.REGULAR,                # credit: may send up
+        pltpu.SemaphoreType.REGULAR,                # credit: may send down
+        pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
+    ]
+
+
+def _slice_device_rows(K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, row0, nl):
+    """This device's operator rows; K gets a 2-row halo each side
+    (ext-node rows row0-2 .. row0+nl+1) to align with the kernels'
+    row-extended assembly block."""
+    def rows(x, lo, k):
+        return jax.lax.dynamic_slice_in_dim(x, lo, k, axis=1)
+
+    K_pad = jnp.pad(K_rep, ((0, 0), (2, 2), (0, 0)))
+    Kx = rows(K_pad, row0, nl + 4)
+    M_loc = rows(M_rep, row0, nl)
+    Md_loc = jax.lax.dynamic_slice_in_dim(Md_rep, row0, nl, axis=0)
+    ML_loc = jax.lax.dynamic_slice_in_dim(ML_rep, row0, nl, axis=0)
+    Mat2_loc = rows(Mat2_rep, row0, nl)
+    return Kx, M_loc, Md_loc, ML_loc, Mat2_loc
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(1024 * 1024 * 110),
+        has_side_effects=True,
+        collective_id=0,
+    )
 
 
 def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
@@ -605,19 +883,8 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
     """Per-device body run under shard_map: slice this device's operator
     rows, then run the whole sweep in one pallas_call."""
     me = jax.lax.axis_index(axis)
-    row0 = me * nl
-
-    def rows(x, lo, k):
-        return jax.lax.dynamic_slice_in_dim(x, lo, k, axis=1)
-
-    # K with a 2-row halo each side (ext-node rows row0-2 .. row0+nl+1),
-    # aligned with the kernel's row-extended assembly block
-    K_pad = jnp.pad(K_rep, ((0, 0), (2, 2), (0, 0)))
-    Kx = rows(K_pad, row0, nl + 4)
-    M_loc = rows(M_rep, row0, nl)
-    Md_loc = jax.lax.dynamic_slice_in_dim(Md_rep, row0, nl, axis=0)
-    ML_loc = jax.lax.dynamic_slice_in_dim(ML_rep, row0, nl, axis=0)
-    Mat2_loc = rows(Mat2_rep, row0, nl)
+    Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
+        K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
 
     dtype = u0_loc.dtype
     kern = functools.partial(
@@ -648,36 +915,87 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             pltpu.VMEM((nl, n), dtype),          # v current
             pltpu.VMEM((nl, n), dtype),          # u prev (warm start)
             pltpu.VMEM((nl, n), dtype),          # v prev
-            pltpu.VMEM((9, nl + 4, n), dtype),   # A ext (-> Low in rows 1..nl)
+            pltpu.VMEM((9, nl + 4, n), dtype),   # A ext (-> Low, local rows)
             pltpu.VMEM((9, nl, n), dtype),       # D
             pltpu.VMEM((nl + 2, n + 2), dtype),  # halo/shift pad
             pltpu.VMEM((nl + 4, n), dtype),      # u ext (2-row halo)
             pltpu.VMEM((nl + 4, n), dtype),      # v ext
             pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
-            pltpu.VMEM((3, n), dtype),           # halo send up
-            pltpu.VMEM((3, n), dtype),           # halo send down
-            pltpu.VMEM((3, n), dtype),           # halo recv top
-            pltpu.VMEM((3, n), dtype),           # halo recv bottom
-            pltpu.VMEM((1, 128), dtype),         # dot partial (mine)
-            pltpu.VMEM((max(nd - 1, 1), 128), dtype),  # dot partials (peers)
-            pltpu.SemaphoreType.DMA((2,)),       # halo send sems
-            pltpu.SemaphoreType.DMA((2,)),       # halo recv sems
-            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot send sems
-            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot recv sems
-            pltpu.SemaphoreType.REGULAR,         # credit: may send up
-            pltpu.SemaphoreType.REGULAR,         # credit: may send down
-            pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 110),
-            has_side_effects=True,
-            collective_id=0,
-        ),
+        ] + _comm_scratch(nd, n, dtype, 3),
+        compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
     u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
     return u_traj, v_traj
+
+
+def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
+                      qT_loc, K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, *,
+                      axis, n, nl, nd, steps, dt, Dm, chi, eta, inv_r, tol,
+                      iters, cheb_iters, wts5, bary5, wts4, bary4, h2,
+                      grads, warm, has_mis):
+    me = jax.lax.axis_index(axis)
+    Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
+        K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
+
+    dtype = pT_loc.dtype
+    kern = functools.partial(
+        _dist_adj_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
+        chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, wts5=wts5, bary5=bary5, wts4=wts4,
+        bary4=bary4, h2=h2, grads=grads, warm=warm,
+    )
+    field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nl + 4, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    # backward step i consumes global frame steps-1-i, writes the same slot
+    rev = pl.BlockSpec((1, nl, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mis_spec = rev if has_mis else pl.BlockSpec(
+        (1, nl, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        ),
+        in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
+                  stencil_ext, stencil_loc, field, field, stencil_loc],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((nl, n), dtype),          # p current
+            pltpu.VMEM((nl, n), dtype),          # q current
+            pltpu.VMEM((nl, n), dtype),          # p prev (warm start)
+            pltpu.VMEM((nl, n), dtype),          # q prev
+            pltpu.VMEM((9, nl + 4, n), dtype),   # A ext (-> Low, local rows)
+            pltpu.VMEM((9, nl, n), dtype),       # D
+            pltpu.VMEM((nl + 2, n + 2), dtype),  # halo/shift pad
+            pltpu.VMEM((nl + 4, n), dtype),      # u ext (2-row halo)
+            pltpu.VMEM((nl + 4, n), dtype),      # v ext
+            pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
+            pltpu.VMEM((nl + 2, n), dtype),      # q ext
+            pltpu.VMEM((nl + 2, n), dtype),      # p ext
+        ] + _comm_scratch(nd, n, dtype, 6),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
+      Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+    p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
+    q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
+    return p_traj, q_traj
+
+
+def _resolve_mesh(mesh, axis, n):
+    if axis is None:
+        axis = mesh.axis_names[0]
+    nd = mesh.shape[axis]
+    if n % nd:
+        raise ValueError(f"n={n} not divisible by mesh axis {axis}={nd}")
+    return axis, nd
 
 
 def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
@@ -694,12 +1012,8 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     """
     from jax import shard_map
 
-    if axis is None:
-        axis = mesh.axis_names[0]
-    nd = mesh.shape[axis]
     n = u0.shape[-1]
-    if n % nd:
-        raise ValueError(f"n={n} not divisible by mesh axis {axis}={nd}")
+    axis, nd = _resolve_mesh(mesh, axis, n)
     nl = n // nd
     steps = c_traj.shape[0] - 1
     wts4, bary4, grads = _quad_consts(4, h)
@@ -713,13 +1027,62 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     )
     spec_t = P(None, axis, None)
     spec_f = P(axis, None)
-    rep = P(*([None] * 3))
+    rep3 = P(None, None, None)
     rep2 = P(None, None)
-    rep1 = P(None)
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(spec_t, spec_f, spec_f, rep, rep, rep2, rep2, rep),
+        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
         out_specs=(spec_t, spec_t),
         check_vma=False,
     )
     return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2)
+
+
+def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
+                                  M_diag, ML_diag, Mat2, mesh, mis_u=None,
+                                  mis_v=None, *, h, dt, Dm, chi, eta,
+                                  rescaling, tol=1e-6, iters=60,
+                                  cheb_iters=20, warm=True, axis=None):
+    """Multi-chip fused chemotaxis adjoint sweep (reverse-streamed frames).
+
+    Semantics identical to pallas_fused.fused_chemotaxis_adjoint_sweep
+    (helpers.py:1387-1581): p FCT with the transposed advective stencil,
+    then the implicit q solve; ``mis_u``/``mis_v`` are the optional
+    (num_steps, n, n) all-time misfit loads (final-time mode when None).
+    Together with the forward sweep this gives the full PDECO gradient on
+    the multi-chip RDMA fast path."""
+    from jax import shard_map
+
+    n = pT.shape[-1]
+    axis, nd = _resolve_mesh(mesh, axis, n)
+    nl = n // nd
+    steps = u_traj.shape[0] - 1
+    wts5, bary5, grads = _quad_consts(5, h)
+    wts4, bary4, _ = _quad_consts(4, h)
+    wts5 = wts5 * h * h
+    wts4 = wts4 * h * h
+    has_mis = mis_u is not None
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+
+    body = functools.partial(
+        _device_adj_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps,
+        dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
+        wts4=wts4, bary4=bary4, h2=h * h, grads=grads, warm=warm,
+        has_mis=has_mis,
+    )
+    spec_t = P(None, axis, None)
+    spec_f = P(axis, None)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
+                  rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
+              K, M, M_diag, ML_diag, Mat2)

@@ -1284,10 +1284,18 @@ def _schnak_adj_kernel(
 def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
                                ML_diag, Mbase_q, mis_u=None, mis_v=None, *,
                                h, dt, gamma, tol=1e-6, iters=60,
-                               cheb_iters=20, warm=True, precond="dct",
+                               cheb_iters=20, warm=True, precond="jacobi",
                                Du=None, Dv=None):
     """Full Schnakenberg adjoint sweep (helpers.py:599-698) in ONE
-    pallas_call. ``A_u_adj`` = Du K - ω₁ Nᵀ; ``Mbase_q`` = M + dt(Dv K - ω₂ Nᵀ)."""
+    pallas_call. ``A_u_adj`` = Du K - ω₁ Nᵀ; ``Mbase_q`` = M + dt(Dv K - ω₂ Nᵀ).
+
+    Default preconditioner is JACOBI, unlike the forward sweep: the adjoint
+    systems' mass coefficients (dt·γ·u², dt·γ(1-2uv)) swing with the stored
+    pattern state, so the constant-coefficient spectral P mis-preconditions
+    them — measured on v5e at 256² f32: jacobi 356 µs/step vs dct 381; a
+    per-step diagonally-scaled spectral variant measured WORSE still
+    (433-484 µs: the adaptive ilam/Einv values carried across the Krylov
+    while-loop cost more than the iterations they save)."""
     n = pT.shape[-1]
     steps = u_traj.shape[0] - 1
     has_mis = mis_u is not None

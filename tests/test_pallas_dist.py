@@ -68,6 +68,30 @@ def test_dist_sweep_single_device_degenerate():
     assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
 
 
+@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
+def test_dist_adjoint_matches_single_device(optim):
+    """Forward + adjoint on the RDMA path = full PDECO gradient sharded."""
+    g, m, c, u0, v0 = _setup()
+    u_ref, v_ref = m.forward(c, u0, v0, DT)
+    if optim == "finaltime":
+        uhat, vhat = 1.01 * u_ref[-1], 1.02 * v_ref[-1]
+    else:
+        uhat, vhat = 1.01 * u_ref, 1.02 * v_ref
+    p_ref, q_ref = m.adjoint(u_ref, v_ref, uhat, vhat, c, DT, optim)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("x",))
+    md = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float64,
+                         solver_opts=SolverOpts(tol=1e-12, maxiter=200),
+                         backend="pallas_dist", mesh=mesh)
+    sh_t = NamedSharding(mesh, P(None, "x", None))
+    u_s = jax.device_put(u_ref, sh_t)
+    v_s = jax.device_put(v_ref, sh_t)
+    c_s = jax.device_put(c, sh_t)
+    p_d, q_d = md.adjoint(u_s, v_s, uhat, vhat, c_s, DT, optim)
+    assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
+    assert np.abs(np.asarray(q_d) - np.asarray(q_ref)).max() < 1e-9
+
+
 def test_model_backend_pallas_dist():
     """backend='pallas_dist' + mesh routes ChemotaxisModel.forward through
     the RDMA sweep and matches the XLA path."""
