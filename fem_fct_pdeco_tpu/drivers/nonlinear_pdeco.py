@@ -95,8 +95,12 @@ class NonlinearProblem(PDECOProblem):
                         self.cfg.beta, self.cfg.optim,
                     )
 
-                self._grad_J = jax.jit(jax.grad(J))
-            return -self._grad_J(c)
+                # hoist the model operators to jit arguments (see
+                # ModelBase.hoist_wrap) — captured constants scale O(n²)
+                wrapper, opvals = self.model.hoist_wrap(jax.grad(J))
+                self._grad_J = (jax.jit(wrapper), opvals)
+            jfn, opvals = self._grad_J
+            return -jfn(opvals(), (c,))
         return self.model.descent_direction(self.cfg.beta, c, adjoint[0])
 
     def cost(self, state, c):

@@ -58,6 +58,8 @@ def slotted_cylinder_ic(grid, slit_width: float = 0.1) -> np.ndarray:
 
 
 class AdvectionModel(ModelBase):
+    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("N", "A_state", "A_adjoint")
+
     """Source-controlled linear advection-diffusion with a stationary wind.
 
     ``divw_fn``: analytic divergence of the wind. When given, the model uses
@@ -226,6 +228,8 @@ class AdvectionModel(ModelBase):
 
 
 class DriftControlModel(ModelBase):
+    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("Nrot",)
+
     """Drift-velocity control over a rotating base flow (solid body)."""
 
     def __init__(self, grid, eps: float, om: float, drift=(1.0, 1.0),

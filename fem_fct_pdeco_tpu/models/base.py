@@ -117,10 +117,51 @@ class ModelBase:
         self.solver_opts = solver_opts or SolverOpts()
         self._jit_cache: dict = {}
 
+    # Operator attributes lifted to jit ARGUMENTS instead of being captured
+    # as trace-time closure constants. Closed-over concrete arrays are
+    # inlined into the lowered StableHLO as dense literals, so every sweep
+    # program would otherwise grow by O(n²) bytes per operator — ~1 GB of
+    # program text at 2048² f32, which the TPU compiler rejects outright
+    # (and which bloats compile times and the compilation cache at every
+    # size). Subclasses extend the tuple with their stationary operators;
+    # matrices DERIVED from these (Mat2, γM, Mbase_*) must be computed
+    # inside the traced closures so they stay traced.
+    _HOISTED_OPS: tuple = ("M", "M_diag", "ML_diag", "K", "node_mask")
+
+    def hoist_wrap(self, inner):
+        """Wrap ``inner(*args)`` as ``wrapper(opvals, args)`` where
+        ``opvals`` are the model's hoisted operators: during the trace the
+        operator attributes are rebound to the traced arguments, so
+        ``self.<name>`` reads inside inner's closures stay traced instead
+        of being captured as constants. Returns ``(wrapper, opvals_fn)``;
+        call the jitted wrapper as ``jfn(opvals_fn(), args)``."""
+        names = tuple(nm for nm in self._HOISTED_OPS
+                      if getattr(self, nm, None) is not None)
+
+        def wrapper(opvals, args):
+            saved = [getattr(self, nm) for nm in names]
+            for nm, v in zip(names, opvals):
+                setattr(self, nm, v)
+            try:
+                return inner(*args)
+            finally:
+                for nm, v in zip(names, saved):
+                    setattr(self, nm, v)
+
+        def opvals_fn():
+            return tuple(getattr(self, nm) for nm in names)
+
+        return wrapper, opvals_fn
+
     def _jitted(self, key, build):
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(build())
+            wrapper, opvals_fn = self.hoist_wrap(build())
+            jfn = jax.jit(wrapper)
+
+            def fn(*args):
+                return jfn(opvals_fn(), args)
+
             self._jit_cache[key] = fn
         return fn
 

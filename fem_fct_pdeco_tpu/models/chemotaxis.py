@@ -90,11 +90,11 @@ class ChemotaxisModel(ModelBase):
             return self._forward_step_fused(dt)
         p = self.params
         asm = self.asm
-        Mat2 = self._rd_matrix(dt)
         rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
 
         def step(carry, c_i):
             u_n, v_n = carry
+            Mat2 = self._rd_matrix(dt)
             # v-solve (helpers.py:1339-1342)
             cu_q = asm.nodal_at_quad(c_i, 3) * asm.nodal_at_quad(u_n, 3)
             rhs2 = st.apply(self.M, v_n) + dt * asm.linear_form(
@@ -131,12 +131,12 @@ class ChemotaxisModel(ModelBase):
             fused_chemotaxis_u_step, fused_chemotaxis_v_step)
 
         p = self.params
-        Mat2 = self._rd_matrix(dt)
         h = self.grid.h
         tol = self.solver_opts.tol
 
         def step(carry, c_i):
             u_n, v_n = carry
+            Mat2 = self._rd_matrix(dt)
             v_np1 = fused_chemotaxis_v_step(
                 c_i, u_n, v_n, Mat2, self.M, h=h, dt=dt,
                 rescaling=self.rescaling, tol=tol,
@@ -180,9 +180,9 @@ class ChemotaxisModel(ModelBase):
                 dist_chemotaxis_forward_sweep)
 
             p = self.params
-            Mat2 = self._rd_matrix(dt)
 
             def run_dist(control_traj, u0, v0):
+                Mat2 = self._rd_matrix(dt)
                 return dist_chemotaxis_forward_sweep(
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, self.mesh, h=self.grid.h, dt=dt,
@@ -195,9 +195,9 @@ class ChemotaxisModel(ModelBase):
                 fused_chemotaxis_forward_sweep)
 
             p = self.params
-            Mat2 = self._rd_matrix(dt)
 
             def run_fused(control_traj, u0, v0):
+                Mat2 = self._rd_matrix(dt)
                 return fused_chemotaxis_forward_sweep(
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, h=self.grid.h, dt=dt, Dm=p.Dm,
@@ -233,11 +233,11 @@ class ChemotaxisModel(ModelBase):
             return self._adjoint_step_fused(dt, optim)
         p = self.params
         asm = self.asm
-        Mat_q = self._rd_matrix(dt)
         rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
 
         def step(carry, x):
             p_np1, q_np1 = carry
+            Mat_q = self._rd_matrix(dt)
             u_n, v_n, c_n, mis_u, mis_v = x
             u_q = asm.nodal_at_quad(u_n, 4)
             expu = jnp.exp(-p.eta * u_q)
@@ -277,13 +277,13 @@ class ChemotaxisModel(ModelBase):
             fused_chemotaxis_p_step, fused_chemotaxis_q_step)
 
         p = self.params
-        Mat_q = self._rd_matrix(dt)
         h = self.grid.h
         tol = self.solver_opts.tol
 
         def step(carry, x):
             p_np1, q_np1 = carry
             u_n, v_n, c_n, mis_u, mis_v = x
+            Mat_q = self._rd_matrix(dt)
             p_n = fused_chemotaxis_p_step(
                 p_np1, q_np1, u_n, v_n, c_n, mis_u, self.K, self.M,
                 self.M_diag, self.ML_diag, h=h, dt=dt, Dm=p.Dm, chi=p.chi,
@@ -319,9 +319,9 @@ class ChemotaxisModel(ModelBase):
                 dist_chemotaxis_adjoint_sweep)
 
             p = self.params
-            Mat2 = self._rd_matrix(dt)
 
             def run_dist(u_traj, v_traj, uhat, vhat, control_traj):
+                Mat2 = self._rd_matrix(dt)
                 if optim == "finaltime":
                     pT = uhat - u_traj[-1]
                     qT = vhat - v_traj[-1]
@@ -347,9 +347,9 @@ class ChemotaxisModel(ModelBase):
                 fused_chemotaxis_adjoint_sweep)
 
             p = self.params
-            Mat2 = self._rd_matrix(dt)
 
             def run_fused(u_traj, v_traj, uhat, vhat, control_traj):
+                Mat2 = self._rd_matrix(dt)
                 if optim == "finaltime":
                     pT = uhat - u_traj[-1]
                     qT = vhat - v_traj[-1]

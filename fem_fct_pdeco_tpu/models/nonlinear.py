@@ -25,6 +25,8 @@ from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
 
 
 class NonlinearModel(ModelBase):
+    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("N", "A_state", "A_adjoint")
+
     """Parameters from helpers.py:867-879: eps = 1e-4, vortex wind, speed 1."""
 
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,

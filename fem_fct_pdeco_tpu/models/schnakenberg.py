@@ -48,6 +48,9 @@ def schnak_wind(x, y):
 
 
 class SchnakenbergModel(ModelBase):
+    _HOISTED_OPS = ModelBase._HOISTED_OPS + (
+        "N", "A_u", "B_v", "A_u_adj", "B_v_adj")
+
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, td_wind_fn=None,
@@ -89,11 +92,11 @@ class SchnakenbergModel(ModelBase):
 
     def _forward_step(self, dt):
         p = self.params
-        gM = p.gamma * self.M
 
         def step(carry, x):
             c_i, t_i = x
             u_n, v_n = carry
+            gM = p.gamma * self.M
             if self.td_wind_fn is None:
                 A_u, B_v = self.A_u, self.B_v
             else:
@@ -128,10 +131,10 @@ class SchnakenbergModel(ModelBase):
 
     def _adjoint_step(self, dt):
         p = self.params
-        gM = p.gamma * self.M
 
         def step(carry, x):
             p_np1, q_np1 = carry
+            gM = p.gamma * self.M
             u_n, v_n, t_n, mis_u, mis_v = x
             if self.td_wind_fn is None:
                 A_u_adj, B_v_adj = self.A_u_adj, self.B_v_adj
@@ -173,9 +176,8 @@ class SchnakenbergModel(ModelBase):
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
                     fused_schnak_forward_sweep)
 
-                Mbase_v = self.M + dt * self.B_v
-
                 def run_fused(c, u0, v0):
+                    Mbase_v = self.M + dt * self.B_v
                     return fused_schnak_forward_sweep(
                         c, u0, v0, self.A_u, self.M, self.M_diag,
                         self.ML_diag, Mbase_v, h=self.grid.h, dt=dt,
@@ -211,9 +213,8 @@ class SchnakenbergModel(ModelBase):
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
                     fused_schnak_adjoint_sweep)
 
-                Mbase_q = self.M + dt * self.B_v_adj
-
                 def run_fused(u_traj, v_traj, uhat, vhat):
+                    Mbase_q = self.M + dt * self.B_v_adj
                     if optim == "finaltime":
                         pT = uhat - u_traj[-1]
                         qT = vhat - v_traj[-1]
