@@ -120,6 +120,37 @@ def tpu_schnak_steps_per_sec() -> dict:
     return {"schnak_forward_steps_per_sec": round(STEPS_PER_CALL / best, 3)}
 
 
+def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50) -> dict:
+    """Forward sweep throughput at a grid too large for the VMEM-resident
+    whole-sweep kernel (XLA path; possible at all only since the model
+    operators are hoisted to jit arguments — see models/base.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    g = Grid(0.0, 1.0, n)
+    model = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float32,
+                            solver_opts=SolverOpts(tol=1e-6, maxiter=200),
+                            backend="xla")
+    u0np, v0np = model.ic()
+    u0 = jnp.asarray(u0np, jnp.float32)
+    v0 = jnp.asarray(v0np, jnp.float32)
+    c = jnp.full((steps + 1, n, n), model.params.gamma, jnp.float32)
+    u, v = model.forward(c, u0, v0, DT)
+    jax.block_until_ready((u, v))
+    assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = model.forward(c, u0, v0, DT)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return {f"forward_steps_per_sec_{n}": round(steps / best, 3)}
+
+
 def tpu_pdeco_wallclock(max_iter_gd: int = 5) -> dict:
     """Full 256^2 chemotaxis PDECO solve wall-clock (the reference's
     'Sim. duration' mechanism, Schnak_FCT_PDECO_refactored.py:250-251):
@@ -345,6 +376,10 @@ def main():
     except Exception as e:
         schnak = {"schnak_error": f"{type(e).__name__}: {e}"}
     try:
+        big = tpu_large_grid_steps_per_sec()
+    except Exception as e:
+        big = {"large_grid_error": f"{type(e).__name__}: {e}"}
+    try:
         base = cpu_baseline_steps_per_sec()
     except Exception:
         base = None
@@ -357,6 +392,7 @@ def main():
             "adjoint_steps_per_sec": round(sweep["adjoint_steps_per_sec"], 3),
             **pdeco,
             **schnak,
+            **big,
         },
     }
     print(json.dumps(out))

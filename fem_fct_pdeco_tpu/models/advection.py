@@ -75,8 +75,9 @@ class AdvectionModel(ModelBase):
 
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, divw_fn=None,
-                 backend: str = "xla", pad_to: int | None = None):
-        super().__init__(grid, dtype, solver_opts, backend, pad_to)
+                 backend: str = "xla", pad_to: int | None = None,
+                 mesh=None):
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
         self.eps = eps
         self.N = self.asm.convection(wind_fn)  # (w·∇v, u)
         # ref-convention flux matrices (du/dt + A u = rhs):
@@ -114,6 +115,23 @@ class AdvectionModel(ModelBase):
         key = ("fwd", float(dt), has_src, has_g)
 
         def build():
+            if self.backend == "pallas_dist" and not has_g:
+                from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                    dist_scalar_fct_sweep)
+
+                def run_dist(control_traj, u0, *rest):
+                    load = control_traj[1:]
+                    if has_src:
+                        load = load + rest[0][1:]  # rhs = M(c + f)
+                    frames = dist_scalar_fct_sweep(
+                        load[:, None], u0, self.A_state, self.M, self.M_diag,
+                        self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, load_is_mass=True,
+                        iters=self.solver_opts.maxiter,
+                    )
+                    return jnp.concatenate([u0[None], frames], axis=0)
+
+                return run_dist
             if self.backend == "pallas_fused" and not has_g:
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 
@@ -125,6 +143,7 @@ class AdvectionModel(ModelBase):
                         load[:, None], u0, self.A_state, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, load_is_mass=True,
+                        iters=self.solver_opts.maxiter,
                     )
                     return jnp.concatenate([u0[None], frames], axis=0)
 
@@ -171,6 +190,29 @@ class AdvectionModel(ModelBase):
         key = ("adj", float(dt), optim, has_g)
 
         def build():
+            if self.backend == "pallas_dist" and not has_g:
+                from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                    dist_scalar_fct_sweep)
+
+                def run_dist(u_traj, uhat, *rest):
+                    if optim == "finaltime":
+                        pT = uhat - u_traj[-1]
+                        loads = jnp.zeros_like(u_traj[:-1])
+                    else:
+                        pT = jnp.zeros_like(u_traj[-1])
+                        import jax
+
+                        loads = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            uhat[:-1], u_traj[:-1])
+                    frames = dist_scalar_fct_sweep(
+                        loads[:, None], pT, self.A_adjoint, self.M,
+                        self.M_diag, self.ML_diag, self.mesh, h=self.grid.h,
+                        dt=dt, tol=self.solver_opts.tol, load_is_mass=False,
+                        reverse=True, iters=self.solver_opts.maxiter,
+                    )
+                    return jnp.concatenate([frames, pT[None]], axis=0)
+
+                return run_dist
             if self.backend == "pallas_fused" and not has_g:
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 

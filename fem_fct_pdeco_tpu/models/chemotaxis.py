@@ -171,11 +171,18 @@ class ChemotaxisModel(ModelBase):
         )
         return base or self._fused_reaction is not None
 
+    def _uses_dist_sweep(self):
+        if self.backend != "pallas_dist":
+            return False
+        base = (
+            type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
+            and type(self)._reaction_nonflux_adj
+            is ChemotaxisModel._reaction_nonflux_adj
+        )
+        return base or self._fused_reaction is not None
+
     def _make_forward(self, dt):
-        if (
-            self.backend == "pallas_dist"
-            and type(self)._reaction_rhs is ChemotaxisModel._reaction_rhs
-        ):
+        if self._uses_dist_sweep():
             from fem_fct_pdeco_tpu.ops.pallas_dist import (
                 dist_chemotaxis_forward_sweep)
 
@@ -187,7 +194,9 @@ class ChemotaxisModel(ModelBase):
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, self.mesh, h=self.grid.h, dt=dt,
                     Dm=p.Dm, chi=p.chi, eta=p.eta, rescaling=self.rescaling,
-                    tol=self.solver_opts.tol)
+                    tol=self.solver_opts.tol,
+                    iters=self.solver_opts.maxiter,
+                    reaction=self._fused_reaction)
 
             return run_dist
         if self._uses_fused_sweep():
@@ -310,11 +319,7 @@ class ChemotaxisModel(ModelBase):
         return fn(u_traj, v_traj, uhat, vhat, control_traj)
 
     def _make_adjoint(self, dt, optim):
-        if (
-            self.backend == "pallas_dist"
-            and type(self)._reaction_nonflux_adj
-            is ChemotaxisModel._reaction_nonflux_adj
-        ):
+        if self._uses_dist_sweep():
             from fem_fct_pdeco_tpu.ops.pallas_dist import (
                 dist_chemotaxis_adjoint_sweep)
 
@@ -339,7 +344,9 @@ class ChemotaxisModel(ModelBase):
                     self.M_diag, self.ML_diag, Mat2, self.mesh, mis_u,
                     mis_v, h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi,
                     eta=p.eta, rescaling=self.rescaling,
-                    tol=self.solver_opts.tol)
+                    tol=self.solver_opts.tol,
+                    iters=self.solver_opts.maxiter,
+                    reaction=self._fused_reaction)
 
             return run_dist
         if self._uses_fused_sweep():

@@ -31,8 +31,9 @@ class NonlinearModel(ModelBase):
 
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,
-                 backend: str = "xla", pad_to: int | None = None):
-        super().__init__(grid, dtype, solver_opts, backend, pad_to)
+                 backend: str = "xla", pad_to: int | None = None,
+                 mesh=None):
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
         self.eps = eps
         self.N = self.asm.convection(vortex_wind(speed))
         # ref-convention flux matrices:
@@ -85,6 +86,20 @@ class NonlinearModel(ModelBase):
         Returns (u_traj,)."""
 
         def build():
+            if self.backend == "pallas_dist":
+                from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                    dist_scalar_fct_sweep)
+
+                def run_dist(c, u0):
+                    frames = dist_scalar_fct_sweep(
+                        c[1:, None], u0, self.A_state, self.M, self.M_diag,
+                        self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, nonflux_mode=+1,
+                        load_is_mass=True, iters=self.solver_opts.maxiter,
+                    )
+                    return (jnp.concatenate([u0[None], frames], axis=0),)
+
+                return run_dist
             if self.backend == "pallas_fused":
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 
@@ -93,7 +108,7 @@ class NonlinearModel(ModelBase):
                         c[1:, None], u0, self.A_state, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, nonflux_mode=+1,
-                        load_is_mass=True,
+                        load_is_mass=True, iters=self.solver_opts.maxiter,
                     )
                     return (jnp.concatenate([u0[None], frames], axis=0),)
 
@@ -122,6 +137,23 @@ class NonlinearModel(ModelBase):
                     )
                 return pT, mis
 
+            if self.backend == "pallas_dist":
+                from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                    dist_scalar_fct_sweep)
+
+                def run_dist(u_traj, uhat):
+                    pT, mis = terminal(u_traj, uhat)
+                    loads = jnp.stack([mis, u_traj[:-1]], axis=1)
+                    frames = dist_scalar_fct_sweep(
+                        loads, pT, self.A_adjoint, self.M, self.M_diag,
+                        self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
+                        tol=self.solver_opts.tol, nonflux_mode=-1,
+                        load_is_mass=False, reverse=True,
+                        iters=self.solver_opts.maxiter,
+                    )
+                    return (jnp.concatenate([frames, pT[None]], axis=0),)
+
+                return run_dist
             if self.backend == "pallas_fused":
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 
@@ -133,6 +165,7 @@ class NonlinearModel(ModelBase):
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, nonflux_mode=-1,
                         load_is_mass=False, reverse=True,
+                        iters=self.solver_opts.maxiter,
                     )
                     return (jnp.concatenate([frames, pT[None]], axis=0),)
 

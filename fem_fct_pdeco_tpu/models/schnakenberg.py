@@ -54,12 +54,13 @@ class SchnakenbergModel(ModelBase):
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, td_wind_fn=None,
+                 mesh=None,
                  backend: str = "xla", pad_to: int | None = None):
         """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind
         (Schnak_FCT_PDECO_alltime.py's sin(2πt) vortex); convection is then
         re-assembled each step inside the scan (the whole-sweep fused kernels
         require the stationary wind and fall back to the piecewise path)."""
-        super().__init__(grid, dtype, solver_opts, backend, pad_to)
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
         self.params = params
         self.rescaling = rescaling
         self.td_wind_fn = td_wind_fn
@@ -172,6 +173,20 @@ class SchnakenbergModel(ModelBase):
 
         def build():
             p = self.params
+            if self.backend == "pallas_dist" and self.td_wind_fn is None:
+                from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                    dist_schnak_forward_sweep)
+
+                def run_dist(c, u0, v0):
+                    Mbase_v = self.M + dt * self.B_v
+                    return dist_schnak_forward_sweep(
+                        c, u0, v0, self.A_u, self.M, self.M_diag,
+                        self.ML_diag, Mbase_v, self.mesh, h=self.grid.h,
+                        dt=dt, gamma=p.gamma, c_b=p.c_b,
+                        rescaling=self.rescaling, tol=self.solver_opts.tol,
+                        iters=self.solver_opts.maxiter)
+
+                return run_dist
             if self.backend == "pallas_fused" and self.td_wind_fn is None:
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
                     fused_schnak_forward_sweep)
@@ -209,6 +224,31 @@ class SchnakenbergModel(ModelBase):
 
         def build():
             p = self.params
+            if self.backend == "pallas_dist" and self.td_wind_fn is None:
+                from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                    dist_schnak_adjoint_sweep)
+
+                def run_dist(u_traj, v_traj, uhat, vhat):
+                    Mbase_q = self.M + dt * self.B_v_adj
+                    if optim == "finaltime":
+                        pT = uhat - u_traj[-1]
+                        qT = vhat - v_traj[-1]
+                        mis_u = mis_v = None
+                    else:
+                        pT = jnp.zeros_like(u_traj[-1])
+                        qT = jnp.zeros_like(pT)
+                        mis_u = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            uhat[:-1], u_traj[:-1])
+                        mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            vhat[:-1], v_traj[:-1])
+                    return dist_schnak_adjoint_sweep(
+                        u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
+                        self.M_diag, self.ML_diag, Mbase_q, self.mesh,
+                        mis_u, mis_v, h=self.grid.h, dt=dt, gamma=p.gamma,
+                        tol=self.solver_opts.tol,
+                        iters=self.solver_opts.maxiter)
+
+                return run_dist
             if self.backend == "pallas_fused" and self.td_wind_fn is None:
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
                     fused_schnak_adjoint_sweep)

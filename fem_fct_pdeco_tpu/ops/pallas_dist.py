@@ -46,10 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS, opposite
-from fem_fct_pdeco_tpu.ops.assembly import TRI_CORNERS, _basis_gradients, _offset_index
+from fem_fct_pdeco_tpu.ops.assembly import TRI_CORNERS, _offset_index
 from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 from fem_fct_pdeco_tpu.ops.pallas_fused import (
     _moments, _quad_consts, _safe_div)
@@ -113,6 +113,30 @@ def _lf_prod_rect(fields, *, ncr, ncc, h2, cmask, scale=1.0):
     return out
 
 
+def _wm_prod_rect(fields, *, ncr, ncc, h2, cmask, scale=1.0):
+    """Rect/masked analogue of pallas_fused._wm_prod: the 9 stencil plane
+    VALUES ((ncr+1, ncc+1) each, None where structurally zero) of
+    scale * integral of (prod_k f_k,h) phi_a phi_b."""
+    k = len(fields)
+    T = _moments(k + 2) * h2
+    cs = [_corners_rect(f, ncr, ncc) for f in fields]
+    planes = [None] * 9
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        prods = _corner_products_rect(cs, t)
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                vab = None
+                for flat, idx in enumerate(np.ndindex(*((3,) * k))):
+                    w = scale * float(T[idx + (a, b)])
+                    add = w * prods[flat]
+                    vab = add if vab is None else vab + add
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(vab * cmask, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    return planes
+
+
 def _assemble_forward_A_rect(u, v, K_ref, A_ref, *, ncr, ncc, Dm, chi, eta,
                              wts, bary, grads, cmask):
     """Row-extended analogue of pallas_fused._assemble_forward_A: write
@@ -126,18 +150,22 @@ def _assemble_forward_A_rect(u, v, K_ref, A_ref, *, ncr, ncc, Dm, chi, eta,
     for t in range(2):
         corners = TRI_CORNERS[t]
         uc, vc = uc2[t], vc2[t]
-        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
-        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        # python-float scalars keep weak dtypes (no f32 -> f64 promotion
+        # when x64 is enabled and the fields are f32)
+        gvx = sum(vc[a] * float(grads[t, a, 0]) for a in range(3))
+        gvy = sum(vc[a] * float(grads[t, a, 1]) for a in range(3))
         Vb = [None] * 3
         for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            e = wts[q] * jnp.exp(-eta * uq)
+            uq = (float(bary[q, 0]) * uc[0] + float(bary[q, 1]) * uc[1]
+                  + float(bary[q, 2]) * uc[2])
+            e = float(wts[q]) * jnp.exp(-eta * uq)
             for b in range(3):
-                contrib = bary[q, b] * e
+                contrib = float(bary[q, b]) * e
                 Vb[b] = contrib if Vb[b] is None else Vb[b] + contrib
         Vb = [vb * cmask for vb in Vb]
         for a, (ai, aj) in enumerate(corners):
-            ga = (-chi * grads[t, a, 0]) * gvx + (-chi * grads[t, a, 1]) * gvy
+            ga = ((-chi * float(grads[t, a, 0])) * gvx
+                  + (-chi * float(grads[t, a, 1])) * gvy)
             for b, (bi, bj) in enumerate(corners):
                 d = _offset_index(bi - ai, bj - aj)
                 placed = jnp.pad(ga * Vb[b], ((ai, 1 - ai), (aj, 1 - aj)))
@@ -164,17 +192,20 @@ def _assemble_adjoint_A_rect(u, v, K_ref, A_ref, *, ncr, ncc, Dm, chi, eta,
     for t in range(2):
         corners = TRI_CORNERS[t]
         uc, vc = uc2[t], vc2[t]
-        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
-        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        gvx = sum(vc[a] * float(grads[t, a, 0]) for a in range(3))
+        gvy = sum(vc[a] * float(grads[t, a, 1]) for a in range(3))
         Va = [None] * 3
         for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            e = wts[q] * (1.0 - eta * uq) * jnp.exp(-eta * uq)
+            uq = (float(bary[q, 0]) * uc[0] + float(bary[q, 1]) * uc[1]
+                  + float(bary[q, 2]) * uc[2])
+            e = float(wts[q]) * (1.0 - eta * uq) * jnp.exp(-eta * uq)
             for a in range(3):
-                Va[a] = bary[q, a] * e if Va[a] is None else Va[a] + bary[q, a] * e
+                contrib = float(bary[q, a]) * e
+                Va[a] = contrib if Va[a] is None else Va[a] + contrib
         Va = [va * cmask for va in Va]
         gb3 = [
-            (-chi * grads[t, b, 0]) * gvx + (-chi * grads[t, b, 1]) * gvy
+            (-chi * float(grads[t, b, 0])) * gvx
+            + (-chi * float(grads[t, b, 1])) * gvy
             for b in range(3)
         ]
         for a, (ai, aj) in enumerate(corners):
@@ -195,16 +226,17 @@ def _q_load_rect(p_n, u, *, ncr, ncc, chi, eta, wts, bary, grads, cmask):
     for t in range(2):
         corners = TRI_CORNERS[t]
         uc, pc = uc2[t], pc2[t]
-        gpx = sum(pc[a] * grads[t, a, 0] for a in range(3))
-        gpy = sum(pc[a] * grads[t, a, 1] for a in range(3))
+        gpx = sum(pc[a] * float(grads[t, a, 0]) for a in range(3))
+        gpy = sum(pc[a] * float(grads[t, a, 1]) for a in range(3))
         gsum = None
         for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
-            g = wts[q] * chi * uq * jnp.exp(-eta * uq)
+            uq = (float(bary[q, 0]) * uc[0] + float(bary[q, 1]) * uc[1]
+                  + float(bary[q, 2]) * uc[2])
+            g = float(wts[q]) * chi * uq * jnp.exp(-eta * uq)
             gsum = g if gsum is None else gsum + g
         gsum = gsum * cmask
         for a, (ai, aj) in enumerate(corners):
-            ga = grads[t, a, 0] * gpx + grads[t, a, 1] * gpy
+            ga = float(grads[t, a, 0]) * gpx + float(grads[t, a, 1]) * gpy
             placed = jnp.pad(gsum * ga, ((ai, 1 - ai), (aj, 1 - aj)))
             load = placed if load is None else load + placed
     return load
@@ -464,13 +496,16 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
 
 
 def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
-                   u_prev, rhs, x0, *, n, nl, dt, cheb_iters):
+                   u_prev, rhs, x0, *, n, nl, dt, cheb_iters, S=None):
     """Distributed FCT step tail, given the assembled flux matrix in the
     row-extended Aext_ref (ext row e = global row row0-2+e): artificial
     diffusion -> Low (in place, local rows) -> distributed BiCGStab ->
     Chebyshev du/dt -> halo-exchanged fluxes + Zalesak limiter. Mirrors
     pallas_fused._fct_core with the out-of-block accesses going through
-    halo exchanges and the out-of-DOMAIN ones through global-row masks."""
+    halo exchanges and the out-of-DOMAIN ones through global-row masks.
+    ``S``: optional non-flux matrix as 9 LOCAL-row plane values (None
+    entries structurally zero): enters Low but not the artificial
+    diffusion or the antidiffusive du/dt right-hand side."""
     # artificial diffusion at local rows (needs the +-1 ext rows of A)
     offsum = None
     for d in range(9):
@@ -487,9 +522,12 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
     # restore the hpad zero border invariant after the row writes above
     hpad_ref[1 : nl + 1, 1 : n + 1] = jnp.zeros((nl, n), dtype=u_prev.dtype)
 
-    # transform local A rows -> Low in place: Low = diag(ML) + dt (A - D)
+    # transform local A rows -> Low in place: Low = diag(ML) + dt (A - D + S)
     for d in range(9):
-        plane = dt * (Aext_ref[d, 2 : nl + 2, :] - D_ref[d, :, :])
+        plane = Aext_ref[d, 2 : nl + 2, :] - D_ref[d, :, :]
+        if S is not None and S[d] is not None:
+            plane = plane + S[d]
+        plane = dt * plane
         if d == CENTER:
             plane = plane + ML
         Aext_ref[d, 2 : nl + 2, :] = plane
@@ -505,12 +543,19 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
     u_low = ops.dbicgstab(apply_low, 1.0 / Aext_ref[CENTER, 2 : nl + 2, :],
                           b, x0)
 
-    # Chebyshev du/dt on M du = -A u_low + rhs
+    # Chebyshev du/dt on M du = -A u_low + rhs (A = (Low-ML)/dt + D - S:
+    # the flux matrix alone drives the antidiffusive du/dt)
     thl, bhl = ops.exchange(u_low[0:1, :], u_low[nl - 1 : nl, :])
     ops.fill_hpad(u_low, thl, bhl)
     low_x = ops.plane_sum(low_at, u_low)
     D_x = ops.plane_sum(lambda d: D_ref[d, :, :], u_low)
-    rdot = -((low_x - ML * u_low) / dt + D_x) + rhs
+    A_x = (low_x - ML * u_low) / dt + D_x
+    if S is not None:
+        S_x = ops.plane_sum(
+            lambda d: S[d] if S[d] is not None else jnp.zeros_like(u_low),
+            u_low)
+        A_x = A_x - S_x
+    rdot = -A_x + rhs
 
     apply_M = ops.make_apply(M_ref)
     lmin, lmax = 0.5, 2.0
@@ -618,7 +663,7 @@ def _dist_fwd_kernel(
     hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
     credit_up, credit_dn, credit_dot,
     *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, h2, grads, warm,
+    wts4, bary4, h2, grads, warm, reaction,
 ):
     i = pl.program_id(0)
     ops = _make_ops(
@@ -688,10 +733,21 @@ def _dist_fwd_kernel(
         ncr=nl + 3, ncc=n - 1, Dm=Dm, chi=chi, eta=eta,
         wts=wts4, bary=bary4, grads=grads, cmask=cmask2)
 
+    if reaction == "mimura":
+        # explicit m²(1-m) = m² - m³ source (mimura_data_helpers.py:70)
+        uext1 = uext_ref[1 : nl + 3, :]
+        r2 = _lf_prod_rect([uext1, uext1], ncr=nl + 1, ncc=n - 1, h2=h2,
+                           cmask=cmask1)
+        r3 = _lf_prod_rect([uext1, uext1, uext1], ncr=nl + 1, ncc=n - 1,
+                           h2=h2, cmask=cmask1, scale=-1.0)
+        rhs_u = (r2 + r3)[1 : nl + 1, :]
+    else:
+        rhs_u = jnp.zeros_like(u_n)
+
     x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
     u_np1 = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        u_n, jnp.zeros_like(u_n), x0u, n=n, nl=nl, dt=dt,
+        u_n, rhs_u, x0u, n=n, nl=nl, dt=dt,
         cheb_iters=cheb_iters)
 
     uprev_ref[:, :] = u_n
@@ -721,7 +777,7 @@ def _dist_adj_kernel(
     hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
     credit_up, credit_dn, credit_dot,
     *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts5, bary5, wts4, bary4, h2, grads, warm,
+    wts5, bary5, wts4, bary4, h2, grads, warm, reaction,
 ):
     """Distributed chemotaxis adjoint sweep step (helpers.py:1387-1581
     semantics, identical to pallas_fused._adj_sweep_kernel): p FCT with the
@@ -795,10 +851,27 @@ def _dist_adj_kernel(
                              scale=inv_r)
     rhs = load_ext[1 : nl + 1, :] + misu_ref[0, :, :]
 
+    if reaction == "mimura":
+        # IMEX linearization of m²(1-m): non_flux = -M_{2m-3m²}
+        # (models/mimura.py:_reaction_nonflux_adj)
+        uext1 = uext_ref[1 : nl + 3, :]
+        W1 = _wm_prod_rect([uext1], ncr=nl + 1, ncc=n - 1, h2=h2,
+                           cmask=cmask1, scale=-2.0)
+        W2 = _wm_prod_rect([uext1, uext1], ncr=nl + 1, ncc=n - 1, h2=h2,
+                           cmask=cmask1, scale=3.0)
+        S = [
+            (W1[d][1 : nl + 1, :] if W1[d] is not None else 0.0)
+            + (W2[d][1 : nl + 1, :] if W2[d] is not None else 0.0)
+            if (W1[d] is not None or W2[d] is not None) else None
+            for d in range(9)
+        ]
+    else:
+        S = None
+
     x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
     p_n = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        p_np1, rhs, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters)
+        p_np1, rhs, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
     thp, bhp = ops.exchange(p_n[0:1, :], p_n[nl - 1 : nl, :])
@@ -869,17 +942,19 @@ def _slice_device_rows(K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, row0, nl):
 
 
 def _compiler_params():
+    # no collective_id: the kernels use scratch DMA/REGULAR semaphores, not
+    # get_barrier_semaphore, and real-TPU lowering rejects a collective_id
+    # without a custom barrier
     return pltpu.CompilerParams(
         vmem_limit_bytes=int(1024 * 1024 * 110),
         has_side_effects=True,
-        collective_id=0,
     )
 
 
 def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
                   Mat2_rep, *, axis, n, nl, nd, steps, dt, Dm, chi, eta,
                   inv_r, tol, iters, cheb_iters, wts4, bary4, h2, grads,
-                  warm):
+                  warm, reaction):
     """Per-device body run under shard_map: slice this device's operator
     rows, then run the whole sweep in one pallas_call."""
     me = jax.lax.axis_index(axis)
@@ -891,7 +966,7 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
         _dist_fwd_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
         chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
         cheb_iters=cheb_iters, wts4=wts4, bary4=bary4, h2=h2, grads=grads,
-        warm=warm,
+        warm=warm, reaction=reaction,
     )
     field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
@@ -934,7 +1009,7 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
                       qT_loc, K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, *,
                       axis, n, nl, nd, steps, dt, Dm, chi, eta, inv_r, tol,
                       iters, cheb_iters, wts5, bary5, wts4, bary4, h2,
-                      grads, warm, has_mis):
+                      grads, warm, has_mis, reaction):
     me = jax.lax.axis_index(axis)
     Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
         K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
@@ -944,7 +1019,7 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
         _dist_adj_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
         chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
         cheb_iters=cheb_iters, wts5=wts5, bary5=bary5, wts4=wts4,
-        bary4=bary4, h2=h2, grads=grads, warm=warm,
+        bary4=bary4, h2=h2, grads=grads, warm=warm, reaction=reaction,
     )
     field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
@@ -1001,7 +1076,8 @@ def _resolve_mesh(mesh, axis, n):
 def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                   Mat2, mesh, *, h, dt, Dm, chi, eta,
                                   rescaling, tol=1e-6, iters=60,
-                                  cheb_iters=20, warm=True, axis=None):
+                                  cheb_iters=20, warm=True, reaction=None,
+                                  axis=None):
     """Multi-chip fused chemotaxis forward sweep over a 1-D device axis.
 
     Semantics identical to pallas_fused.fused_chemotaxis_forward_sweep
@@ -1023,7 +1099,7 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         _device_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps, dt=dt,
         Dm=Dm, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
-        h2=h * h, grads=grads, warm=warm,
+        h2=h * h, grads=grads, warm=warm, reaction=reaction,
     )
     spec_t = P(None, axis, None)
     spec_f = P(axis, None)
@@ -1042,7 +1118,8 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                   M_diag, ML_diag, Mat2, mesh, mis_u=None,
                                   mis_v=None, *, h, dt, Dm, chi, eta,
                                   rescaling, tol=1e-6, iters=60,
-                                  cheb_iters=20, warm=True, axis=None):
+                                  cheb_iters=20, warm=True, reaction=None,
+                                  axis=None):
     """Multi-chip fused chemotaxis adjoint sweep (reverse-streamed frames).
 
     Semantics identical to pallas_fused.fused_chemotaxis_adjoint_sweep
@@ -1071,7 +1148,7 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
         wts4=wts4, bary4=bary4, h2=h * h, grads=grads, warm=warm,
-        has_mis=has_mis,
+        has_mis=has_mis, reaction=reaction,
     )
     spec_t = P(None, axis, None)
     spec_f = P(axis, None)
@@ -1086,3 +1163,588 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     )
     return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
               K, M, M_diag, ML_diag, Mat2)
+
+
+# ---------------------------------------------------------------------------
+# Distributed single-field FCT sweep (nonlinear equation, linear advection)
+# ---------------------------------------------------------------------------
+
+
+def _dist_scalar_kernel(
+    load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
+    out_ref,
+    cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref, xS_ext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, tol, iters, cheb_iters, h2, warm,
+    nonflux_mode, load_is_mass,
+):
+    """Distributed analogue of pallas_fused._scalar_sweep_kernel: one FCT
+    field with a stationary flux matrix, optional per-step IMEX non-flux
+    weighted mass (nonlinear state +1 / adjoint -1), per-step load frames
+    (helpers.py:941-958, 1023-1037)."""
+    i = pl.program_id(0)
+    ops = _make_ops(
+        axis=axis, n=n, nl=nl, nd=nd, tol=tol, iters=iters,
+        dtype=cur_ref.dtype, hpad_ref=hpad_ref, sbuf_up=sbuf_up,
+        sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
+        drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
+        credit_dot=credit_dot)
+    row0 = ops.row0
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[:, :] = x0_ref[:, :]
+        prev_ref[:, :] = x0_ref[:, :]
+        xS_ext_ref[:, :] = jnp.zeros_like(xS_ext_ref)
+        ops.init_buffers()
+        ops.init_credits()
+
+    x_n = cur_ref[:, :]
+
+    if load_is_mass:
+        apply_M = ops.make_apply(M_ref)
+        rhs = apply_M(load_ref[0, 0, :, :])
+    else:
+        rhs = load_ref[0, 0, :, :]
+
+    if nonflux_mode == 0:
+        S = None
+    else:
+        # u for the IMEX weighted mass: forward uses the CARRIED state x_n;
+        # the adjoint linearizes around the stored state (frame 1)
+        u_for_S = x_n if nonflux_mode > 0 else load_ref[0, 1, :, :]
+        th, bh = ops.exchange(u_for_S[0:1, :], u_for_S[nl - 1 : nl, :])
+        xS_ext_ref[0:1, :] = th
+        xS_ext_ref[1 : nl + 1, :] = u_for_S
+        xS_ext_ref[nl + 1 : nl + 2, :] = bh
+        cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
+        cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(x_n.dtype)
+        u_ext = xS_ext_ref[:, :]
+        Mu2 = _wm_prod_rect([u_ext, u_ext], ncr=nl + 1, ncc=n - 1, h2=h2,
+                            cmask=cmask1)
+        scale = (1.0 / 3.0) if nonflux_mode > 0 else 1.0
+        S = [
+            (scale * Mu2[d][1 : nl + 1, :] if Mu2[d] is not None else 0.0)
+            - M_ref[d, :, :]
+            for d in range(9)
+        ]
+
+    for d in range(9):
+        Aext_ref[d, :, :] = Aflux_ref[d, :, :]
+
+    x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
+    x_np1 = _dist_fct_tail(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        x_n, rhs, x0w, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+
+    prev_ref[:, :] = x_n
+    cur_ref[:, :] = x_np1
+    out_ref[0, :, :] = x_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _device_scalar_sweep(load_loc, x0_loc, A_rep, M_rep, Md_rep, ML_rep, *,
+                         axis, n, nl, nd, steps, F, dt, tol, iters,
+                         cheb_iters, h2, warm, nonflux_mode, load_is_mass,
+                         reverse):
+    me = jax.lax.axis_index(axis)
+    row0 = me * nl
+    A_pad = jnp.pad(A_rep, ((0, 0), (2, 2), (0, 0)))
+    Ax = jax.lax.dynamic_slice_in_dim(A_pad, row0, nl + 4, axis=1)
+    M_loc = jax.lax.dynamic_slice_in_dim(M_rep, row0, nl, axis=1)
+    Md_loc = jax.lax.dynamic_slice_in_dim(Md_rep, row0, nl, axis=0)
+    ML_loc = jax.lax.dynamic_slice_in_dim(ML_rep, row0, nl, axis=0)
+
+    dtype = x0_loc.dtype
+    kern = functools.partial(
+        _dist_scalar_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, h2=h2, warm=warm,
+        nonflux_mode=nonflux_mode, load_is_mass=load_is_mass,
+    )
+    field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nl + 4, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    if reverse:
+        frame_in = pl.BlockSpec((1, F, nl, n),
+                                lambda i: (steps - 1 - i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, nl, n), lambda i: (steps - 1 - i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        frame_in = pl.BlockSpec((1, F, nl, n), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
+        out_specs=frame_out,
+        scratch_shapes=[
+            pltpu.VMEM((nl, n), dtype),          # x current
+            pltpu.VMEM((nl, n), dtype),          # x prev (warm start)
+            pltpu.VMEM((9, nl + 4, n), dtype),   # A ext (-> Low, local rows)
+            pltpu.VMEM((9, nl, n), dtype),       # D
+            pltpu.VMEM((nl + 2, n + 2), dtype),  # halo/shift pad
+            pltpu.VMEM((nl + 2, n), dtype),      # u-for-S ext (1-row halo)
+        ] + _comm_scratch(nd, n, dtype, 2),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(load_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
+    return out
+
+
+def dist_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
+                          *, h, dt, tol=1e-6, iters=60, cheb_iters=20,
+                          warm=True, nonflux_mode=0, load_is_mass=True,
+                          reverse=False, axis=None):
+    """Multi-chip single-field FCT sweep over a 1-D device axis.
+
+    Semantics identical to pallas_fused.fused_scalar_fct_sweep (nonlinear
+    state/adjoint, linear advection state/adjoint — helpers.py:881-1038,
+    advection_FCT_PDECO_finaltime.py:194-231), distributed by row blocks
+    with the same RDMA halo / credit / deterministic-reduction protocol as
+    the chemotaxis sweeps."""
+    from jax import shard_map
+
+    n = x0.shape[-1]
+    axis, nd = _resolve_mesh(mesh, axis, n)
+    nl = n // nd
+    steps = load_traj.shape[0]
+    F = load_traj.shape[1]
+
+    body = functools.partial(
+        _device_scalar_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps,
+        F=F, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, h2=h * h,
+        warm=warm, nonflux_mode=nonflux_mode, load_is_mass=load_is_mass,
+        reverse=reverse,
+    )
+    spec_l = P(None, None, axis, None)
+    spec_t = P(None, axis, None)
+    spec_f = P(axis, None)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
+        out_specs=spec_t,
+        check_vma=False,
+    )
+    return fn(load_traj, x0, A_flux, M, M_diag, ML_diag)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Schnakenberg sweeps (helpers.py:511-698)
+# ---------------------------------------------------------------------------
+
+
+def _dist_schnak_fwd_kernel(
+    c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref,
+    Aext_ref, D_ref, hpad_ref, uext_ref, vext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, gamma, c_b, inv_r, tol, iters, cheb_iters,
+    h2, warm,
+):
+    """Distributed analogue of pallas_fused._schnak_fwd_kernel: u FCT with
+    rhs = γ(c/r + u²v) and non_flux = γM, then the v implicit solve with
+    the u²-weighted mass assembled from the NEW u (helpers.py:581-596)."""
+    i = pl.program_id(0)
+    ops = _make_ops(
+        axis=axis, n=n, nl=nl, nd=nd, tol=tol, iters=iters,
+        dtype=ucur_ref.dtype, hpad_ref=hpad_ref, sbuf_up=sbuf_up,
+        sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
+        drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
+        credit_dot=credit_dot)
+    row0 = ops.row0
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+        uext_ref[:, :] = jnp.zeros_like(uext_ref)
+        vext_ref[:, :] = jnp.zeros_like(vext_ref)
+        ops.init_buffers()
+        ops.init_credits()
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+
+    cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
+    cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(u_n.dtype)
+
+    # u FCT: rhs = γ(c/r + u²v), non_flux = γM. One k=3 exchange provides
+    # the c halo (for M·c) and the u/v 1-row halos (for the cubic load).
+    sbuf_up[0:1, :] = u_n[0:1, :]
+    sbuf_up[1:2, :] = v_n[0:1, :]
+    sbuf_up[2:3, :] = c_i[0:1, :]
+    sbuf_dn[0:1, :] = u_n[nl - 1 : nl, :]
+    sbuf_dn[1:2, :] = v_n[nl - 1 : nl, :]
+    sbuf_dn[2:3, :] = c_i[nl - 1 : nl, :]
+    th, bh = ops.exchange_bufs(3)
+    uext_ref[0:1, :] = th[0:1, :]
+    uext_ref[1 : nl + 1, :] = u_n
+    uext_ref[nl + 1 : nl + 2, :] = bh[0:1, :]
+    vext_ref[0:1, :] = th[1:2, :]
+    vext_ref[1 : nl + 1, :] = v_n
+    vext_ref[nl + 1 : nl + 2, :] = bh[1:2, :]
+
+    ops.fill_hpad(c_i, th[2:3, :], bh[2:3, :])
+    Mc = ops.plane_sum(lambda d: M_ref[d, :, :], c_i)
+    load_ext = _lf_prod_rect(
+        [uext_ref[:, :], uext_ref[:, :], vext_ref[:, :]],
+        ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1, scale=gamma)
+    rhs_u = (gamma * inv_r) * Mc + load_ext[1 : nl + 1, :]
+
+    S = [gamma * M_ref[d, :, :] for d in range(9)]
+    for d in range(9):
+        Aext_ref[d, :, :] = Au_ref[d, :, :]
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _dist_fct_tail(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        u_n, rhs_u, x0u, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+
+    # v implicit with the NEW u: Mat_v = Mbv + dt γ M_{u²}
+    th, bh = ops.exchange(u_np1[0:1, :], u_np1[nl - 1 : nl, :])
+    uext_ref[0:1, :] = th
+    uext_ref[1 : nl + 1, :] = u_np1
+    uext_ref[nl + 1 : nl + 2, :] = bh
+    Mu2 = _wm_prod_rect([uext_ref[:, :], uext_ref[:, :]],
+                        ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1)
+    MatV = [
+        Mbv_ref[d, :, :]
+        + ((dt * gamma) * Mu2[d][1 : nl + 1, :] if Mu2[d] is not None
+           else 0.0)
+        for d in range(9)
+    ]
+
+    def apply_matv(x):
+        th2, bh2 = ops.exchange(x[0:1, :], x[nl - 1 : nl, :])
+        ops.fill_hpad(x, th2, bh2)
+        return ops.plane_sum(lambda d: MatV[d], x)
+
+    apply_M = ops.make_apply(M_ref)
+    b = apply_M(v_n) + (dt * gamma * c_b) * ML_ref[:, :]
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = ops.dcg(apply_matv, 1.0 / MatV[CENTER], b, x0v)
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _dist_schnak_adj_kernel(
+    u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref,
+    Aext_ref, D_ref, hpad_ref, uext_ref, vext_ref, pext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, gamma, tol, iters, cheb_iters, h2, warm,
+):
+    """Distributed analogue of pallas_fused._schnak_adj_kernel: the q
+    implicit solve (Mat_q = Mbq + dt γ M_{u²}, rhs = γ p u²), then the p
+    FCT with non_flux = γM - 2γM_{uv} and rhs = -2γ u v q
+    (helpers.py:680-697)."""
+    i = pl.program_id(0)
+    ops = _make_ops(
+        axis=axis, n=n, nl=nl, nd=nd, tol=tol, iters=iters,
+        dtype=pcur_ref.dtype, hpad_ref=hpad_ref, sbuf_up=sbuf_up,
+        sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
+        drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
+        credit_dot=credit_dot)
+    row0 = ops.row0
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+        uext_ref[:, :] = jnp.zeros_like(uext_ref)
+        vext_ref[:, :] = jnp.zeros_like(vext_ref)
+        pext_ref[:, :] = jnp.zeros_like(pext_ref)
+        ops.init_buffers()
+        ops.init_credits()
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+
+    cr1 = row0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (nl + 1, 1), 0)
+    cmask1 = ((cr1 >= 0) & (cr1 <= n - 2)).astype(u_n.dtype)
+
+    # one k=3 exchange: u, v (weighted masses + loads), p_np1 (q load)
+    sbuf_up[0:1, :] = u_n[0:1, :]
+    sbuf_up[1:2, :] = v_n[0:1, :]
+    sbuf_up[2:3, :] = p_np1[0:1, :]
+    sbuf_dn[0:1, :] = u_n[nl - 1 : nl, :]
+    sbuf_dn[1:2, :] = v_n[nl - 1 : nl, :]
+    sbuf_dn[2:3, :] = p_np1[nl - 1 : nl, :]
+    th, bh = ops.exchange_bufs(3)
+    uext_ref[0:1, :] = th[0:1, :]
+    uext_ref[1 : nl + 1, :] = u_n
+    uext_ref[nl + 1 : nl + 2, :] = bh[0:1, :]
+    vext_ref[0:1, :] = th[1:2, :]
+    vext_ref[1 : nl + 1, :] = v_n
+    vext_ref[nl + 1 : nl + 2, :] = bh[1:2, :]
+    pext_ref[0:1, :] = th[2:3, :]
+    pext_ref[1 : nl + 1, :] = p_np1
+    pext_ref[nl + 1 : nl + 2, :] = bh[2:3, :]
+
+    # q implicit first: Mat_q = Mbq + dt γ M_{u²}
+    Mu2 = _wm_prod_rect([uext_ref[:, :], uext_ref[:, :]],
+                        ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1)
+    MatQ = [
+        Mbq_ref[d, :, :]
+        + ((dt * gamma) * Mu2[d][1 : nl + 1, :] if Mu2[d] is not None
+           else 0.0)
+        for d in range(9)
+    ]
+
+    def apply_matq(x):
+        th2, bh2 = ops.exchange(x[0:1, :], x[nl - 1 : nl, :])
+        ops.fill_hpad(x, th2, bh2)
+        return ops.plane_sum(lambda d: MatQ[d], x)
+
+    rhs_q_ext = _lf_prod_rect(
+        [pext_ref[:, :], uext_ref[:, :], uext_ref[:, :]],
+        ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1, scale=gamma)
+    rhs_q = rhs_q_ext[1 : nl + 1, :] + misv_ref[0, :, :]
+    apply_M = ops.make_apply(M_ref)
+    b = apply_M(q_np1) + dt * rhs_q
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = ops.dcg(apply_matq, 1.0 / MatQ[CENTER], b, x0q)
+
+    # p FCT: rhs = -2γ u v q_n, S = γM - 2γ M_{uv}
+    th, bh = ops.exchange(q_n[0:1, :], q_n[nl - 1 : nl, :])
+    pext_ref[0:1, :] = th  # reuse as q ext
+    pext_ref[1 : nl + 1, :] = q_n
+    pext_ref[nl + 1 : nl + 2, :] = bh
+    rhs_p_ext = _lf_prod_rect(
+        [uext_ref[:, :], vext_ref[:, :], pext_ref[:, :]],
+        ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1, scale=-2.0 * gamma)
+    rhs_p = rhs_p_ext[1 : nl + 1, :] + misu_ref[0, :, :]
+
+    Muv = _wm_prod_rect([uext_ref[:, :], vext_ref[:, :]],
+                        ncr=nl + 1, ncc=n - 1, h2=h2, cmask=cmask1)
+    S = [
+        gamma * M_ref[d, :, :]
+        - ((2.0 * gamma) * Muv[d][1 : nl + 1, :] if Muv[d] is not None
+           else 0.0)
+        for d in range(9)
+    ]
+    for d in range(9):
+        Aext_ref[d, :, :] = Aadj_ref[d, :, :]
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _dist_fct_tail(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        p_np1, rhs_p, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _device_schnak_sweep(adjoint, *arrays, axis, n, nl, nd, steps, dt,
+                         gamma, c_b, inv_r, tol, iters, cheb_iters, h2,
+                         warm, has_mis):
+    me = jax.lax.axis_index(axis)
+    row0 = me * nl
+
+    def ext(x):
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.pad(x, ((0, 0), (2, 2), (0, 0))), row0, nl + 4, axis=1)
+
+    def loc(x):
+        return jax.lax.dynamic_slice_in_dim(x, row0, nl, axis=x.ndim - 2)
+
+    field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nl + 4, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    if not adjoint:
+        c_loc, u0_loc, v0_loc, A_u, M, Md, ML, Mbv = arrays
+        dtype = u0_loc.dtype
+        kern = functools.partial(
+            _dist_schnak_fwd_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt,
+            gamma=gamma, c_b=c_b, inv_r=inv_r, tol=tol, iters=iters,
+            cheb_iters=cheb_iters, h2=h2, warm=warm)
+        frame = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        u_traj, v_traj = pl.pallas_call(
+            kern,
+            grid=(steps,),
+            out_shape=(
+                jax.ShapeDtypeStruct((steps, nl, n), dtype),
+                jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            ),
+            in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
+                      field, stencil_loc],
+            out_specs=(frame, frame),
+            scratch_shapes=[
+                pltpu.VMEM((nl, n), dtype),
+                pltpu.VMEM((nl, n), dtype),
+                pltpu.VMEM((nl, n), dtype),
+                pltpu.VMEM((nl, n), dtype),
+                pltpu.VMEM((9, nl + 4, n), dtype),
+                pltpu.VMEM((9, nl, n), dtype),
+                pltpu.VMEM((nl + 2, n + 2), dtype),
+                pltpu.VMEM((nl + 2, n), dtype),   # u ext (1-row halo)
+                pltpu.VMEM((nl + 2, n), dtype),   # v ext
+            ] + _comm_scratch(nd, n, dtype, 3),
+            compiler_params=_compiler_params(),
+            interpret=_dist_interp(),
+        )(c_loc[1:], u0_loc, v0_loc, ext(A_u), loc(M), loc(Md), loc(ML),
+          loc(Mbv))
+        u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
+        v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
+        return u_traj, v_traj
+
+    u_loc, v_loc, misu, misv, pT_loc, qT_loc, A_adj, M, Md, ML, Mbq = arrays
+    dtype = pT_loc.dtype
+    kern = functools.partial(
+        _dist_schnak_adj_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt,
+        gamma=gamma, tol=tol, iters=iters, cheb_iters=cheb_iters, h2=h2,
+        warm=warm)
+    rev = pl.BlockSpec((1, nl, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mis_spec = rev if has_mis else pl.BlockSpec(
+        (1, nl, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        ),
+        in_specs=[rev, rev, mis_spec, mis_spec, field, field,
+                  stencil_ext, stencil_loc, field, field, stencil_loc],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((nl, n), dtype),
+            pltpu.VMEM((nl, n), dtype),
+            pltpu.VMEM((nl, n), dtype),
+            pltpu.VMEM((nl, n), dtype),
+            pltpu.VMEM((9, nl + 4, n), dtype),
+            pltpu.VMEM((9, nl, n), dtype),
+            pltpu.VMEM((nl + 2, n + 2), dtype),
+            pltpu.VMEM((nl + 2, n), dtype),   # u ext
+            pltpu.VMEM((nl + 2, n), dtype),   # v ext
+            pltpu.VMEM((nl + 2, n), dtype),   # p/q ext
+        ] + _comm_scratch(nd, n, dtype, 3),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(u_loc, v_loc, misu, misv, pT_loc, qT_loc, ext(A_adj), loc(M),
+      loc(Md), loc(ML), loc(Mbq))
+    p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
+    q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
+    return p_traj, q_traj
+
+
+def dist_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
+                              Mbase_v, mesh, *, h, dt, gamma, c_b,
+                              rescaling, tol=1e-6, iters=60, cheb_iters=20,
+                              warm=True, axis=None):
+    """Multi-chip Schnakenberg forward sweep (stationary wind only),
+    semantics identical to pallas_fused.fused_schnak_forward_sweep
+    (helpers.py:511-597)."""
+    from jax import shard_map
+
+    n = u0.shape[-1]
+    axis, nd = _resolve_mesh(mesh, axis, n)
+    nl = n // nd
+    steps = c_traj.shape[0] - 1
+
+    body = functools.partial(
+        _device_schnak_sweep, False, axis=axis, n=n, nl=nl, nd=nd,
+        steps=steps, dt=dt, gamma=gamma, c_b=c_b, inv_r=1.0 / rescaling,
+        tol=tol, iters=iters, cheb_iters=cheb_iters, h2=h * h, warm=warm,
+        has_mis=False)
+    spec_t = P(None, axis, None)
+    spec_f = P(axis, None)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(c_traj, u0, v0, A_u, M, M_diag, ML_diag, Mbase_v)
+
+
+def dist_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
+                              ML_diag, Mbase_q, mesh, mis_u=None,
+                              mis_v=None, *, h, dt, gamma, tol=1e-6,
+                              iters=60, cheb_iters=20, warm=True,
+                              axis=None):
+    """Multi-chip Schnakenberg adjoint sweep, semantics identical to
+    pallas_fused.fused_schnak_adjoint_sweep (helpers.py:599-698)."""
+    from jax import shard_map
+
+    n = pT.shape[-1]
+    axis, nd = _resolve_mesh(mesh, axis, n)
+    nl = n // nd
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+
+    body = functools.partial(
+        _device_schnak_sweep, True, axis=axis, n=n, nl=nl, nd=nd,
+        steps=steps, dt=dt, gamma=gamma, c_b=0.0, inv_r=1.0, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, h2=h * h, warm=warm,
+        has_mis=has_mis)
+    spec_t = P(None, axis, None)
+    spec_f = P(axis, None)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
+                  rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
+              A_u_adj, M, M_diag, ML_diag, Mbase_q)
