@@ -4,10 +4,13 @@ The single-chip whole-sweep kernels (ops/pallas_fused.py) keep every vector
 VMEM-resident and amortize kernel-dispatch over the whole time loop — but
 they are single-core: under GSPMD sharding the models fall back to the XLA
 path, whose per-iteration HBM round-trips dominate at large grids
-(roadmap.md "multi-chip fast path"). This module is that fast path: the
-ENTIRE chemotaxis forward sweep (helpers.py:1321-1385 semantics, identical
-to fused_chemotaxis_forward_sweep) runs as ONE ``pallas_call`` per device
-under ``shard_map`` over a 1-D device axis, with
+(roadmap.md "multi-chip fast path"). This module is that fast path: each
+ENTIRE sweep — chemotaxis/Mimura forward and adjoint
+(helpers.py:1321-1581), Schnakenberg forward and adjoint
+(helpers.py:511-698), and the single-field scalar FCT sweep (nonlinear
+state/adjoint, linear advection state/adjoint; helpers.py:881-1038) —
+runs as ONE ``pallas_call`` per device under ``shard_map`` over a 1-D
+device axis, with
 
 - **row-block domain decomposition**: device ``k`` of ``nd`` owns rows
   ``[k*nl, (k+1)*nl)`` of every (n, n) field (nl = n // nd),
