@@ -44,9 +44,12 @@ class ChemotaxisProblem(PDECOProblem):
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         tol = 1e-12 if dtype == jnp.float64 else 1e-6
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
+
         self.model = ChemotaxisModel(
             self.grid, rescaling=rescaling, dtype=dtype,
             solver_opts=SolverOpts(tol=tol, maxiter=300), backend=backend,
+            mesh=dist_mesh(backend),
         )
         # everything the sweeps touch lives in the MODEL dtype (under
         # mixed precision x64 is on, so bare asarray would produce f64)
@@ -171,7 +174,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
-    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+    ap.add_argument("--backend",
+                    choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
     ap.add_argument("--linear-armijo", action="store_true",
                     help="legacy coupled-system (w_m, w_f) linear-increment "

@@ -237,3 +237,17 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         print(f"  J(c_true) = {cfg.beta / 2 * jtrue:.6e}")
     print(f"  duration: {res.duration:.1f}s  phases: {timer.summary()}")
     return {"result": res, "registry_row": row}
+
+
+def dist_mesh(backend: str):
+    """1-D device mesh for the multi-chip RDMA backend (ops/pallas_dist.py
+    runs per-device sweep kernels over the FIRST mesh axis); None for the
+    single-device backends. Models fall back to XLA with a warning when the
+    grid is not divisible by the device count."""
+    if backend != "pallas_dist":
+        return None
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), ("x",))

@@ -58,8 +58,11 @@ class MimuraProblem(PDECOProblem):
             self.model = LegacyM4MimuraModel(
                 self.grid, solver_opts=SolverOpts(tol=tol))
         else:
+            from fem_fct_pdeco_tpu.drivers.common import dist_mesh
+
             self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=tol),
-                                     backend=backend)
+                                     backend=backend,
+                                     mesh=dist_mesh(backend))
         self._targets = self._load_targets()
         m0, f0 = self.model.ic()
         self._u0, self._v0 = jnp.asarray(m0), jnp.asarray(f0)
@@ -163,7 +166,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
-    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+    ap.add_argument("--backend",
+                    choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
     ap.add_argument("--legacy-m4", action="store_true",
                     help="legacy m(4-m) system (old_helpers.py:87-111)")

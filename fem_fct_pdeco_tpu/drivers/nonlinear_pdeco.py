@@ -40,8 +40,10 @@ class NonlinearProblem(PDECOProblem):
         import jax
 
         tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
+
         self.model = NonlinearModel(self.grid, solver_opts=SolverOpts(tol=tol),
-                                    backend=backend)
+                                    backend=backend, mesh=dist_mesh(backend))
         self._target = self._load_target()
 
     def _load_target(self):
@@ -148,7 +150,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
-    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+    ap.add_argument("--backend",
+                    choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
     ap.add_argument("--discrete-gradient", action="store_true",
                     help="use the exact discrete gradient (jax.grad through "

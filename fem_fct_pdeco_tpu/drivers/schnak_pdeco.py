@@ -47,9 +47,11 @@ class SchnakProblem(PDECOProblem):
         import jax
 
         tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
+
         self.model = SchnakenbergModel(
             self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=tol),
-            td_wind_fn=td_fn, backend=backend,
+            td_wind_fn=td_fn, backend=backend, mesh=dist_mesh(backend),
         )
         # target stored at dt_data resolution; subsample by skip = dt/dt_data
         # (Schnak_FCT_PDECO_alltime.py:45-48, 116-119)
@@ -158,7 +160,8 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
-    ap.add_argument("--backend", choices=["xla", "pallas", "pallas_fused"],
+    ap.add_argument("--backend",
+                    choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")

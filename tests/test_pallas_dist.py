@@ -251,6 +251,24 @@ def test_dist_mimura():
     assert np.abs(np.asarray(q_d) - np.asarray(q_ref)).max() < 1e-9
 
 
+def test_pdeco_driver_backend_pallas_dist(tmp_path):
+    """End-to-end: the chemotaxis PDECO driver with --backend pallas_dist
+    runs the full PGD loop (forward + adjoint sweeps on the RDMA kernels,
+    descent/cost under GSPMD) on the 8-device mesh."""
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as drv
+
+    cfg = drv.build_config(T=0.002, T_data=0.002, dt=1e-3, dx=1.0 / 31.0,
+                           max_iter_gd=2, out_folder=str(tmp_path),
+                           produce_plots=False)
+    cfg.registry_csv = None
+    problem = drv.ChemotaxisProblem(cfg, backend="pallas_dist")
+    assert problem.model.backend == "pallas_dist"  # n=32 divisible by 8
+    from fem_fct_pdeco_tpu.drivers.common import run_pdeco
+
+    out = run_pdeco(problem, cfg)
+    assert np.isfinite(out["result"].cost)
+
+
 def test_dist_sweep_race_detector():
     """Run the interpreter's vector-clock race detector over the credit
     protocol (a halo buffer overwritten before its consumer read it would
