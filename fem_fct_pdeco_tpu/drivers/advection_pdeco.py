@@ -201,7 +201,7 @@ class AdvectionProblem(PDECOProblem):
 
     def __init__(self, cfg: ExperimentConfig, exact: bool = False,
                  linear_armijo: bool = False, delta_ex: float = 0.1,
-                 mms_variant: str = "reference"):
+                 mms_variant: str = "reference", backend: str = "xla"):
         super().__init__(cfg)
         self.exact = exact
         self.use_linear_increments = linear_armijo
@@ -225,10 +225,14 @@ class AdvectionProblem(PDECOProblem):
             self._reaction = jnp.asarray(np.stack([self.mms.gex(t) for t in times]))
             self._target = jnp.asarray(self.mms.uhat(cfg.T))
             return
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
+
         wf = vortex_wind(1.0) if exact else wind2
         self.wind_fn = wf
         self.model = AdvectionModel(self.grid, eps=EPS, wind_fn=wf,
-                                    solver_opts=SolverOpts(tol=1e-12))
+                                    solver_opts=SolverOpts(tol=1e-12),
+                                    backend=backend,
+                                    mesh=dist_mesh(backend))
         if exact:
             self.mms = MMSFields(self.grid, cfg.T, cfg.beta, cfg.c_lower, cfg.c_upper)
             self._u0 = jnp.asarray(self.mms.uex(0.0))
@@ -334,6 +338,12 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--plots", action="store_true")
+    ap.add_argument("--backend",
+                    choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
+                    default="xla",
+                    help="sweep backend for the non-MMS problem (the "
+                         "finaltime-exact MMS keeps XLA: its reaction term "
+                         "needs the piecewise path)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "dt": args.dt,
@@ -359,7 +369,8 @@ def main(argv=None):
     cfg.out_folder = args.out or f"Adv_{cfg.optim}{tagexact}_T{cfg.T}_beta{cfg.beta}"
     cfg.registry_csv = f"Adv_{cfg.optim}{tagexact}_simulation_results.csv"
     problem = AdvectionProblem(cfg, exact=args.exact, linear_armijo=args.linear_armijo,
-                               mms_variant=args.mms_variant)
+                               mms_variant=args.mms_variant,
+                               backend=args.backend)
     out = run_pdeco(problem, cfg)
     if args.exact:
         res = out["result"]
