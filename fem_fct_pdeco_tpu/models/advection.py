@@ -19,7 +19,6 @@ forward-only case of either model with c = 0.
 
 from __future__ import annotations
 
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np

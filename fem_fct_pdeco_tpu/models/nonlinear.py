@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from fem_fct_pdeco_tpu.grid import CENTER
 from fem_fct_pdeco_tpu.models.base import ModelBase
 from fem_fct_pdeco_tpu.models.advection import vortex_wind
 from fem_fct_pdeco_tpu.ops import stencil as st
