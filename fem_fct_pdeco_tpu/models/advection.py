@@ -57,8 +57,6 @@ def slotted_cylinder_ic(grid, slit_width: float = 0.1) -> np.ndarray:
 
 
 class AdvectionModel(ModelBase):
-    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("N", "A_state", "A_adjoint")
-
     """Source-controlled linear advection-diffusion with a stationary wind.
 
     ``divw_fn``: analytic divergence of the wind. When given, the model uses
@@ -71,6 +69,8 @@ class AdvectionModel(ModelBase):
     state PDE, finaltime_exact:16, handled IMEX at finaltime_exact:273-279)
     is passed per sweep via ``reaction_traj``.
     """
+
+    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("N", "A_state", "A_adjoint")
 
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, divw_fn=None,
@@ -269,9 +269,9 @@ class AdvectionModel(ModelBase):
 
 
 class DriftControlModel(ModelBase):
-    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("Nrot",)
-
     """Drift-velocity control over a rotating base flow (solid body)."""
+
+    _HOISTED_OPS = ModelBase._HOISTED_OPS + ("Nrot",)
 
     def __init__(self, grid, eps: float, om: float, drift=(1.0, 1.0),
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None):

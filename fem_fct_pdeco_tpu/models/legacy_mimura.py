@@ -84,10 +84,12 @@ class LegacyM4MimuraModel(ModelBase):
     def _forward_step(self, dt):
         p = self.params
         asm = self.asm
-        Mat_fq = self._fq_matrix(dt)
         rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
 
         def step(carry, c_i):
+            # derived inside the traced closure so it is built from the
+            # hoisted M/K arguments (_HOISTED_OPS), not baked as a constant
+            Mat_fq = self._fq_matrix(dt)
             m_n, f_n = carry
             # f implicit solve: rhs = M f_n + dt (m_n c, phi)
             # (rhs_chtx_f, old_helpers.py:90-91; driver :175-177)
@@ -128,10 +130,10 @@ class LegacyM4MimuraModel(ModelBase):
     def _adjoint_step(self, dt):
         p = self.params
         asm = self.asm
-        Mat_fq = self._fq_matrix(dt)
         rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
 
         def step(carry, x):
+            Mat_fq = self._fq_matrix(dt)
             p_np1, q_np1 = carry
             m_n, f_n, c_n = x
             # q implicit: rhs = M q^{n+1} + dt (div(chi m grad p^{n+1}), phi)

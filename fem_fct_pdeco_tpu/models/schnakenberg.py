@@ -54,8 +54,8 @@ class SchnakenbergModel(ModelBase):
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, td_wind_fn=None,
-                 mesh=None,
-                 backend: str = "xla", pad_to: int | None = None):
+                 backend: str = "xla", pad_to: int | None = None,
+                 mesh=None):
         """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind
         (Schnak_FCT_PDECO_alltime.py's sin(2πt) vortex); convection is then
         re-assembled each step inside the scan (the whole-sweep fused kernels

@@ -93,20 +93,26 @@ int fastcsv_parse_mt(const char* path, double** out, long* count,
     // mmap zero-fills the tail of a *partial* last page, so strtod on a
     // trailing number is normally NUL-terminated. When the file size is an
     // exact multiple of the page size that guarantee vanishes and a file
-    // ending in a digit would make strtod read past the mapping. Copy the
-    // final page into a NUL-terminated heap buffer and parse it separately;
-    // tokens are assumed shorter than a page (true for any ASCII float).
+    // ending in a digit would make strtod read past the mapping. Split the
+    // scan at one past the LAST separator in the file: every token starting
+    // before that point also ends before it (a separator terminates it), so
+    // the mapped scan never reads past the mapping, and the remainder is
+    // parsed from a NUL-terminated heap copy with no dedup heuristics.
     size_t pagesz = (size_t)sysconf(_SC_PAGESIZE);
     char* tail = nullptr;
     size_t tail_len = 0;
     const char* safe_end = data + size;
     if (size % pagesz == 0) {
-        tail_len = size < pagesz ? size : pagesz;
-        tail = (char*)malloc(tail_len + 1);
-        if (!tail) { munmap(data, size); return 4; }
-        memcpy(tail, data + size - tail_len, tail_len);
-        tail[tail_len] = '\0';
-        safe_end = data + size - tail_len;
+        const char* q = data + size;
+        while (q > data && !is_sep(*(q - 1))) --q;
+        safe_end = q;
+        tail_len = size - (size_t)(safe_end - data);
+        if (tail_len) {
+            tail = (char*)malloc(tail_len + 1);
+            if (!tail) { munmap(data, size); return 4; }
+            memcpy(tail, safe_end, tail_len);
+            tail[tail_len] = '\0';
+        }
     }
 
     // Pick a thread count: one thread per ~8 MB. Auto (0) is capped by the
@@ -148,24 +154,11 @@ int fastcsv_parse_mt(const char* path, double** out, long* count,
         for (auto& w : workers) w.join();
     }
 
-    // The NUL-terminated copy of the final page, resuming where the mapped
-    // scan stopped: parse_range consumed every token STARTING before
-    // safe_end; a token straddling safe_end was fully parsed from the
-    // mapping (the first page of the tail copy duplicates those bytes), so
-    // resume at the first separator in the copy, then skip it.
+    // The NUL-terminated copy of everything past the last separator: no
+    // token crosses safe_end (see above), so the copy is parsed wholesale.
     Buf tailbuf;
     if (tail) {
-        const char* q = tail;
-        const char* tend = tail + tail_len;
-        // A token straddled safe_end iff the last mapped-scan byte is a
-        // non-separator: that token's start was < safe_end, so the last
-        // chunk already parsed it fully (strtod read into the mapped tail
-        // bytes) — skip its remainder in the copy. If that byte is a
-        // separator, the copy starts a fresh token: parse from the top.
-        if (scan_len > 0 && !is_sep(data[scan_len - 1])) {
-            while (q < tend && !is_sep(*q)) ++q;
-        }
-        parse_range(q, tend, &tailbuf);
+        parse_range(tail, tail + tail_len, &tailbuf);
         free(tail);
     }
 

@@ -96,3 +96,43 @@ def test_fastcsv_multithreaded_matches_serial(tmp_path):
         got = _fastcsv.parse_file(p2, threads=4)
         exp = np.array([float(x) for x in s.split(",") if x.strip()])
         assert np.array_equal(got, exp), ending
+
+
+def test_fastcsv_page_boundary_tokens_not_dropped(tmp_path):
+    """Exact-page-multiple files where the final page starts inside a token
+    or after unparseable text: the last-separator split must parse every
+    value exactly once (the old tail heuristic silently dropped a number
+    whose start coincided with the copied-page boundary after an
+    unparseable non-separator run)."""
+    import os
+
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.io import _fastcsv
+
+    pg = os.sysconf("SC_PAGE_SIZE")
+
+    # (a) unparseable x-run immediately followed (no separator) by a number
+    # near the final-page boundary; file ends in a digit
+    na = (pg - 8) // 4
+    nb = (pg - 11) // 5
+    s = "1.5," * na + "xxxx" + "9.25," * nb
+    s += "x" * (2 * pg - len(s) - 4) + "3.75"
+    assert len(s) == 2 * pg
+    p = tmp_path / "a.csv"
+    p.write_text(s)
+    got = _fastcsv.parse_file(p, threads=4)
+    exp = np.array([1.5] * na + [9.25] * nb + [3.75])
+    assert np.array_equal(got, exp)
+
+    # (b) one giant token spanning the entire final page (last separator is
+    # in the first page): must be parsed once, entirely from the heap copy
+    k = (pg // 2) // 4
+    digits = 2 * pg - 4 * k - 2
+    s2 = "1.5," * k + "9." + "0" * digits
+    assert len(s2) == 2 * pg
+    p2 = tmp_path / "b.csv"
+    p2.write_text(s2)
+    got2 = _fastcsv.parse_file(p2, threads=4)
+    exp2 = np.array([1.5] * k + [9.0])
+    assert np.array_equal(got2, exp2)
