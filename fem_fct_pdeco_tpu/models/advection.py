@@ -75,8 +75,9 @@ class AdvectionModel(ModelBase):
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, divw_fn=None,
                  backend: str = "xla", pad_to: int | None = None,
-                 mesh=None):
-        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
+                 mesh=None, debug: bool = False):
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
+                         debug=debug)
         self.eps = eps
         self.N = self.asm.convection(wind_fn)  # (w·∇v, u)
         # ref-convention flux matrices (du/dt + A u = rhs):
@@ -101,7 +102,7 @@ class AdvectionModel(ModelBase):
 
     def _fct(self, A, rhs, u_n, dt):
         return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
-                        solver=self.solver_opts, node_mask=self.node_mask)
+                        solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask)
 
     def forward(self, control_traj, u0, dt, source_traj=None, reaction_traj=None):
         """State sweep; step i uses control_traj[i]
@@ -298,7 +299,7 @@ class DriftControlModel(ModelBase):
 
     def _fct(self, A, rhs, u_n, dt):
         return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
-                        solver=self.solver_opts, node_mask=self.node_mask)
+                        solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask)
 
     def forward(self, control_traj, u0, dt):
         """State sweep: legacy A_u = -ε Ad + Arot + Adrift1 + Adrift2 with

@@ -29,6 +29,7 @@ class ModelBase:
         backend: str = "xla",
         pad_to: int | None = None,
         mesh=None,
+        debug: bool = False,
     ):
         """``pad_to``: enlarge all operators and fields to a ``pad_to`` x
         ``pad_to`` grid with the extra cells masked out of every assembled
@@ -44,7 +45,22 @@ class ModelBase:
         device over the mesh's first axis (n divisible by its size); other
         sweeps use the XLA path under GSPMD. Models without a distributed
         kernel treat it as "xla".
+
+        ``debug=True``: replicate the reference's EVERY-STEP validation of
+        the FCT low-order matrix's M-matrix row-sum property with
+        admissible-dt-bound reporting (helpers.py:1784-1810) as in-sweep
+        ``checkify`` checks; a violating dt raises ``JaxRuntimeError`` with
+        the bounds in the message. Forces the XLA path (the fused kernels
+        cannot carry checkify errors).
         """
+        self.debug = debug
+        if debug and backend != "xla":
+            import warnings
+
+            warnings.warn(
+                "debug=True runs the in-sweep invariant checks, which only "
+                "the XLA path supports; forcing backend='xla'", stacklevel=3)
+            backend = "xla"
         self.grid = grid
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             dtype = jnp.float32  # avoid per-op truncation warnings
@@ -154,13 +170,24 @@ class ModelBase:
         return wrapper, opvals_fn
 
     def _jitted(self, key, build):
+        key = (key, self.debug)
         fn = self._jit_cache.get(key)
         if fn is None:
             wrapper, opvals_fn = self.hoist_wrap(build())
-            jfn = jax.jit(wrapper)
+            if self.debug:
+                from jax.experimental import checkify
 
-            def fn(*args):
-                return jfn(opvals_fn(), args)
+                jfn = jax.jit(checkify.checkify(wrapper))
+
+                def fn(*args):
+                    err, out = jfn(opvals_fn(), args)
+                    err.throw()
+                    return out
+            else:
+                jfn = jax.jit(wrapper)
+
+                def fn(*args):
+                    return jfn(opvals_fn(), args)
 
             self._jit_cache[key] = fn
         return fn

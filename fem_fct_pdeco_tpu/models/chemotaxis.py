@@ -42,14 +42,15 @@ class ChemotaxisModel(ModelBase):
                  rescaling: float = 1.0 / 10.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, backend: str = "xla",
                  consistent_alltime_misfit: bool = False,
-                 pad_to: int | None = None, mesh=None):
+                 pad_to: int | None = None, mesh=None, debug: bool = False):
         """``consistent_alltime_misfit``: the reference adds the RAW nodal
         misfit û-u to the assembled adjoint loads in all-time mode
         (helpers.py:1506-1507, dimensionally inconsistent — the gradient is
         off by ~1/mass-scale, which projected Armijo absorbs). Set True for
         the mass-weighted M(û-u) variant that satisfies the adjoint identity.
         """
-        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
+                         debug=debug)
         self.params = params
         self.rescaling = rescaling
         self.consistent_alltime_misfit = consistent_alltime_misfit
@@ -117,7 +118,7 @@ class ChemotaxisModel(ModelBase):
             )
             u_np1 = fct_step(
                 A_u, rhs_u, u_n, dt, self.M, self.M_diag,
-                self.ML_diag, solver=self.solver_opts, backend=self.backend,
+                self.ML_diag, solver=self.solver_opts, debug=self.debug, backend=self.backend,
                 node_mask=self.node_mask,
             )
             return (u_np1, v_np1)
@@ -264,7 +265,7 @@ class ChemotaxisModel(ModelBase):
             nf = self._reaction_nonflux_adj(u_q)
             p_n = fct_step(
                 Mat_p, rhs_p, p_np1, dt, self.M, self.M_diag, self.ML_diag,
-                non_flux=nf, solver=self.solver_opts, node_mask=self.node_mask,
+                non_flux=nf, solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
             )
             # q-solve (helpers.py:1531-1538)
             rhs_q = asm.advective_form(

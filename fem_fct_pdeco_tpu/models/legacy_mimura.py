@@ -105,7 +105,7 @@ class LegacyM4MimuraModel(ModelBase):
             rhs_m = 4.0 * st.apply(self.M, m_n)
             m_np1 = fct_step(
                 -A_m, rhs_m, m_n, dt, self.M, self.M_diag, self.ML_diag,
-                solver=self.solver_opts,
+                solver=self.solver_opts, debug=self.debug,
             )
             return (m_np1, f_np1)
 
@@ -159,7 +159,7 @@ class LegacyM4MimuraModel(ModelBase):
             )
             p_n = fct_step(
                 -A_p, rhs_p, p_np1, dt, self.M, self.M_diag, self.ML_diag,
-                solver=self.solver_opts,
+                solver=self.solver_opts, debug=self.debug,
             )
             return (p_n, q_n)
 

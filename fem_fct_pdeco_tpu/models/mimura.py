@@ -46,10 +46,10 @@ class MimuraModel(ChemotaxisModel):
     def __init__(self, grid, params: MimuraParams = MimuraParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, backend: str = "xla",
-                 pad_to: int | None = None, mesh=None):
+                 pad_to: int | None = None, mesh=None, debug: bool = False):
         super().__init__(grid, params=params, rescaling=rescaling,
                          dtype=dtype, solver_opts=solver_opts, backend=backend,
-                         pad_to=pad_to, mesh=mesh)
+                         pad_to=pad_to, mesh=mesh, debug=debug)
 
     def ic(self) -> tuple[np.ndarray, np.ndarray]:
         """m0 = 1.5 + 0.1(0.5 - rand) with np.random.seed(5)

@@ -31,8 +31,9 @@ class NonlinearModel(ModelBase):
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,
                  backend: str = "xla", pad_to: int | None = None,
-                 mesh=None):
-        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
+                 mesh=None, debug: bool = False):
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
+                         debug=debug)
         self.eps = eps
         self.N = self.asm.convection(vortex_wind(speed))
         # ref-convention flux matrices:
@@ -64,7 +65,7 @@ class NonlinearModel(ModelBase):
             return fct_step(
                 self.A_state, rhs, u_n, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=self._nonflux(u_n, +1.0),
-                solver=self.solver_opts, node_mask=self.node_mask,
+                solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
             )
 
         return step
@@ -75,7 +76,7 @@ class NonlinearModel(ModelBase):
             return fct_step(
                 self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
-                solver=self.solver_opts, node_mask=self.node_mask,
+                solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
             )
 
         return step

@@ -55,12 +55,13 @@ class SchnakenbergModel(ModelBase):
                  rescaling: float = 1.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, td_wind_fn=None,
                  backend: str = "xla", pad_to: int | None = None,
-                 mesh=None):
+                 mesh=None, debug: bool = False):
         """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind
         (Schnak_FCT_PDECO_alltime.py's sin(2πt) vortex); convection is then
         re-assembled each step inside the scan (the whole-sweep fused kernels
         require the stationary wind and fall back to the piecewise path)."""
-        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh)
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
+                         debug=debug)
         self.params = params
         self.rescaling = rescaling
         self.td_wind_fn = td_wind_fn
@@ -113,7 +114,7 @@ class SchnakenbergModel(ModelBase):
             )
             u_np1 = fct_step(
                 A_u, rhs_u, u_n, dt, self.M, self.M_diag,
-                self.ML_diag, non_flux=gM, solver=self.solver_opts,
+                self.ML_diag, non_flux=gM, solver=self.solver_opts, debug=self.debug,
                 node_mask=self.node_mask,
             )
             # v implicit with the *new* u (helpers.py:590-596)
@@ -162,7 +163,7 @@ class SchnakenbergModel(ModelBase):
             p_n = fct_step(
                 A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=gM - 2.0 * p.gamma * Muv,
-                solver=self.solver_opts, node_mask=self.node_mask,
+                solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
             )
             return (p_n, q_n)
 

@@ -122,6 +122,7 @@ def fct_step(
     backend: str = "xla",
     pallas_solver_iters: int = 60,
     node_mask: jnp.ndarray | None = None,
+    debug: bool = False,
 ) -> jnp.ndarray:
     """One flux-corrected transport step (``FCT_alg_ref``, helpers.py:1715).
 
@@ -132,9 +133,35 @@ def fct_step(
     ``backend="pallas"`` runs the solver loops and the flux/limiter stage as
     VMEM-resident Pallas kernels (fixed ``pallas_solver_iters`` BiCGStab
     iterations instead of a tolerance-based while loop).
+
+    ``debug=True`` validates the low-order matrix's M-matrix row-sum
+    property EVERY step (the reference does this unconditionally,
+    helpers.py:1784-1810) via ``checkify.check``, reporting the admissible
+    dt range on violation. The caller must run the sweep under
+    ``jax.experimental.checkify.checkify`` (``ModelBase`` does this when
+    constructed with ``debug=True``).
     """
     D = artificial_diffusion(A)
     Low = low_order_matrix(A, D, ML_diag, dt, non_flux)
+    if debug:
+        from jax.experimental import checkify
+
+        # row sums of Low = ML + dt * rowsum(A + S) (D's row sums vanish);
+        # admissible dt range per helpers.py:1796-1809. Inf-free by the
+        # repo's TPU f64-emulation rule: big sentinels instead of inf.
+        rowsum = Low.sum(axis=0)
+        rsA = A.sum(axis=0) if non_flux is None else (A + non_flux).sum(axis=0)
+        big = jnp.asarray(1e30, rowsum.dtype)
+        ml_over_rs = -ML_diag / jnp.where(rsA == 0, 1.0, rsA)
+        dt_upper = jnp.min(jnp.where(rsA < 0, ml_over_rs, big))
+        dt_lower = jnp.maximum(jnp.max(jnp.where(rsA > 0, ml_over_rs, -big)), 0.0)
+        checkify.check(
+            jnp.all(rowsum > 0),
+            "FCT low-order matrix lost the M-matrix row-sum property "
+            "(min row sum = {m}); the time step must satisfy "
+            "dt_lower < dt < dt_upper with dt_lower = {lo}, dt_upper = {hi}",
+            m=jnp.min(rowsum), lo=dt_lower, hi=dt_upper,
+        )
     b = ML_diag * u_n + dt * rhs
 
     if backend == "pallas":
