@@ -201,8 +201,12 @@ class AdvectionProblem(PDECOProblem):
 
     def __init__(self, cfg: ExperimentConfig, exact: bool = False,
                  linear_armijo: bool = False, delta_ex: float = 0.1,
-                 mms_variant: str = "reference", backend: str = "xla"):
+                 mms_variant: str = "reference", backend: str = "xla",
+                 dtype=None):
         super().__init__(cfg)
+        from fem_fct_pdeco_tpu.drivers.common import resolve_dtype
+
+        dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         self.exact = exact
         self.use_linear_increments = linear_armijo
         self._reaction = None
@@ -217,38 +221,43 @@ class AdvectionProblem(PDECOProblem):
             )
             self.wind_fn = self.mms.wind
             self.model = AdvectionModel(
-                self.grid, eps=EPS, wind_fn=self.mms.wind,
-                solver_opts=SolverOpts(tol=1e-12), divw_fn=self.mms.divw,
+                self.grid, eps=EPS, wind_fn=self.mms.wind, dtype=dtype,
+                solver_opts=SolverOpts(tol=tol), divw_fn=self.mms.divw,
             )
-            self._u0 = jnp.asarray(self.mms.uex(0.0))
-            self._g = jnp.asarray(np.stack([self.mms.fex(t) for t in times]))
-            self._reaction = jnp.asarray(np.stack([self.mms.gex(t) for t in times]))
-            self._target = jnp.asarray(self.mms.uhat(cfg.T))
+            md = self.model.dtype
+            self._u0 = jnp.asarray(self.mms.uex(0.0), dtype=md)
+            self._g = jnp.asarray(np.stack([self.mms.fex(t) for t in times]),
+                                  dtype=md)
+            self._reaction = jnp.asarray(
+                np.stack([self.mms.gex(t) for t in times]), dtype=md)
+            self._target = jnp.asarray(self.mms.uhat(cfg.T), dtype=md)
             return
         from fem_fct_pdeco_tpu.drivers.common import dist_mesh
 
         wf = vortex_wind(1.0) if exact else wind2
         self.wind_fn = wf
         self.model = AdvectionModel(self.grid, eps=EPS, wind_fn=wf,
-                                    solver_opts=SolverOpts(tol=1e-12),
+                                    dtype=dtype,
+                                    solver_opts=SolverOpts(tol=tol),
                                     backend=backend,
                                     mesh=dist_mesh(backend))
+        md = self.model.dtype
         if exact:
             self.mms = MMSFields(self.grid, cfg.T, cfg.beta, cfg.c_lower, cfg.c_upper)
-            self._u0 = jnp.asarray(self.mms.uex(0.0))
-            self._g = jnp.asarray(np.stack([self.mms.g(t, EPS, wf) for t in times]))
+            self._u0 = jnp.asarray(self.mms.uex(0.0), dtype=md)
+            self._g = jnp.asarray(np.stack([self.mms.g(t, EPS, wf) for t in times]),
+                                  dtype=md)
             if cfg.optim == "alltime":
                 self._target = jnp.asarray(
-                    np.stack([self.mms.uhat(t, EPS, wf) for t in times])
+                    np.stack([self.mms.uhat(t, EPS, wf) for t in times]), dtype=md
                 )
             else:
-                self._target = jnp.asarray(self.mms.uhat(cfg.T, EPS, wf))
+                self._target = jnp.asarray(self.mms.uhat(cfg.T, EPS, wf), dtype=md)
         else:
             self.mms = None
-            from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
-
             X, Y = self.grid.xy
-            self._u0 = jnp.asarray(5 * Y * (Y - 1) * X * (X - 1) * np.sin(4 * X * np.pi))
+            self._u0 = jnp.asarray(
+                5 * Y * (Y - 1) * X * (X - 1) * np.sin(4 * X * np.pi), dtype=md)
             self._g = None
             from fem_fct_pdeco_tpu.drivers.common import target_dir
 
@@ -260,15 +269,17 @@ class AdvectionProblem(PDECOProblem):
                 advection_stripes(tdir, T=cfg.T_data, dt=cfg.dt, dx=cfg.dx)
             if cfg.optim == "finaltime":
                 self._target = jnp.asarray(
-                    import_data_final(path, self.grid, num_steps=cfg.num_steps_data)
+                    import_data_final(path, self.grid, num_steps=cfg.num_steps_data),
+                    dtype=md,
                 )
             else:
                 self._target = jnp.asarray(
-                    import_data_final(path, self.grid, num_steps=steps, time_dep=True)
+                    import_data_final(path, self.grid, num_steps=steps, time_dep=True),
+                    dtype=md,
                 )
 
     def mass(self):
-        return self.model.M
+        return self.objective_mass(self.model)
 
     def targets(self):
         return (self._target,)
@@ -286,8 +297,8 @@ class AdvectionProblem(PDECOProblem):
 
     def cost(self, state, c):
         return cost_functional(
-            state[0], self._target, c, self.cfg.dt, self.model.M,
-            self.cfg.beta, self.cfg.optim,
+            state[0], self._target, c, self.cfg.dt, self.mass(),
+            self.cfg.beta, self.cfg.optim, accum_dtype=self.accum_dtype,
         )
 
     def linear_increments(self, dk):
@@ -344,11 +355,14 @@ def main(argv=None):
                     help="sweep backend for the non-MMS problem (the "
                          "finaltime-exact MMS keeps XLA: its reaction term "
                          "needs the piecewise path)")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "dt": args.dt,
          "dx": args.dx, "beta": args.beta, "tol": args.tol,
-         "max_iter_gd": args.max_iter_gd, "produce_plots": args.plots}
+         "max_iter_gd": args.max_iter_gd, "produce_plots": args.plots,
+         "mixed_precision": args.mixed_precision}
     if args.optim == "alltime" or args.exact:
         d["T_data"] = args.T
     if args.exact and args.optim == "finaltime":

@@ -39,12 +39,9 @@ class ChemotaxisProblem(PDECOProblem):
                  backend: str = "xla", dtype=None, linear_armijo: bool = False):
         self.use_linear_increments = linear_armijo
         super().__init__(cfg)
-        import jax
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh, resolve_dtype
 
-        if dtype is None:
-            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        tol = 1e-12 if dtype == jnp.float64 else 1e-6
-        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
+        dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
 
         self.model = ChemotaxisModel(
             self.grid, rescaling=rescaling, dtype=dtype,
@@ -58,10 +55,6 @@ class ChemotaxisProblem(PDECOProblem):
         u0, v0 = self.model.ic()
         self._u0 = jnp.asarray(u0, dtype=md)
         self._v0 = jnp.asarray(v0, dtype=md)
-
-    def initial_control(self):
-        n = self.grid.n
-        return jnp.zeros((self.cfg.num_steps + 1, n, n), dtype=self.model.dtype)
 
     def _load_targets(self):
         from fem_fct_pdeco_tpu.drivers.common import target_dir
@@ -87,16 +80,7 @@ class ChemotaxisProblem(PDECOProblem):
         )
 
     def mass(self):
-        # Under mixed precision the OBJECTIVE-grade mass is assembled in f64
-        # (the f32 model stencil carries ~1e-8 rounding that would cap the
-        # objective accuracy); norms upcast the f32 trajectories to meet it.
-        if self.accum_dtype is not None:
-            if not hasattr(self, "_M_obj"):
-                from fem_fct_pdeco_tpu.ops.assembly import P1Assembler
-
-                self._M_obj = P1Assembler(self.grid, dtype=self.accum_dtype).mass
-            return self._M_obj
-        return self.model.M
+        return self.objective_mass(self.model)
 
     def targets(self):
         return self._targets
@@ -192,12 +176,6 @@ def main(argv=None):
         # all-time tracks the trajectory over [0, T]; final-time tracks a
         # stored pattern at T_data (reference default 0.5)
         T_data = args.T if args.optim == "alltime" else DEFAULTS["T_data"]
-    dtype = None
-    if args.mixed_precision:
-        import jax
-
-        jax.config.update("jax_enable_x64", True)
-        dtype = jnp.float32  # sweeps stay f32; objectives upcast to f64
     cfg = build_config(
         optim=args.optim, T=args.T, T_data=T_data, dt=args.dt, dx=args.dx,
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
@@ -205,7 +183,7 @@ def main(argv=None):
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
     )
-    problem = ChemotaxisProblem(cfg, backend=args.backend, dtype=dtype,
+    problem = ChemotaxisProblem(cfg, backend=args.backend,
                                 linear_armijo=args.linear_armijo)
     return run_pdeco(problem, cfg)
 

@@ -79,6 +79,24 @@ def target_dir(cfg: "ExperimentConfig", grid, dt: float) -> str:
     return os.path.join(cfg.data_dir, f"n{grid.n}_dt{dt:g}")
 
 
+def resolve_dtype(dtype=None, mixed_precision: bool = False):
+    """Model dtype + Krylov tolerance for the drivers.
+
+    ``mixed_precision=True`` (the --mixed-precision flag): enable x64 and
+    keep the sweeps f32; objectives/norms upcast to f64 through the
+    problems' ``accum_dtype`` (optimize/cost.py) so Armijo decisions are
+    parity-grade at f32 sweep speed."""
+    import jax
+
+    if mixed_precision:
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float32
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    tol = 1e-12 if dtype == jnp.float64 else 1e-6
+    return dtype, tol
+
+
 class PDECOProblem:
     """Adapter interface each driver implements around a model."""
 
@@ -93,7 +111,8 @@ class PDECOProblem:
     # -- required hooks -------------------------------------------------
     def initial_control(self):
         n = self.grid.n
-        return jnp.zeros((self.cfg.num_steps + 1, n, n))
+        dtype = getattr(getattr(self, "model", None), "dtype", None)
+        return jnp.zeros((self.cfg.num_steps + 1, n, n), dtype=dtype)
 
     def solve_state(self, c):  # -> tuple of trajectories
         raise NotImplementedError
@@ -112,6 +131,18 @@ class PDECOProblem:
 
     def mass(self):
         raise NotImplementedError
+
+    def objective_mass(self, model):
+        """Mass stencil for objectives/norms. Under mixed precision this is
+        an f64-assembled mass (the f32 model stencil carries ~1e-8 rounding
+        that would cap the objective accuracy); otherwise the model's own."""
+        if self.accum_dtype is not None:
+            if not hasattr(self, "_M_obj"):
+                from fem_fct_pdeco_tpu.ops.assembly import P1Assembler
+
+                self._M_obj = P1Assembler(self.grid, dtype=self.accum_dtype).mass
+            return self._M_obj
+        return model.M
 
     def true_control_norm_sq(self) -> float | None:
         return None

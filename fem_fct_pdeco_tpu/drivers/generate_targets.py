@@ -29,6 +29,37 @@ def _opts():
     return SolverOpts(tol=1e-12)
 
 
+def _stream_forward(run_chunk, c_full, state, chunk_steps, out_paths, grid):
+    """Chunked forward sweep with incremental CSV appends — the analogue of
+    the reference's ``generation_mode`` streaming (helpers.py:1286-1318,
+    1360-1367): only one chunk of frames is ever materialized on host or
+    device, so arbitrarily long/large generations run in bounded memory.
+
+    ``run_chunk(c_chunk, state) -> tuple of (cs+1, n, n) trajectories``
+    (frame 0 repeats the chunk's initial state). Writes each field's frames
+    to ``out_paths`` as they are produced; a chunked file matches an
+    unchunked :func:`save_trajectory_csv` file to machine precision (XLA
+    compiles differently-sized scans to slightly different but equivalent
+    programs).
+    """
+    from fem_fct_pdeco_tpu.io import append_trajectory_csv
+
+    steps = c_full.shape[0] - 1
+    first = True
+    k = 0
+    while k < steps:
+        cs = min(chunk_steps, steps - k)
+        trajs = run_chunk(c_full[k : k + cs + 1], state)
+        if not isinstance(trajs, tuple):
+            trajs = (trajs,)
+        for path, tr in zip(out_paths, trajs):
+            frames = np.asarray(tr) if first else np.asarray(tr[1:])
+            append_trajectory_csv(path, frames, grid, first=first)
+        state = tuple(tr[-1] for tr in trajs)
+        first = False
+        k += cs
+
+
 def solidbody(out_dir: str, slit: float = 0.05, T: float = 1.0, dt: float = 1e-3,
               dx: float = 0.025):
     """Slotted-cylinder rotation+drift frames (advection_solidbody_FCT.py)."""
@@ -108,20 +139,40 @@ def nonlinear(out_dir: str, T: float = 2.0, dt: float = 1e-3, dx: float = 0.025)
     return g, traj
 
 
-def chemotaxis(out_dir: str, T: float = 0.5, dt: float = 5e-4, dx: float = 0.025):
+def chemotaxis(out_dir: str, T: float = 0.5, dt: float = 5e-4, dx: float = 0.025,
+               chunk_steps: int | None = None, backend: str = "xla",
+               dtype=None):
     """Chemotaxis target with c = γ = 100
-    (chemotaxis_generate_pattern_FCT.py)."""
+    (chemotaxis_generate_pattern_FCT.py).
+
+    ``chunk_steps``: stream the generation in chunks of that many steps with
+    incremental CSV appends (the reference's ``generation_mode``,
+    helpers.py:1286-1318) — host/device memory stays bounded by one chunk,
+    which is what makes 1024²+ long-horizon generations feasible. Output
+    matches the unchunked path to machine precision."""
     from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
 
     g = Grid.from_spacing(0.0, 1.0, dx)
-    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=_opts())
+    model = ChemotaxisModel(g, rescaling=1.0, solver_opts=_opts(),
+                            backend=backend,
+                            **({} if dtype is None else {"dtype": dtype}))
     steps = round(T / dt)
-    c = jnp.full((steps + 1, g.n, g.n), model.params.gamma)
+    c = jnp.full((steps + 1, g.n, g.n), model.params.gamma, model.dtype)
     u0, v0 = model.ic()
-    m, f = model.forward(c, jnp.asarray(u0), jnp.asarray(v0), dt)
     os.makedirs(out_dir, exist_ok=True)
-    save_trajectory_csv(os.path.join(out_dir, f"chtxs_m_t{T:g}.csv"), m, g)
-    save_trajectory_csv(os.path.join(out_dir, f"chtxs_f_t{T:g}.csv"), f, g)
+    pm = os.path.join(out_dir, f"chtxs_m_t{T:g}.csv")
+    pf = os.path.join(out_dir, f"chtxs_f_t{T:g}.csv")
+    if chunk_steps:
+        _stream_forward(
+            lambda cc, st: model.forward(cc, st[0], st[1], dt),
+            c, (jnp.asarray(u0, model.dtype), jnp.asarray(v0, model.dtype)),
+            chunk_steps, (pm, pf), g,
+        )
+        return g, None
+    m, f = model.forward(c, jnp.asarray(u0, model.dtype),
+                         jnp.asarray(v0, model.dtype), dt)
+    save_trajectory_csv(pm, m, g)
+    save_trajectory_csv(pf, f, g)
     return g, (m, f)
 
 
@@ -198,11 +249,27 @@ GENERATORS = {
 
 
 def main():
+    import inspect
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("name", choices=sorted(GENERATORS))
     ap.add_argument("--out", default="data_generated")
+    ap.add_argument("--T", type=float, default=None)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--dx", type=float, default=None)
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help="stream the generation in chunks of this many "
+                         "steps with incremental CSV appends (bounded "
+                         "memory; generators that support it)")
     args = ap.parse_args()
-    GENERATORS[args.name](args.out)
+    fn = GENERATORS[args.name]
+    params = inspect.signature(fn).parameters
+    kwargs = {
+        k: v for k, v in
+        dict(T=args.T, dt=args.dt, dx=args.dx, chunk_steps=args.chunk_steps).items()
+        if v is not None and k in params
+    }
+    fn(args.out, **kwargs)
     print(f"wrote {args.name} targets to {args.out}")
 
 

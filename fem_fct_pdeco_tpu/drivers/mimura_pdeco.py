@@ -47,25 +47,28 @@ class MimuraProblem(PDECOProblem):
     num_vars = 2
 
     def __init__(self, cfg: ExperimentConfig, backend: str = "xla",
-                 legacy_m4: bool = False):
+                 legacy_m4: bool = False, dtype=None):
         super().__init__(cfg)
-        import jax
+        from fem_fct_pdeco_tpu.drivers.common import resolve_dtype
 
-        tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+        dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         if legacy_m4:
             from fem_fct_pdeco_tpu.models.legacy_mimura import LegacyM4MimuraModel
 
             self.model = LegacyM4MimuraModel(
-                self.grid, solver_opts=SolverOpts(tol=tol))
+                self.grid, dtype=dtype, solver_opts=SolverOpts(tol=tol))
         else:
             from fem_fct_pdeco_tpu.drivers.common import dist_mesh
 
-            self.model = MimuraModel(self.grid, solver_opts=SolverOpts(tol=tol),
+            self.model = MimuraModel(self.grid, dtype=dtype,
+                                     solver_opts=SolverOpts(tol=tol),
                                      backend=backend,
                                      mesh=dist_mesh(backend))
-        self._targets = self._load_targets()
+        md = self.model.dtype
+        self._targets = tuple(t.astype(md) for t in self._load_targets())
         m0, f0 = self.model.ic()
-        self._u0, self._v0 = jnp.asarray(m0), jnp.asarray(f0)
+        self._u0 = jnp.asarray(m0, dtype=md)
+        self._v0 = jnp.asarray(f0, dtype=md)
 
     def _load_targets(self):
         cfg = self.cfg
@@ -112,7 +115,7 @@ class MimuraProblem(PDECOProblem):
         return jnp.asarray(mhat), jnp.asarray(fhat)
 
     def mass(self):
-        return self.model.M
+        return self.objective_mass(self.model)
 
     def targets(self):
         return self._targets
@@ -131,9 +134,10 @@ class MimuraProblem(PDECOProblem):
 
     def cost(self, state, c):
         return cost_functional(
-            state[0], self._targets[0], c, self.cfg.dt, self.model.M,
+            state[0], self._targets[0], c, self.cfg.dt, self.mass(),
             self.cfg.beta, self.cfg.optim,
             var2_traj=state[1], var2_target=self._targets[1],
+            accum_dtype=self.accum_dtype,
         )
 
     def true_control_norm_sq(self):
@@ -171,12 +175,15 @@ def main(argv=None):
                     default="xla")
     ap.add_argument("--legacy-m4", action="store_true",
                     help="legacy m(4-m) system (old_helpers.py:87-111)")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T_data,
          "dt": args.dt, "dx": args.dx, "a2": args.a2, "beta": args.beta,
          "tol": args.tol, "max_iter_gd": args.max_iter_gd,
-         "produce_plots": args.plots}
+         "produce_plots": args.plots,
+         "mixed_precision": args.mixed_precision}
     if args.legacy_m4:
         # legacy script config (chemotaxis_mimura_FCT_PGD.py:44-57)
         assert args.optim == "finaltime", "--legacy-m4 is final-time only"

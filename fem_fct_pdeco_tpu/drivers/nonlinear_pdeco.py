@@ -35,16 +35,17 @@ class NonlinearProblem(PDECOProblem):
     name = "NL"
     num_vars = 1
 
-    def __init__(self, cfg: ExperimentConfig, backend: str = "xla"):
+    def __init__(self, cfg: ExperimentConfig, backend: str = "xla", dtype=None):
         super().__init__(cfg)
-        import jax
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh, resolve_dtype
 
-        tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
-        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
-
-        self.model = NonlinearModel(self.grid, solver_opts=SolverOpts(tol=tol),
+        dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
+        self.model = NonlinearModel(self.grid, dtype=dtype,
+                                    solver_opts=SolverOpts(tol=tol),
                                     backend=backend, mesh=dist_mesh(backend))
-        self._target = self._load_target()
+        md = self.model.dtype
+        self._target = self._load_target().astype(md)
+        self._u0 = jnp.asarray(self.model.ic(), dtype=md)
 
     def _load_target(self):
         from fem_fct_pdeco_tpu.drivers.common import target_dir
@@ -65,13 +66,13 @@ class NonlinearProblem(PDECOProblem):
         )
 
     def mass(self):
-        return self.model.M
+        return self.objective_mass(self.model)
 
     def targets(self):
         return (self._target,)
 
     def solve_state(self, c):
-        return self.model.forward(c, jnp.asarray(self.model.ic()), self.cfg.dt)
+        return self.model.forward(c, self._u0, self.cfg.dt)
 
     def solve_adjoint(self, state, c):
         return self.model.adjoint(state[0], self._target, self.cfg.dt, self.cfg.optim)
@@ -107,8 +108,8 @@ class NonlinearProblem(PDECOProblem):
 
     def cost(self, state, c):
         return cost_functional(
-            state[0], self._target, c, self.cfg.dt, self.model.M, self.cfg.beta,
-            self.cfg.optim,
+            state[0], self._target, c, self.cfg.dt, self.mass(), self.cfg.beta,
+            self.cfg.optim, accum_dtype=self.accum_dtype,
         )
 
     def true_control_norm_sq(self):
@@ -156,6 +157,8 @@ def main(argv=None):
     ap.add_argument("--discrete-gradient", action="store_true",
                     help="use the exact discrete gradient (jax.grad through "
                          "the FCT scan) instead of the continuous adjoint")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
@@ -165,6 +168,7 @@ def main(argv=None):
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
+        mixed_precision=args.mixed_precision,
     )
     problem = NonlinearProblem(cfg, backend=args.backend)
     problem.use_discrete_gradient = args.discrete_gradient

@@ -35,7 +35,7 @@ class SchnakProblem(PDECOProblem):
 
     def __init__(self, cfg: ExperimentConfig, rescaling: float = 1.0,
                  dt_data: float | None = None, td_wind: bool = False,
-                 backend: str = "xla"):
+                 backend: str = "xla", dtype=None):
         super().__init__(cfg)
         # time-dependent vortex of Schnak_FCT_PDECO_alltime.py:56
         td_fn = None
@@ -44,22 +44,23 @@ class SchnakProblem(PDECOProblem):
                 -(y - 0.5) * jnp.sin(2 * jnp.pi * t),
                 (x - 0.5) * jnp.sin(2 * jnp.pi * t),
             )
-        import jax
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh, resolve_dtype
 
-        tol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
-        from fem_fct_pdeco_tpu.drivers.common import dist_mesh
-
+        dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         self.model = SchnakenbergModel(
-            self.grid, rescaling=rescaling, solver_opts=SolverOpts(tol=tol),
+            self.grid, rescaling=rescaling, dtype=dtype,
+            solver_opts=SolverOpts(tol=tol),
             td_wind_fn=td_fn, backend=backend, mesh=dist_mesh(backend),
         )
         # target stored at dt_data resolution; subsample by skip = dt/dt_data
         # (Schnak_FCT_PDECO_alltime.py:45-48, 116-119)
         self.dt_data = dt_data or cfg.dt
         self.skip = round(cfg.dt / self.dt_data)
-        self._targets = self._load_targets()
+        md = self.model.dtype
+        self._targets = tuple(t.astype(md) for t in self._load_targets())
         u0, v0 = self.model.ic()
-        self._u0, self._v0 = jnp.asarray(u0), jnp.asarray(v0)
+        self._u0 = jnp.asarray(u0, dtype=md)
+        self._v0 = jnp.asarray(v0, dtype=md)
 
     def _load_targets(self):
         from fem_fct_pdeco_tpu.drivers.common import target_dir
@@ -85,7 +86,7 @@ class SchnakProblem(PDECOProblem):
         return jnp.asarray(u), jnp.asarray(v)
 
     def mass(self):
-        return self.model.M
+        return self.objective_mass(self.model)
 
     def targets(self):
         return self._targets
@@ -112,9 +113,10 @@ class SchnakProblem(PDECOProblem):
 
     def cost(self, state, c):
         return cost_functional(
-            state[0], self._targets[0], c, self.cfg.dt, self.model.M,
+            state[0], self._targets[0], c, self.cfg.dt, self.mass(),
             self.cfg.beta, self.cfg.optim,
             var2_traj=state[1], var2_target=self._targets[1],
+            accum_dtype=self.accum_dtype,
         )
 
     def true_control_norm_sq(self):
@@ -163,6 +165,8 @@ def main(argv=None):
     ap.add_argument("--backend",
                     choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--out", default="")
@@ -175,6 +179,7 @@ def main(argv=None):
         beta=args.beta, tol=args.tol, max_iter_gd=args.max_iter_gd,
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
+        mixed_precision=args.mixed_precision,
     )
     return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data,
                                    td_wind=args.td_wind, backend=args.backend), cfg)

@@ -37,21 +37,28 @@ class SolidBodyProblem(PDECOProblem):
     name = "SolidBody"
     num_vars = 1
 
-    def __init__(self, cfg: ExperimentConfig, gaussian: bool = False):
+    def __init__(self, cfg: ExperimentConfig, gaussian: bool = False,
+                 dtype=None):
         super().__init__(cfg)
+        from fem_fct_pdeco_tpu.drivers.common import resolve_dtype
+
+        dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         self.gaussian = gaussian
         self.model = DriftControlModel(
-            self.grid, eps=0.0, om=OM, drift=(1.0, 1.0),
-            solver_opts=SolverOpts(tol=1e-12),
+            self.grid, eps=0.0, om=OM, drift=(1.0, 1.0), dtype=dtype,
+            solver_opts=SolverOpts(tol=tol),
         )
+        md = self.model.dtype
         if gaussian:
             X, Y = self.grid.xy
             self._u0 = jnp.asarray(
-                np.exp(-20.0 * ((X + 2 / 3) ** 2 + 5.0 * (Y + 5 / 6) ** 2))
+                np.exp(-20.0 * ((X + 2 / 3) ** 2 + 5.0 * (Y + 5 / 6) ** 2)),
+                dtype=md,
             )
         else:
-            self._u0 = jnp.asarray(slotted_cylinder_ic(self.grid, 0.05))
-        self._target = self._load_target()
+            self._u0 = jnp.asarray(slotted_cylinder_ic(self.grid, 0.05),
+                                   dtype=md)
+        self._target = self._load_target().astype(md)
 
     def _load_target(self):
         cfg = self.cfg
@@ -81,7 +88,7 @@ class SolidBodyProblem(PDECOProblem):
         return jnp.asarray(import_data_final(path, self.grid, num_steps=0))
 
     def mass(self):
-        return self.model.M
+        return self.objective_mass(self.model)
 
     def targets(self):
         return (self._target,)
@@ -98,8 +105,8 @@ class SolidBodyProblem(PDECOProblem):
 
     def cost(self, state, c):
         return cost_functional(
-            state[0], self._target, c, self.cfg.dt, self.model.M,
-            self.cfg.beta, self.cfg.optim,
+            state[0], self._target, c, self.cfg.dt, self.mass(),
+            self.cfg.beta, self.cfg.optim, accum_dtype=self.accum_dtype,
         )
 
 
@@ -163,11 +170,14 @@ def main(argv=None):
     ap.add_argument("--beta", type=float, default=DEFAULTS["beta"])
     ap.add_argument("--tol", type=float, default=DEFAULTS["tol"])
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T,
          "dt": args.dt, "beta": args.beta, "tol": args.tol,
-         "max_iter_gd": args.max_iter_gd}
+         "max_iter_gd": args.max_iter_gd,
+         "mixed_precision": args.mixed_precision}
     cfg = ExperimentConfig(**d)
     tag = "_garvie" if args.garvie else ""
     cfg.out_folder = args.out or f"SolidBody_{cfg.optim}{tag}_T{cfg.T}_beta{cfg.beta}"

@@ -50,6 +50,27 @@ def save_trajectory_csv(path: str, traj, grid: Grid) -> None:
     flat.tofile(path, sep=",")
 
 
+def append_trajectory_csv(path: str, traj, grid: Grid, first: bool = False) -> None:
+    """Incrementally extend a flat DoF-ordered trajectory CSV with more
+    frames (the streaming analogue of the reference's ``generation_mode``
+    periodic dumps, helpers.py:1286-1318, 1360-1367). ``first=True`` starts
+    the file. Bytes are produced by the same ``tofile(sep=',')`` writer as
+    :func:`save_trajectory_csv`, so a chunked file is byte-identical to an
+    unchunked one."""
+    import shutil
+
+    flat = grid.field_to_dof(np.asarray(traj)).reshape(-1)
+    if first:
+        flat.tofile(path, sep=",")
+        return
+    tmp = path + ".part"
+    flat.tofile(tmp, sep=",")
+    with open(path, "ab") as out, open(tmp, "rb") as src:
+        out.write(b",")
+        shutil.copyfileobj(src, out)
+    os.remove(tmp)
+
+
 def import_data_final(
     path: str, grid: Grid, num_steps: int = 0, time_dep: bool = False
 ):

@@ -613,14 +613,16 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
 
     q_pos = u_max - u_low
     q_neg = u_min - u_low
-    r_pos = jnp.where(
-        p_pos > 0.0,
-        jnp.minimum(1.0, ML * q_pos / (dt * jnp.where(p_pos > 0.0, p_pos, 1.0))),
+    den_pos = dt * p_pos  # branch on the PRODUCT: dt*p can underflow to 0
+    r_pos = jnp.where(               # in f32 while p > 0, and 0/0 would NaN
+        den_pos > 0.0,
+        jnp.minimum(1.0, ML * q_pos / jnp.where(den_pos > 0.0, den_pos, 1.0)),
         1.0,
     )
+    den_neg = dt * p_neg
     r_neg = jnp.where(
-        p_neg < 0.0,
-        jnp.minimum(1.0, ML * q_neg / (dt * jnp.where(p_neg < 0.0, p_neg, 1.0))),
+        den_neg < 0.0,
+        jnp.minimum(1.0, ML * q_neg / jnp.where(den_neg < 0.0, den_neg, 1.0)),
         1.0,
     )
 

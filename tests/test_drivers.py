@@ -153,3 +153,31 @@ def test_chemotaxis_driver_mixed_precision(in_tmp):
     res = out["result"]
     assert res.iterations >= 1
     assert res.history["cost"][-1] < res.history["cost"][0]
+
+
+@pytest.mark.parametrize("mod,argv,rtol", [
+    ("nonlinear_pdeco", ["--T", "0.02", "--dx", "0.1"], 1e-5),
+    # Schnakenberg is the stiffest system (gamma=230.82 reaction, Dv=8.67):
+    # the f32 trajectory itself carries ~1e-5 relative error, which enters
+    # the f64-evaluated misfit linearly
+    ("schnak_pdeco", ["--T", "0.01", "--T-data", "0.01", "--dx", "0.05"], 5e-5),
+    ("solidbody_pdeco", ["--T", "0.02"], 1e-5),
+    ("advection_pdeco", ["--T", "0.02", "--dx", "0.05"], 1e-5),
+    ("mimura_pdeco", ["--T", "0.2", "--T-data", "0.5", "--dt", "0.1",
+                      "--dx", "1.0", "--a2", "10.0"], 1e-5),
+])
+def test_driver_mixed_precision_objective_parity(in_tmp, mod, argv, rtol):
+    """--mixed-precision on every driver: the f32-sweep + f64-norm objective
+    matches the all-f64 objective closely (VERDICT item 7: the initial cost
+    — one state sweep + cost evaluation, no Armijo branching — is the
+    apples-to-apples comparison)."""
+    import importlib
+
+    d = importlib.import_module(f"fem_fct_pdeco_tpu.drivers.{mod}")
+    args = argv + ["--max-iter-gd", "1", "--tol", "1e-8"]
+    out64 = d.main(args)
+    outmx = d.main(args + ["--mixed-precision"])
+    j64 = out64["result"].history["cost"][0]
+    jmx = outmx["result"].history["cost"][0]
+    assert abs(jmx - j64) / max(abs(j64), 1e-30) < rtol, (mod, j64, jmx)
+    assert outmx["result"].iterations >= 1

@@ -136,3 +136,25 @@ def test_fastcsv_page_boundary_tokens_not_dropped(tmp_path):
     got2 = _fastcsv.parse_file(p2, threads=4)
     exp2 = np.array([1.5] * k + [9.0])
     assert np.array_equal(got2, exp2)
+
+
+def test_streamed_generation_matches_unchunked(tmp_path):
+    """Chunked target generation (generate_targets chunk_steps — the
+    generation_mode analogue) is byte-identical to the unchunked writer,
+    including a chunk boundary that does not divide the step count.
+    Machine-precision equality: XLA compiles differently-sized scans to
+    slightly different (mathematically equivalent) programs, so the last
+    short chunk can differ in the final ulp."""
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.drivers.generate_targets import chemotaxis
+
+    d1 = str(tmp_path / "whole")
+    d2 = str(tmp_path / "chunked")
+    chemotaxis(d1, T=0.005, dt=1e-3, dx=0.025)           # 5 steps
+    chemotaxis(d2, T=0.005, dt=1e-3, dx=0.025, chunk_steps=2)  # 2+2+1
+    for name in ("chtxs_m_t0.005.csv", "chtxs_f_t0.005.csv"):
+        a = np.array([float(x) for x in open(os.path.join(d1, name)).read().split(",")])
+        b = np.array([float(x) for x in open(os.path.join(d2, name)).read().split(",")])
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-13)
