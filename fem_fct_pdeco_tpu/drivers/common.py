@@ -180,6 +180,9 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
                     l2_norm_sq_q(traj - target, dt, M, accum_dtype=ad))
         return out
 
+    t_run0 = __import__("time").time()
+    progress_path = os.path.join(cfg.out_folder, "progress.csv")
+
     def callback(it, info):
         print(
             f"it={it} cost={info['cost']:.6e} stop_crit={info['stop_crit']:.3e} "
@@ -194,8 +197,32 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
 
             print(f"  host RSS: {host_memory_mb():.1f} MB  "
                   f"device: {device_memory_stats()}")
+        # per-iteration registry flush: one appended row per GD iteration so
+        # a long run is observable (and post-mortem-able) while it executes
+        hist = info["history"]
+        fid = hist["fidelity"][-1] if hist["fidelity"] else {}
+        append_results_row(progress_path, {
+            "it": it,
+            "cost": info["cost"],
+            "stop_crit": info["stop_crit"],
+            "armijo_its": info["armijo_iters"],
+            "control_norm_sq": hist["control_norm_sq"][-1],
+            **{f"misfit_{k}": v for k, v in fid.items()},
+            "elapsed_s": round(__import__("time").time() - t_run0, 2),
+        })
         if cfg.produce_plots:
+            # per-iteration solution panels AND progress plots — the
+            # reference renders both every iteration
+            # (Schnak_FCT_PDECO_refactored.py:232-239)
             problem.plot(it, info["state"], info["adjoint"], info["control"])
+            if len(hist["cost"]) > 1:
+                fe = [f.get("var1", float("nan")) for f in hist["fidelity"]]
+                fe2 = (
+                    [f.get("var2", float("nan")) for f in hist["fidelity"]]
+                    if problem.num_vars == 2 else None
+                )
+                plot_progress(hist["cost"], fe, hist["control_norm_sq"],
+                              it + 1, cfg.out_folder, fidelity_vals2=fe2)
 
     # linear problems provide state increments u(c + s d) = u(c) + s w via an
     # auxiliary sweep (advection_FCT_PDECO_finaltime.py:242-266), avoiding a

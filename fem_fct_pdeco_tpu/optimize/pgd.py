@@ -169,7 +169,7 @@ def projected_gradient_descent(
         if callback is not None:
             callback(it, dict(cost=cost_new, stop_crit=stop_crit,
                               armijo_iters=res.iterations, control=ck,
-                              state=state, adjoint=adj))
+                              state=state, adjoint=adj, history=history))
         it += 1
         cost_old = cost_new
 

@@ -181,3 +181,21 @@ def test_driver_mixed_precision_objective_parity(in_tmp, mod, argv, rtol):
     jmx = outmx["result"].history["cost"][0]
     assert abs(jmx - j64) / max(abs(j64), 1e-30) < rtol, (mod, j64, jmx)
     assert outmx["result"].iterations >= 1
+
+
+def test_per_iteration_progress_flush(in_tmp):
+    """Each GD iteration appends a row to <out>/progress.csv (per-iteration
+    observability of a long run) and --plots renders per-iteration panels."""
+    from fem_fct_pdeco_tpu.drivers import nonlinear_pdeco as d
+
+    out = d.main(_common(["--T", "0.02", "--dx", "0.1", "--plots"]))
+    res = out["result"]
+    folder = out["registry_row"]["out_folder_name"]
+    prog = os.path.join(folder, "progress.csv")
+    assert os.path.exists(prog)
+    rows = open(prog).read().strip().splitlines()
+    assert len(rows) == res.iterations + 1  # header + one row per iteration
+    assert "cost" in rows[0] and "armijo_its" in rows[0]
+    import glob
+
+    assert glob.glob(os.path.join(folder, "*.png"))

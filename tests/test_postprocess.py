@@ -23,6 +23,12 @@ def test_postanalysis_and_extract(tmp_path, monkeypatch):
 
     extract_batch(str(run), "NL_u.csv", times=[0.2], dt=0.1, a1=0.0, a2=1.0, dx=0.125)
     assert (run / "NL_u_T0.2.csv").exists()
+    # the extracted frame holds the VALUES of the source frame at t=0.2
+    from fem_fct_pdeco_tpu.io.csvio import _parse_csv_floats, load_trajectory_csv
+
+    src = load_trajectory_csv(str(run / "NL_u.csv"), g)
+    got = _parse_csv_floats(str(run / "NL_u_T0.2.csv"))
+    np.testing.assert_allclose(got, g.field_to_dof(src[2]), rtol=1e-12)
 
 
 def test_plot_mesh(tmp_path, monkeypatch):
@@ -45,3 +51,15 @@ def test_crop_and_resize_images(tmp_path):
     assert (tmp_path / "x_cropped.png").exists()
     out = resize_target_image(str(p), nodes=81)
     assert Image.open(out).size == (9, 9)
+
+    # image_to_field maps the grey range linearly onto [lo, hi]
+    from fem_fct_pdeco_tpu.drivers.postprocess import image_to_field
+
+    grad = Image.new("L", (9, 9))
+    grad.putdata(list(range(0, 81 * 3, 3)))
+    p2 = tmp_path / "g.png"
+    grad.save(p2)
+    f = image_to_field(str(p2), lo=1.0, hi=2.0)
+    assert f.shape == (9, 9)
+    assert abs(f.min() - 1.0) < 1e-6 and abs(f.max() - 2.0) < 1e-6
+    assert np.all(np.diff(f.reshape(-1)) >= -1e-6)
