@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from fem_fct_pdeco_tpu.models.base import ModelBase
+from fem_fct_pdeco_tpu.models.base import ModelBase, _warn_backend_fallback
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, chebsi
@@ -115,35 +115,46 @@ class AdvectionModel(ModelBase):
         key = ("fwd", float(dt), has_src, has_g)
 
         def build():
-            if self.backend == "pallas_dist" and not has_g:
-                from fem_fct_pdeco_tpu.ops.pallas_dist import (
-                    dist_scalar_fct_sweep)
+            if self.backend == "pallas_dist":
+                if has_g:
+                    _warn_backend_fallback(
+                        "pallas_dist", "per-step reaction coefficient g")
+                else:
+                    from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                        dist_scalar_fct_sweep)
 
-                def run_dist(control_traj, u0, *rest):
-                    load = control_traj[1:]
-                    if has_src:
-                        load = load + rest[0][1:]  # rhs = M(c + f)
-                    frames = dist_scalar_fct_sweep(
-                        load[:, None], u0, self.A_state, self.M, self.M_diag,
-                        self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
-                        tol=self.solver_opts.tol, load_is_mass=True,
-                        iters=self.solver_opts.maxiter,
-                    )
-                    return jnp.concatenate([u0[None], frames], axis=0)
+                    def run_dist(control_traj, u0, *rest):
+                        load = control_traj[1:]
+                        if has_src:
+                            load = load + rest[0][1:]  # rhs = M(c + f)
+                        frames = dist_scalar_fct_sweep(
+                            load[:, None], u0, self.A_state, self.M,
+                            self.M_diag, self.ML_diag, self.mesh,
+                            h=self.grid.h, dt=dt, tol=self.solver_opts.tol,
+                            load_is_mass=True, iters=self.solver_opts.maxiter,
+                        )
+                        return jnp.concatenate([u0[None], frames], axis=0)
 
-                return run_dist
-            if self.backend == "pallas_fused" and not has_g:
+                    return run_dist
+            if self.backend == "pallas_fused":
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 
                 def run_fused(control_traj, u0, *rest):
                     load = control_traj[1:]
+                    i = 0
                     if has_src:
-                        load = load + rest[0][1:]  # rhs = M(c + f)
+                        load = load + rest[i][1:]  # rhs = M(c + f)
+                        i += 1
+                    frames_in = load[:, None]
+                    if has_g:
+                        # reaction channel: g(t_n), previous-step IMEX
+                        frames_in = jnp.concatenate(
+                            [frames_in, rest[i][:-1][:, None]], axis=1)
                     frames = fused_scalar_fct_sweep(
-                        load[:, None], u0, self.A_state, self.M, self.M_diag,
+                        frames_in, u0, self.A_state, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, load_is_mass=True,
-                        iters=self.solver_opts.maxiter,
+                        iters=self.solver_opts.maxiter, reaction=has_g,
                     )
                     return jnp.concatenate([u0[None], frames], axis=0)
 
@@ -190,30 +201,34 @@ class AdvectionModel(ModelBase):
         key = ("adj", float(dt), optim, has_g)
 
         def build():
-            if self.backend == "pallas_dist" and not has_g:
-                from fem_fct_pdeco_tpu.ops.pallas_dist import (
-                    dist_scalar_fct_sweep)
+            if self.backend == "pallas_dist":
+                if has_g:
+                    _warn_backend_fallback(
+                        "pallas_dist", "per-step reaction coefficient g")
+                else:
+                    from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                        dist_scalar_fct_sweep)
 
-                def run_dist(u_traj, uhat, *rest):
-                    if optim == "finaltime":
-                        pT = uhat - u_traj[-1]
-                        loads = jnp.zeros_like(u_traj[:-1])
-                    else:
-                        pT = jnp.zeros_like(u_traj[-1])
-                        import jax
+                    def run_dist(u_traj, uhat, *rest):
+                        if optim == "finaltime":
+                            pT = uhat - u_traj[-1]
+                            loads = jnp.zeros_like(u_traj[:-1])
+                        else:
+                            pT = jnp.zeros_like(u_traj[-1])
+                            import jax
 
-                        loads = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
-                            uhat[:-1], u_traj[:-1])
-                    frames = dist_scalar_fct_sweep(
-                        loads[:, None], pT, self.A_adjoint, self.M,
-                        self.M_diag, self.ML_diag, self.mesh, h=self.grid.h,
-                        dt=dt, tol=self.solver_opts.tol, load_is_mass=False,
-                        reverse=True, iters=self.solver_opts.maxiter,
-                    )
-                    return jnp.concatenate([frames, pT[None]], axis=0)
+                            loads = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                                uhat[:-1], u_traj[:-1])
+                        frames = dist_scalar_fct_sweep(
+                            loads[:, None], pT, self.A_adjoint, self.M,
+                            self.M_diag, self.ML_diag, self.mesh, h=self.grid.h,
+                            dt=dt, tol=self.solver_opts.tol, load_is_mass=False,
+                            reverse=True, iters=self.solver_opts.maxiter,
+                        )
+                        return jnp.concatenate([frames, pT[None]], axis=0)
 
-                return run_dist
-            if self.backend == "pallas_fused" and not has_g:
+                    return run_dist
+            if self.backend == "pallas_fused":
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 
                 def run_fused(u_traj, uhat, *rest):
@@ -226,11 +241,15 @@ class AdvectionModel(ModelBase):
 
                         loads = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
                             uhat[:-1], u_traj[:-1])
+                    frames_in = loads[:, None]
+                    if has_g:
+                        frames_in = jnp.concatenate(
+                            [frames_in, rest[0][:-1][:, None]], axis=1)
                     frames = fused_scalar_fct_sweep(
-                        loads[:, None], pT, self.A_adjoint, self.M,
+                        frames_in, pT, self.A_adjoint, self.M,
                         self.M_diag, self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, load_is_mass=False,
-                        reverse=True,
+                        reverse=True, reaction=has_g,
                     )
                     return jnp.concatenate([frames, pT[None]], axis=0)
 

@@ -18,8 +18,26 @@ from fem_fct_pdeco_tpu.ops.assembly import P1Assembler
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
 
 
+def _warn_backend_fallback(backend: str, why: str):
+    """Loud notice that a requested fast backend silently cannot serve this
+    configuration and the sweep will run the XLA path instead — mirrors the
+    construction-time VMEM/mesh fallbacks (ModelBase.__init__) so a user
+    benchmarking ``--backend pallas_fused`` never unknowingly measures XLA."""
+    import warnings
+
+    warnings.warn(
+        f"backend={backend!r} has no kernel for this configuration "
+        f"({why}); this sweep runs the XLA path",
+        stacklevel=3,
+    )
+
+
 class ModelBase:
     """Holds the grid, assembler and stationary operators every model needs."""
+
+    # Set by models whose fused whole-sweep kernels have a large-grid
+    # "synth" variant (stationary operators synthesized in-kernel).
+    _synth_capable: bool = False
 
     def __init__(
         self,
@@ -75,9 +93,15 @@ class ModelBase:
             )
             backend = "xla"
         if backend in ("pallas", "pallas_fused"):
-            from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+            from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+                fits_vmem, fits_vmem_synth)
 
-            if not fits_vmem(grid.n, dtype):
+            # models with synth whole-sweep kernels (in-kernel synthesized
+            # stationary operators, pallas_fused.py) keep the fused path up
+            # to the larger synth budget
+            synth_ok = (backend == "pallas_fused" and self._synth_capable
+                        and fits_vmem_synth(grid.n, dtype))
+            if not fits_vmem(grid.n, dtype) and not synth_ok:
                 import warnings
 
                 warnings.warn(

@@ -172,6 +172,23 @@ class ChemotaxisModel(ModelBase):
         )
         return base or self._fused_reaction is not None
 
+    # Chemotaxis stationary operators are pure M/K combinations, so the
+    # large-grid synth kernels (in-kernel synthesized stationary stencils,
+    # pallas_fused.py) cover this family.
+    _synth_capable = True
+
+    # test hook: force the synth kernels at any size
+    force_synth = False
+
+    def _use_synth_sweep(self):
+        """Pick the synth whole-sweep kernels when the resident ones exceed
+        VMEM (the resident variants are slightly faster at small n)."""
+        if self.force_synth:
+            return True
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+        return not fits_vmem(self.grid.n, self.dtype)
+
     def _uses_dist_sweep(self):
         if self.backend != "pallas_dist":
             return False
@@ -201,10 +218,22 @@ class ChemotaxisModel(ModelBase):
 
             return run_dist
         if self._uses_fused_sweep():
+            p = self.params
+            if self._use_synth_sweep():
+                from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                    fused_chemotaxis_forward_sweep_synth)
+
+                def run_synth(control_traj, u0, v0):
+                    return fused_chemotaxis_forward_sweep_synth(
+                        control_traj, u0, v0, h=self.grid.h, dt=dt, Dm=p.Dm,
+                        Df=p.Df, delta=p.delta, chi=p.chi, eta=p.eta,
+                        rescaling=self.rescaling, tol=self.solver_opts.tol,
+                        reaction=self._fused_reaction,
+                    )
+
+                return run_synth
             from fem_fct_pdeco_tpu.ops.pallas_fused import (
                 fused_chemotaxis_forward_sweep)
-
-            p = self.params
 
             def run_fused(control_traj, u0, v0):
                 Mat2 = self._rd_matrix(dt)
@@ -351,25 +380,39 @@ class ChemotaxisModel(ModelBase):
 
             return run_dist
         if self._uses_fused_sweep():
+            p = self.params
+
+            def _terminal(u_traj, v_traj, uhat, vhat):
+                if optim == "finaltime":
+                    return uhat - u_traj[-1], vhat - v_traj[-1], None, None
+                pT = jnp.zeros_like(u_traj[-1])
+                mis_u = uhat[:-1] - u_traj[:-1]
+                mis_v = vhat[:-1] - v_traj[:-1]
+                if self.consistent_alltime_misfit:
+                    mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
+                    mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                return pT, jnp.zeros_like(pT), mis_u, mis_v
+
+            if self._use_synth_sweep():
+                from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                    fused_chemotaxis_adjoint_sweep_synth)
+
+                def run_synth(u_traj, v_traj, uhat, vhat, control_traj):
+                    pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
+                    return fused_chemotaxis_adjoint_sweep_synth(
+                        u_traj, v_traj, control_traj, pT, qT, mis_u, mis_v,
+                        h=self.grid.h, dt=dt, Dm=p.Dm, Df=p.Df, delta=p.delta,
+                        chi=p.chi, eta=p.eta, rescaling=self.rescaling,
+                        tol=self.solver_opts.tol, reaction=self._fused_reaction,
+                    )
+
+                return run_synth
             from fem_fct_pdeco_tpu.ops.pallas_fused import (
                 fused_chemotaxis_adjoint_sweep)
 
-            p = self.params
-
             def run_fused(u_traj, v_traj, uhat, vhat, control_traj):
                 Mat2 = self._rd_matrix(dt)
-                if optim == "finaltime":
-                    pT = uhat - u_traj[-1]
-                    qT = vhat - v_traj[-1]
-                    mis_u = mis_v = None
-                else:
-                    pT = jnp.zeros_like(u_traj[-1])
-                    qT = jnp.zeros_like(pT)
-                    mis_u = uhat[:-1] - u_traj[:-1]
-                    mis_v = vhat[:-1] - v_traj[:-1]
-                    if self.consistent_alltime_misfit:
-                        mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
-                        mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
+                pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
                 return fused_chemotaxis_adjoint_sweep(
                     u_traj, v_traj, control_traj, pT, qT, self.K, self.M,
                     self.M_diag, self.ML_diag, Mat2, mis_u, mis_v,

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fem_fct_pdeco_tpu.models.base import ModelBase
+from fem_fct_pdeco_tpu.models.base import ModelBase, _warn_backend_fallback
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, solve_stencil
@@ -58,8 +58,10 @@ class SchnakenbergModel(ModelBase):
                  mesh=None, debug: bool = False):
         """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind
         (Schnak_FCT_PDECO_alltime.py's sin(2πt) vortex); convection is then
-        re-assembled each step inside the scan (the whole-sweep fused kernels
-        require the stationary wind and fall back to the piecewise path)."""
+        re-assembled each step — inside the scan on the XLA path, or inside
+        the whole-sweep fused kernels (fused_schnak_*_sweep_td: in-kernel
+        assembly at the traced step time). The fn must be jnp-traceable.
+        The pallas_dist backend has no td kernel and warns + falls back."""
         super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
                          debug=debug)
         self.params = params
@@ -174,6 +176,8 @@ class SchnakenbergModel(ModelBase):
 
         def build():
             p = self.params
+            if self.backend == "pallas_dist" and self.td_wind_fn is not None:
+                _warn_backend_fallback("pallas_dist", "time-dependent wind")
             if self.backend == "pallas_dist" and self.td_wind_fn is None:
                 from fem_fct_pdeco_tpu.ops.pallas_dist import (
                     dist_schnak_forward_sweep)
@@ -188,7 +192,23 @@ class SchnakenbergModel(ModelBase):
                         iters=self.solver_opts.maxiter)
 
                 return run_dist
-            if self.backend == "pallas_fused" and self.td_wind_fn is None:
+            if self.backend == "pallas_fused":
+                if self.td_wind_fn is not None:
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_schnak_forward_sweep_td)
+
+                    def run_fused_td(c, u0, v0):
+                        return fused_schnak_forward_sweep_td(
+                            c, u0, v0, self.K, self.M, self.M_diag,
+                            self.ML_diag, wind_fn=self.td_wind_fn,
+                            h=self.grid.h, a1=self.grid.a1, dt=dt, Du=p.Du,
+                            Dv=p.Dv, omega1=p.omega1, omega2=p.omega2,
+                            gamma=p.gamma, c_b=p.c_b,
+                            rescaling=self.rescaling,
+                            tol=self.solver_opts.tol,
+                        )
+
+                    return run_fused_td
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
                     fused_schnak_forward_sweep)
 
@@ -225,6 +245,8 @@ class SchnakenbergModel(ModelBase):
 
         def build():
             p = self.params
+            if self.backend == "pallas_dist" and self.td_wind_fn is not None:
+                _warn_backend_fallback("pallas_dist", "time-dependent wind")
             if self.backend == "pallas_dist" and self.td_wind_fn is None:
                 from fem_fct_pdeco_tpu.ops.pallas_dist import (
                     dist_schnak_adjoint_sweep)
@@ -250,23 +272,41 @@ class SchnakenbergModel(ModelBase):
                         iters=self.solver_opts.maxiter)
 
                 return run_dist
-            if self.backend == "pallas_fused" and self.td_wind_fn is None:
+            if self.backend == "pallas_fused":
+                def _terminal(u_traj, v_traj, uhat, vhat):
+                    if optim == "finaltime":
+                        return (uhat - u_traj[-1], vhat - v_traj[-1],
+                                None, None)
+                    pT = jnp.zeros_like(u_traj[-1])
+                    mis_u = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                        uhat[:-1], u_traj[:-1])
+                    mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                        vhat[:-1], v_traj[:-1])
+                    return pT, jnp.zeros_like(pT), mis_u, mis_v
+
+                if self.td_wind_fn is not None:
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_schnak_adjoint_sweep_td)
+
+                    def run_fused_td(u_traj, v_traj, uhat, vhat):
+                        pT, qT, mis_u, mis_v = _terminal(
+                            u_traj, v_traj, uhat, vhat)
+                        return fused_schnak_adjoint_sweep_td(
+                            u_traj, v_traj, pT, qT, self.K, self.M,
+                            self.M_diag, self.ML_diag, mis_u, mis_v,
+                            wind_fn=self.td_wind_fn, h=self.grid.h,
+                            a1=self.grid.a1, dt=dt, Du=p.Du, Dv=p.Dv,
+                            omega1=p.omega1, omega2=p.omega2, gamma=p.gamma,
+                            tol=self.solver_opts.tol,
+                        )
+
+                    return run_fused_td
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
                     fused_schnak_adjoint_sweep)
 
                 def run_fused(u_traj, v_traj, uhat, vhat):
                     Mbase_q = self.M + dt * self.B_v_adj
-                    if optim == "finaltime":
-                        pT = uhat - u_traj[-1]
-                        qT = vhat - v_traj[-1]
-                        mis_u = mis_v = None
-                    else:
-                        pT = jnp.zeros_like(u_traj[-1])
-                        qT = jnp.zeros_like(pT)
-                        mis_u = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
-                            uhat[:-1], u_traj[:-1])
-                        mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
-                            vhat[:-1], v_traj[:-1])
+                    pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
                     return fused_schnak_adjoint_sweep(
                         u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
                         self.M_diag, self.ML_diag, Mbase_q, mis_u, mis_v,

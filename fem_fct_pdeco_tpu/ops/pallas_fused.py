@@ -249,11 +249,15 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     low-order matrix but not the artificial diffusion or the du/dt flux
     right-hand side) as a list of 9 plane VALUES with None for structurally
     zero planes."""
+    # compact-layout stencils (the synth kernels) declare their structurally
+    # zero planes; skip the dead work for them
+    zero_planes = getattr(type(A_ref), "zero_planes", ())
+
     # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) -------
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     offsum = None
     for d in range(9):
-        if d == CENTER:
+        if d == CENTER or d in zero_planes:
             continue
         pad_ref[1 : n + 1, 1 : n + 1] = A_ref[opposite(d)]
         Atr = _shifted(pad_ref, d, n)
@@ -264,6 +268,8 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
 
     # ---- 3. transform A -> Low in place: Low = diag(ML) + dt (A - D + S) -
     for d in range(9):
+        if d in zero_planes:
+            continue
         plane = A_ref[d, :, :] - D_ref[d, :, :]
         if S is not None and S[d] is not None:
             plane = plane + S[d]
@@ -1366,14 +1372,19 @@ def _scalar_sweep_kernel(
     out_ref,
     cur_ref, prev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, tol, iters, cheb_iters, h2, warm,
-    nonflux_mode, load_is_mass, reverse,
+    nonflux_mode, load_is_mass, reverse, reaction,
 ):
     """One FCT field: per step, rhs = M @ load_frame (load_is_mass=True,
     forward source control) or rhs = load_frame (precomputed misfit loads),
     with the optional IMEX non-flux matrix of the nonlinear equation:
     nonflux_mode = 0: none; +1: (1/3)M_{u²} - M (state, helpers.py:953-958);
     -1: M_{u²} - M (adjoint, helpers.py:1030-1035), u taken from the
-    second half of load_ref's frame pair."""
+    second half of load_ref's frame pair.
+    ``reaction=True``: the LAST frame channel carries the reaction
+    coefficient g (the MMS finaltime-exact ``+ g u`` term, applied IMEX
+    with the carried state: rhs -= ∫ g_h x_h φ dx, exactly the reference's
+    Mg @ u, finaltime_exact:273-279 — the integrand is quadratic, so the
+    closed-form moments equal the degree-3 rule)."""
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
     i = pl.program_id(0)
@@ -1393,6 +1404,9 @@ def _scalar_sweep_kernel(
         rhs = apply_M(load_ref[0, :, :])
     else:
         rhs = load_ref[0, :, :]
+    if reaction:
+        g_i = load_ref[load_ref.shape[0] - 1, :, :]
+        rhs = rhs - _lf_prod([g_i, x_n], nc=nc, h2=h2)
 
     if nonflux_mode == 0:
         S = None
@@ -1418,19 +1432,23 @@ def _scalar_sweep_kernel(
 def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
                            h, dt, tol=1e-6, iters=60, cheb_iters=20,
                            warm=True, nonflux_mode=0, load_is_mass=True,
-                           reverse=False):
+                           reverse=False, reaction=False):
     """Whole sweep of a single FCT-transported field with a stationary flux
     matrix. Covers:
     - nonlinear state (nonflux_mode=+1, load = control frames,
       helpers.py:941-958) and adjoint (nonflux_mode=-1, load frames stacked
       (misfit, u_n), helpers.py:1023-1037)
     - linear advection state (load = control (+source) frames) and adjoint
-      (load = misfit loads), advection_FCT_PDECO_finaltime.py:194-231.
+      (load = misfit loads), advection_FCT_PDECO_finaltime.py:194-231
+    - the MMS reaction coefficient g(t) of the finaltime-exact problem
+      (reaction=True: last frame channel = g frames, applied IMEX with the
+      carried state — advection_FCT_PDECO_finaltime_exact.py:273-279).
 
-    ``load_traj``: (steps, F, n, n) per-step frames (F=1, or F=2 when
-    nonflux_mode=-1). ``reverse=True`` runs the sweep backward (adjoint):
-    step i consumes frame steps-1-i and writes the same slot. Returns the
-    (steps, n, n) swept frames EXCLUDING the initial/terminal state.
+    ``load_traj``: (steps, F, n, n) per-step frames (F=1; 2 when
+    nonflux_mode=-1 or reaction; 3 for adjoint+reaction). ``reverse=True``
+    runs the sweep backward (adjoint): step i consumes frame steps-1-i and
+    writes the same slot. Returns the (steps, n, n) swept frames EXCLUDING
+    the initial/terminal state.
     """
     n = x0.shape[-1]
     steps = load_traj.shape[0]
@@ -1439,6 +1457,7 @@ def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
         _scalar_sweep_kernel, n=n, dt=dt, tol=tol, iters=iters,
         cheb_iters=cheb_iters, h2=h * h, warm=warm,
         nonflux_mode=nonflux_mode, load_is_mass=load_is_mass, reverse=reverse,
+        reaction=reaction,
     )
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -1476,3 +1495,759 @@ def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
         interpret=_interp(),
     )(load_traj, x0, A_flux, M, M_diag, ML_diag)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Large-grid ("synth") whole-sweep kernels.
+#
+# The resident whole-sweep kernels above keep FIVE 9-plane stencils in VMEM
+# (K, M, Mat2 inputs + A->Low and D scratch) — ~180 MB at 1024² f32, far over
+# the ~120 MB VMEM budget, which is why ≥1024² previously fell back to the
+# XLA path (8.5 ms/step at 1024²). The chemotaxis system's stationary
+# operators are all linear combinations of the P1 mass and stiffness
+# matrices, whose stencils on this uniform mesh are PIECEWISE CONSTANT:
+# plane d is a sum of constant element-matrix entries, each active on a
+# simple row/column window (the assembler's scatter windows,
+# ops/assembly.py:_scatter). These kernels therefore synthesize every
+# stationary operator in-kernel from broadcasted-iota masks (zero VMEM
+# residency), store only the two per-step stencils (A->Low and D) in a
+# COMPACT 7-plane layout (the anti-diagonal planes are structurally zero on
+# this mesh), and keep everything else identical to the resident kernels.
+# VMEM at 1024² f32: 2 x 28 MB stencils + state + streaming blocks ≈ 100 MB.
+# ---------------------------------------------------------------------------
+
+P7 = (0, 1, 3, 4, 5, 7, 8)  # the structurally nonzero stencil planes
+P7IDX = {d: k for k, d in enumerate(P7)}
+_ZERO_PLANES = (2, 6)
+
+
+class _CompactPlanes:
+    """A (7, n, n) scratch ref quacking like a (9, n, n) stencil ref.
+
+    Reads of the structurally-zero anti-diagonal planes return a zeros
+    value; writes to them are dropped. This lets `_fct_core` and the
+    in-kernel assembly helpers run unchanged on the compact layout."""
+
+    zero_planes = _ZERO_PLANES
+
+    def __init__(self, ref, n, dtype):
+        self.ref, self.n, self.dtype = ref, n, dtype
+
+    @staticmethod
+    def _split(key):
+        if isinstance(key, tuple):
+            return key[0], key[1:]
+        return key, ()
+
+    def __getitem__(self, key):
+        d, rest = self._split(key)
+        if d in _ZERO_PLANES:
+            return jnp.zeros((self.n, self.n), self.dtype)
+        v = self.ref[P7IDX[d]]
+        return v[rest] if rest else v
+
+    def __setitem__(self, key, val):
+        d, rest = self._split(key)
+        if d in _ZERO_PLANES:
+            return
+        if rest:
+            self.ref[(P7IDX[d],) + rest] = val
+        else:
+            self.ref[P7IDX[d]] = val
+
+
+class _FieldVal:
+    """A plain value quacking like a field ref (supports [...] reads)."""
+
+    def __init__(self, val):
+        self.val = val
+
+    def __getitem__(self, key):
+        return self.val[key] if key is not Ellipsis else self.val
+
+
+@functools.lru_cache(maxsize=None)
+def _mk_combos():
+    """Per-plane constant contributions of the closed-form P1 mass and
+    stiffness element matrices, keyed by the assembler scatter window
+    offset: {d: {(ai, aj): (em_unit, ek)}} with  M_d = h² Σ em·mask(ai,aj)
+    and K_d = Σ ek·mask(ai,aj)  (K is h-independent in 2-D)."""
+    out = {d: {} for d in range(9)}
+    gu = _basis_gradients(1.0)
+    Em0 = (1.0 / 24.0) * (np.ones((3, 3)) + np.eye(3))  # area/12, area=h²/2
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        Ek = 0.5 * gu[t] @ gu[t].T
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                d = _offset_index(bi - ai, bj - aj)
+                em, ek = out[d].get((ai, aj), (0.0, 0.0))
+                out[d][(ai, aj)] = (em + Em0[a, b], ek + Ek[a, b])
+    # lumped-mass row sums, aggregated over all planes
+    ml = {}
+    for d in range(9):
+        for key, (em, _) in out[d].items():
+            ml[key] = ml.get(key, 0.0) + em
+    return out, ml
+
+
+def _make_synth(n, dtype, h2):
+    """In-kernel synthesizer for αM + βK stencils and fields.
+
+    Every returned closure rebuilds its masks from iota at the call site, so
+    calling it inside a solver loop keeps the planes out of the loop-carried
+    VMEM state (they fuse into the consuming multiply-accumulate)."""
+    combos, ml_combo = _mk_combos()
+
+    def _mask(ai, aj):
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        rk = (row <= n - 2) if ai == 0 else (row >= 1)
+        ck = (col <= n - 2) if aj == 0 else (col >= 1)
+        return jnp.where(rk & ck, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+
+    def plane(d, mcoef, kcoef):
+        acc = None
+        for (ai, aj), (em, ek) in combos[d].items():
+            cst = float(mcoef) * h2 * em + float(kcoef) * ek
+            if cst == 0.0:
+                continue
+            term = cst * _mask(ai, aj)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros((n, n), dtype)
+        return acc
+
+    def ml_diag():
+        acc = None
+        for (ai, aj), em in ml_combo.items():
+            term = (h2 * em) * _mask(ai, aj)
+            acc = term if acc is None else acc + term
+        return acc
+
+    return plane, ml_diag
+
+
+class _SynthPlanes:
+    """Read-only αM + βK stencil quacking like a (9, n, n) ref."""
+
+    def __init__(self, plane_fn, mcoef, kcoef):
+        self.plane_fn, self.mcoef, self.kcoef = plane_fn, mcoef, kcoef
+
+    def __getitem__(self, key):
+        d = key[0] if isinstance(key, tuple) else key
+        return self.plane_fn(d, self.mcoef, self.kcoef)
+
+
+def _synth_ilam(n, dtype, h2, dt, diff_coef, mass_coef):
+    """In-kernel dct_precond_ilam: inverse modal eigenvalues of
+    P = mass_coef·h²·I + dt·diff_coef·K5 via iota + cos (no VMEM input)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).astype(dtype)
+    l = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).astype(dtype)
+    pi_over_n = np.pi / n
+    mu = (2.0 - 2.0 * jnp.cos(pi_over_n * k)) + (2.0 - 2.0 * jnp.cos(pi_over_n * l))
+    return 1.0 / (mass_coef * h2 + dt * diff_coef * mu)
+
+
+def _fwd_sweep_kernel_synth(
+    c_ref, u0_ref, v0_ref, dct_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
+    *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts4, bary4, grads, warm, reaction, precond,
+):
+    """Chemotaxis forward step with synthesized stationary operators
+    (helpers.py:1321-1385 semantics — identical math to _fwd_sweep_kernel,
+    ≥1024²-capable)."""
+    dtype = ucur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    D_ref = _CompactPlanes(D7_ref, n, dtype)
+    M_ref = _SynthPlanes(plane, 1.0, 0.0)
+    K_ref = _SynthPlanes(plane, 0.0, 1.0)
+    Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+    if precond == "dct":
+        ilam_u = _synth_ilam(n, dtype, h2, dt, Dm, 1.0)
+        ilam_v = _synth_ilam(n, dtype, h2, dt, Df, 1.0 + dt * delta)
+        prec_u = _make_dct_pinv(dct_ref, _FieldVal(ilam_u), dtype)
+        prec_v = _make_dct_pinv(dct_ref, _FieldVal(ilam_v), dtype)
+    else:
+        prec_u = None
+        prec_v = 1.0 / Mat2_ref[CENTER]
+
+    # ---- v half-step (helpers.py:1339-1342) -----------------------------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    apply_mat = _make_apply(Mat2_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    load = _v_load(c_i, u_n, nc=n - 1, h2=h2)
+    b = apply_M(v_n) + (dt * inv_r) * load
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = _cg(apply_mat, prec_v, b, x0v, tol, iters)
+
+    # ---- u half-step (helpers.py:1350-1356) -----------------------------
+    _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
+                        eta=eta, wts=wts4, bary=bary4, grads=grads)
+    if reaction == "mimura":
+        rhs_u = (_lf_prod([u_n, u_n], nc=n - 1, h2=h2)
+                 + _lf_prod([u_n, u_n, u_n], nc=n - 1, h2=h2, scale=-1.0))
+    else:
+        rhs_u = jnp.zeros_like(u_n)
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ml_diag(), u_n, rhs_u,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
+        prec=prec_u,
+    )
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+
+def fused_chemotaxis_forward_sweep_synth(
+        c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
+        tol=1e-6, iters=60, cheb_iters=20, warm=True, reaction=None,
+        precond="dct", vmem_limit_mb=120):
+    """Large-grid chemotaxis forward sweep: ONE pallas_call, stationary
+    operators synthesized in-kernel, per-step stencils in a compact 7-plane
+    layout. Mathematically identical to fused_chemotaxis_forward_sweep
+    (which needs all five stencils resident and tops out near 512² f32);
+    this variant fits ≥1024² f32 in VMEM."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    wts4, bary4, grads = _quad_consts(4, h)
+    wts4 = wts4 * h * h
+    kern = functools.partial(
+        _fwd_sweep_kernel_synth, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,
+        delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
+        grads=grads, warm=warm, reaction=reaction, precond=precond,
+    )
+    dct_C = jnp.asarray(dct_matrix(n), dtype=u0.dtype)
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame, field, field, field],
+        out_specs=(frame, frame),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),      # u current
+            pltpu.VMEM((n, n), u0.dtype),      # v current
+            pltpu.VMEM((n, n), u0.dtype),      # u previous (warm start)
+            pltpu.VMEM((n, n), u0.dtype),      # v previous
+            pltpu.VMEM((7, n, n), u0.dtype),   # A -> Low (compact)
+            pltpu.VMEM((7, n, n), u0.dtype),   # D (compact)
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, dct_C)
+    return (jnp.concatenate([u0[None], u_traj], axis=0),
+            jnp.concatenate([v0[None], v_traj], axis=0))
+
+
+def _adj_sweep_kernel_synth(
+    u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
+    *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
+):
+    """Chemotaxis adjoint step with synthesized stationary operators
+    (helpers.py:1387-1581 semantics — the large-grid variant of
+    _adj_sweep_kernel; no warm-start scratch to stay in VMEM budget)."""
+    dtype = pcur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    D_ref = _CompactPlanes(D7_ref, n, dtype)
+    M_ref = _SynthPlanes(plane, 1.0, 0.0)
+    K_ref = _SynthPlanes(plane, 0.0, 1.0)
+    Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    c_n = c_ref[0, :, :]
+    if precond == "dct":
+        ilam_p = _synth_ilam(n, dtype, h2, dt, Dm, 1.0)
+        ilam_q = _synth_ilam(n, dtype, h2, dt, Df, 1.0 + dt * delta)
+        prec_p = _make_dct_pinv(dct_ref, _FieldVal(ilam_p), dtype)
+        prec_q = _make_dct_pinv(dct_ref, _FieldVal(ilam_q), dtype)
+    else:
+        prec_p = None
+        prec_q = 1.0 / Mat2_ref[CENTER]
+
+    # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
+    load = _assemble_adjoint_A_and_load(
+        q_np1, u_n, v_n, c_n, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
+        eta=eta, inv_r=inv_r, wts=wts5, bary=bary5, grads=grads, h2=h2,
+    )
+    rhs = load + misu_ref[0, :, :] if has_mis else load
+    if reaction == "mimura":
+        S = _add_planes(_wm_prod([u_n], nc=n - 1, h2=h2, scale=-2.0),
+                        _wm_prod([u_n, u_n], nc=n - 1, h2=h2), s2=3.0)
+    else:
+        S = None
+    p_n = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ml_diag(), p_np1, rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
+        prec=prec_p,
+    )
+
+    # ---- q implicit half-step (helpers.py:1531-1538) --------------------
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(Mat2_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    qload = _q_load(p_n, u_n, nc=n - 1, chi=chi, eta=eta,
+                    wts=wts4, bary=bary4, grads=grads)
+    if has_mis:
+        qload = qload + misv_ref[0, :, :]
+    b = apply_M(q_np1) + dt * qload
+    q_n = _cg(apply_mat, prec_q, b, q_np1, tol, iters)
+
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+
+def fused_chemotaxis_adjoint_sweep_synth(
+        u_traj, v_traj, c_traj, pT, qT, mis_u=None, mis_v=None, *,
+        h, dt, Dm, Df, delta, chi, eta, rescaling, tol=1e-6, iters=60,
+        cheb_iters=20, reaction=None, precond="dct", vmem_limit_mb=120):
+    """Large-grid chemotaxis adjoint sweep: the synth analogue of
+    fused_chemotaxis_adjoint_sweep (≥1024² f32 in VMEM; no warm-start
+    scratch — the extra streamed trajectories take its budget)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    wts5, bary5, grads = _quad_consts(5, h)
+    wts4, bary4, _ = _quad_consts(4, h)
+    wts5 = wts5 * h * h
+    wts4 = wts4 * h * h
+    kern = functools.partial(
+        _adj_sweep_kernel_synth, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,
+        delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
+        wts4=wts4, bary4=bary4, grads=grads, has_mis=has_mis,
+        reaction=reaction, precond=precond,
+    )
+    dct_C = jnp.asarray(dct_matrix(n), dtype=pT.dtype)
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+        mis_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        mis_spec = rev
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field, field],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((7, n, n), pT.dtype),
+            pltpu.VMEM((7, n, n), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT, dct_C)
+    return (jnp.concatenate([p_traj, pT[None]], axis=0),
+            jnp.concatenate([q_traj, qT[None]], axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Schnakenberg whole-sweep kernels with a TIME-DEPENDENT wind: the
+# convection stencil is assembled IN-KERNEL at the traced step time
+# (the reference reassembles A(w(t)) per step, Schnak_FCT_PDECO_alltime.py's
+# sin(2πt) vortex; XLA path: SchnakenbergModel._forward_step).
+# ---------------------------------------------------------------------------
+
+
+def _conv_planes_td(wind_fn, t, *, nc, h, a1, pts, wts, bary, grads, dtype,
+                    transpose=False):
+    """9-plane VALUES (None where structurally zero) of the convection
+    stencil ∫ (w(x,t)·∇φ_test) φ_trial dx assembled at traced time ``t``
+    (P1Assembler.convection_td semantics, quadrature points synthesized
+    from iota). ``transpose=True`` puts the gradient on the TRIAL function
+    (the adjoint pairing, helpers.py:681)."""
+    planes = [None] * 9
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 0).astype(dtype)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (nc, nc), 1).astype(dtype)
+    x0 = a1 + h * cj
+    y0 = a1 + h * ci
+    detJ = h * h
+    for ttype in range(2):
+        corners = TRI_CORNERS[ttype]
+        acc = [[None] * 3 for _ in range(3)]  # acc[gradside][baryside]
+        for q in range(len(wts)):
+            xi, eta = float(pts[q, 0]), float(pts[q, 1])
+            if ttype == 0:
+                xq = x0 + h * (xi + eta)
+                yq = y0 + h * eta
+            else:
+                xq = x0 + h * eta
+                yq = y0 + h * (xi + eta)
+            wx, wy = wind_fn(xq, yq, t)
+            for gside in range(3):
+                ga = (grads[ttype, gside, 0] * wx + grads[ttype, gside, 1] * wy)
+                wga = (detJ * float(wts[q])) * ga
+                for bside in range(3):
+                    add = float(bary[q, bside]) * wga
+                    acc[gside][bside] = (
+                        add if acc[gside][bside] is None
+                        else acc[gside][bside] + add)
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                # rows (scatter windows) are the TEST index a; the gradient
+                # sits on test (forward) or trial (transpose)
+                val = acc[b][a] if transpose else acc[a][b]
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(val, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    return planes
+
+
+def _schnak_fwd_kernel_td(
+    c_ref, u0_ref, v0_ref, K_ref, M_ref, Md_ref, ML_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol, iters,
+    cheb_iters, h2, h, a1, warm, precond, wind_fn, pts, wts, bary, grads,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+
+    dtype = ucur_ref.dtype
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+    nc = n - 1
+    t_i = (i + 1).astype(dtype) * dt  # forward times (i+1)*dt
+    if precond == "dct":
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_u = None
+        prec_v = None
+
+    def conv():
+        return _conv_planes_td(wind_fn, t_i, nc=nc, h=h, a1=a1, pts=pts,
+                               wts=wts, bary=bary, grads=grads, dtype=dtype)
+
+    # u FCT with A_u(t) = Du K - ω₁ N(t) (helpers.py:581-588)
+    N = conv()
+    for d in range(9):
+        plane = Du * K_ref[d, :, :]
+        if N[d] is not None:
+            plane = plane - omega1 * N[d]
+        A_ref[d, :, :] = plane
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_M0 = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                           skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_u = ((gamma * inv_r) * apply_M0(c_i)
+             + _lf_prod([u_n, u_n, v_n], nc=nc, h2=h2, scale=gamma))
+    S = _scaled_planes(M_ref, gamma)
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u, S=S,
+        prec=prec_u,
+    )
+
+    # v implicit: Mat_v = M + dt(Dv K - ω₂ N(t) + γ M_{u²}) with the NEW u
+    N2 = conv()  # A_ref was transformed in place; rebuild the wind stencil
+    Mu2 = _wm_prod([u_np1, u_np1], nc=nc, h2=h2)
+    for d in range(9):
+        plane = M_ref[d, :, :] + (dt * Dv) * K_ref[d, :, :]
+        if N2[d] is not None:
+            plane = plane - (dt * omega2) * N2[d]
+        if Mu2[d] is not None:
+            plane = plane + (dt * gamma) * Mu2[d]
+        A_ref[d, :, :] = plane
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_v = (gamma * c_b) * ML_ref[:, :]
+    b = apply_M(v_n) + dt * rhs_v
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = _cg(apply_mat,
+                prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
+                b, x0v, tol, iters)
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+
+def fused_schnak_forward_sweep_td(c_traj, u0, v0, K, M, M_diag, ML_diag, *,
+                                  wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
+                                  gamma, c_b, rescaling, tol=1e-6, iters=60,
+                                  cheb_iters=20, warm=True, precond="dct",
+                                  conv_degree=5):
+    """Schnakenberg forward sweep with a TIME-DEPENDENT wind in ONE
+    pallas_call: the convection stencil is assembled in-kernel each step at
+    t = (i+1)dt (closes the silent XLA fallback of the stationary-wind
+    kernel for --td-wind). ``wind_fn(x, y, t) -> (wx, wy)`` must be
+    jnp-traceable."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    pts, wts = rule_for_degree(conv_degree)
+    bary = barycentric(pts)
+    grads = _basis_gradients(h)
+    kern = functools.partial(
+        _schnak_fwd_kernel_td, n=n, dt=dt, Du=Du, Dv=Dv, omega1=omega1,
+        omega2=omega2, gamma=gamma, c_b=c_b, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, h2=h * h, h=h, a1=a1, warm=warm,
+        precond=precond, wind_fn=wind_fn, pts=pts, wts=wts, bary=bary,
+        grads=grads,
+    )
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype,
+        [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame, field, field, stencil, stencil, field, field,
+                  field, field, field],
+        out_specs=(frame, frame),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((9, n, n), u0.dtype),
+            pltpu.VMEM((9, n, n), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, K, M, M_diag, ML_diag, dct_C, ilam_u, ilam_v)
+    return (jnp.concatenate([u0[None], u_traj], axis=0),
+            jnp.concatenate([v0[None], v_traj], axis=0))
+
+
+def _schnak_adj_kernel_td(
+    u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    K_ref, M_ref, Md_ref, ML_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
+    *, n, steps, dt, Du, Dv, omega1, omega2, gamma, tol, iters, cheb_iters,
+    h2, h, a1, warm, has_mis, precond, wind_fn, pts, wts, bary, grads,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+
+    dtype = pcur_ref.dtype
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    nc = n - 1
+    t_n = (steps - 1 - i).astype(dtype) * dt  # adjoint times n*dt
+    if precond == "dct":
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_p = None
+        prec_q = None
+
+    Nt = _conv_planes_td(wind_fn, t_n, nc=nc, h=h, a1=a1, pts=pts, wts=wts,
+                         bary=bary, grads=grads, dtype=dtype, transpose=True)
+
+    # q implicit first (helpers.py:680-688): Mat_q = M + dt(Dv K - ω₂Nᵀ + γM_u²)
+    Mu2 = _wm_prod([u_n, u_n], nc=nc, h2=h2)
+    for d in range(9):
+        plane = M_ref[d, :, :] + (dt * Dv) * K_ref[d, :, :]
+        if Nt[d] is not None:
+            plane = plane - (dt * omega2) * Nt[d]
+        if Mu2[d] is not None:
+            plane = plane + (dt * gamma) * Mu2[d]
+        A_ref[d, :, :] = plane
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_q = _lf_prod([p_np1, u_n, u_n], nc=nc, h2=h2, scale=gamma)
+    if has_mis:
+        rhs_q = rhs_q + misv_ref[0, :, :]
+    b = apply_M(q_np1) + dt * rhs_q
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = _cg(apply_mat,
+              prec_q if prec_q is not None else 1.0 / A_ref[CENTER],
+              b, x0q, tol, iters)
+
+    # p FCT with A_adj(t) = Du K - ω₁ Nᵀ(t)
+    rhs_p = _lf_prod([u_n, v_n, q_n], nc=nc, h2=h2, scale=-2.0 * gamma)
+    if has_mis:
+        rhs_p = rhs_p + misu_ref[0, :, :]
+    Muv = _wm_prod([u_n, v_n], nc=nc, h2=h2)
+    S = _add_planes(_scaled_planes(M_ref, gamma), Muv, s2=-2.0 * gamma)
+    for d in range(9):
+        plane = Du * K_ref[d, :, :]
+        if Nt[d] is not None:
+            plane = plane - omega1 * Nt[d]
+        A_ref[d, :, :] = plane
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs_p,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
+        prec=prec_p,
+    )
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+
+def fused_schnak_adjoint_sweep_td(u_traj, v_traj, pT, qT, K, M, M_diag,
+                                  ML_diag, mis_u=None, mis_v=None, *,
+                                  wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
+                                  gamma, tol=1e-6, iters=60, cheb_iters=20,
+                                  warm=True, precond="jacobi", conv_degree=5):
+    """Schnakenberg adjoint sweep with a TIME-DEPENDENT wind in ONE
+    pallas_call (transposed convection assembled in-kernel at t = n·dt)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    pts, wts = rule_for_degree(conv_degree)
+    bary = barycentric(pts)
+    grads = _basis_gradients(h)
+    kern = functools.partial(
+        _schnak_adj_kernel_td, n=n, steps=steps, dt=dt, Du=Du, Dv=Dv,
+        omega1=omega1, omega2=omega2, gamma=gamma, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h * h, h=h, a1=a1, warm=warm,
+        has_mis=has_mis, precond=precond, wind_fn=wind_fn, pts=pts, wts=wts,
+        bary=bary, grads=grads,
+    )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype,
+        [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+        mis_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        mis_spec = rev
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[rev, rev, mis_spec, mis_spec, field, field,
+                  stencil, stencil, field, field,
+                  field, field, field],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((9, n, n), pT.dtype),
+            pltpu.VMEM((9, n, n), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
+      K, M, M_diag, ML_diag, dct_C, ilam_p, ilam_q)
+    return (jnp.concatenate([p_traj, pT[None]], axis=0),
+            jnp.concatenate([q_traj, qT[None]], axis=0))

@@ -29,15 +29,28 @@ from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS
 
 
 def fits_vmem(n: int, dtype=jnp.float32, budget_bytes: int = 64 * 2**20) -> bool:
-    """Single-block VMEM feasibility check for the fused kernels.
+    """Single-block VMEM feasibility check for the RESIDENT fused kernels.
 
     Sized for the whole-sweep kernels (pallas_fused.py): five resident
     9-plane stencils (K, M, Mat2, A->Low scratch, D scratch) plus ~5
     field-sized buffers and the shift pad. 512^2 f32 (~52 MB) measured
-    working on TPU v5e; 1024^2 f32 and 512^2 f64 fall back to XLA.
+    working on TPU v5e; larger grids use the synth kernels
+    (fits_vmem_synth) and only then fall back to XLA.
     """
     itemsize = jnp.dtype(dtype).itemsize
     need = 50 * n * n * itemsize
+    return need <= budget_bytes
+
+
+def fits_vmem_synth(n: int, dtype=jnp.float32,
+                    budget_bytes: int = 120 * 2**20) -> bool:
+    """VMEM feasibility of the SYNTH whole-sweep kernels
+    (pallas_fused.py: stationary operators synthesized in-kernel, compact
+    7-plane per-step stencils): ~2x7 plane scratches + state + streamed
+    block buffers ≈ 30 field-sized arrays. 1024² f32 measured working on
+    TPU v5e (~117 MB); 2048² falls back to XLA."""
+    itemsize = jnp.dtype(dtype).itemsize
+    need = 30 * n * n * itemsize
     return need <= budget_bytes
 
 

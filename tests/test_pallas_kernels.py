@@ -133,13 +133,34 @@ def test_vmem_guard_falls_back_to_xla():
     from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
     from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
 
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
+
+    # Schnakenberg has no synth kernels: the resident budget governs
     n_big = 512
     assert not fits_vmem(n_big, jnp.float64)
     with _pytest.warns(UserWarning, match="VMEM"):
-        model = ChemotaxisModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
+        model = SchnakenbergModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
     assert model.backend == "xla"
-    # a fitting grid keeps the requested backend
-    assert ChemotaxisModel(Grid(0.0, 1.0, 32), backend="pallas_fused").backend == "pallas_fused"
+
+    # chemotaxis IS synth-capable: 512² f64 exceeds the resident budget but
+    # fits the synth one, so the fused backend is kept (and dispatches to
+    # the synth kernels)
+    assert fits_vmem_synth(n_big, jnp.float64)
+    model = ChemotaxisModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
+    assert model.backend == "pallas_fused"
+    assert model._use_synth_sweep()
+
+    # beyond the synth budget even chemotaxis falls back
+    n_huge = 1600
+    assert not fits_vmem_synth(n_huge, jnp.float64)
+    with _pytest.warns(UserWarning, match="VMEM"):
+        model = ChemotaxisModel(Grid(0.0, 1.0, n_huge), backend="pallas_fused")
+    assert model.backend == "xla"
+
+    # a fitting grid keeps the requested backend on the resident kernels
+    small = ChemotaxisModel(Grid(0.0, 1.0, 32), backend="pallas_fused")
+    assert small.backend == "pallas_fused" and not small._use_synth_sweep()
 
 
 def test_fused_schnak_sweep_matches_xla():
@@ -236,3 +257,152 @@ def test_fused_mimura_sweep_matches_xla():
         pf, qf = mf.adjoint(ux, vx, uhat, vhat, c, dt, optim)
         np.testing.assert_allclose(np.asarray(pf), np.asarray(px), rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(np.asarray(qf), np.asarray(qx), rtol=1e-9, atol=1e-12)
+
+
+def test_synth_sweeps_match_xla_chemotaxis():
+    """Large-grid SYNTH whole-sweep kernels (in-kernel synthesized
+    stationary operators, compact 7-plane scratch) match the XLA path at
+    solver tolerance — forward and adjoint, finaltime and alltime."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 33, 6, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    ms = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                         backend="pallas_fused")
+    ms.force_synth = True
+    assert ms._use_synth_sweep()
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), mx.params.gamma)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    us, vs = ms.forward(c, u0, v0, dt)
+    assert float(jnp.abs(us - ux).max()) < 1e-9
+    assert float(jnp.abs(vs - vx).max()) < 1e-9
+
+    uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+    px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
+    ps, qs = ms.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
+    assert float(jnp.abs(ps - px).max()) < 1e-9
+    assert float(jnp.abs(qs - qx).max()) < 1e-9
+
+    uhat_t = 1.01 * ux
+    vhat_t = 1.02 * vx
+    px, qx = mx.adjoint(ux, vx, uhat_t, vhat_t, c, dt, "alltime")
+    ps, qs = ms.adjoint(ux, vx, uhat_t, vhat_t, c, dt, "alltime")
+    assert float(jnp.abs(ps - px).max()) < 1e-9
+    assert float(jnp.abs(qs - qx).max()) < 1e-9
+
+
+def test_synth_sweeps_match_xla_mimura():
+    """Synth kernels with the Mimura m²(1-m) reaction."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 17, 4, 1e-2
+    g = Grid(0.0, 2.0, n)
+    mx = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13))
+    ms = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13),
+                     backend="pallas_fused")
+    ms.force_synth = True
+    m0np, f0np = mx.ic()
+    m0, f0 = jnp.asarray(m0np), jnp.asarray(f0np)
+    c = jnp.ones((steps + 1, n, n))
+
+    ux, vx = mx.forward(c, m0, f0, dt)
+    us, vs = ms.forward(c, m0, f0, dt)
+    assert float(jnp.abs(us - ux).max()) < 1e-9
+    assert float(jnp.abs(vs - vx).max()) < 1e-9
+
+    mhat, fhat = 1.01 * ux[-1], 1.02 * vx[-1]
+    px, qx = mx.adjoint(ux, vx, mhat, fhat, c, dt, "finaltime")
+    ps, qs = ms.adjoint(ux, vx, mhat, fhat, c, dt, "finaltime")
+    assert float(jnp.abs(ps - px).max()) < 1e-9
+    assert float(jnp.abs(qs - qx).max()) < 1e-9
+
+
+def test_fused_schnak_td_wind_matches_xla():
+    """Time-dependent-wind fused Schnakenberg sweeps (in-kernel convection
+    assembly at the traced step time) match the XLA path — closes the
+    silent fallback of --backend pallas_fused --td-wind."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    td = lambda x, y, t: (
+        -(y - 0.5) * jnp.sin(2 * jnp.pi * t),
+        (x - 0.5) * jnp.sin(2 * jnp.pi * t),
+    )
+    n, steps, dt = 17, 5, 1e-3
+    g = Grid(0.0, 1.0, n)
+    mx = SchnakenbergModel(g, td_wind_fn=td, solver_opts=SolverOpts(tol=1e-13))
+    mf = SchnakenbergModel(g, td_wind_fn=td, solver_opts=SolverOpts(tol=1e-13),
+                           backend="pallas_fused")
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), mx.params.c_a)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    uf, vf = mf.forward(c, u0, v0, dt)
+    assert float(jnp.abs(uf - ux).max()) < 1e-9
+    assert float(jnp.abs(vf - vx).max()) < 1e-9
+
+    uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+    px, qx = mx.adjoint(ux, vx, uhat, vhat, dt, "finaltime")
+    pf, qf = mf.adjoint(ux, vx, uhat, vhat, dt, "finaltime")
+    assert float(jnp.abs(pf - px).max()) < 1e-9
+    assert float(jnp.abs(qf - qx).max()) < 1e-9
+
+    # alltime: mass-weighted misfits in both half-step RHSs
+    px, qx = mx.adjoint(ux, vx, 1.01 * ux, 1.02 * vx, dt, "alltime")
+    pf, qf = mf.adjoint(ux, vx, 1.01 * ux, 1.02 * vx, dt, "alltime")
+    assert float(jnp.abs(pf - px).max()) < 1e-9
+    assert float(jnp.abs(qf - qx).max()) < 1e-9
+
+
+def test_fused_scalar_reaction_matches_xla():
+    """fused_scalar_fct_sweep with the per-step reaction coefficient g
+    (the MMS finaltime-exact '+ g u' term) matches the XLA path — closes
+    the silent fallback of the MMS-exact configuration."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.advection import AdvectionModel, vortex_wind
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 17, 5, 1e-3
+    g = Grid(0.0, 1.0, n)
+    rng = np.random.RandomState(3)
+    mx = AdvectionModel(g, eps=1e-4, wind_fn=vortex_wind(1.0),
+                        solver_opts=SolverOpts(tol=1e-13))
+    mf = AdvectionModel(g, eps=1e-4, wind_fn=vortex_wind(1.0),
+                        solver_opts=SolverOpts(tol=1e-13),
+                        backend="pallas_fused")
+    u0 = jnp.asarray(rng.rand(n, n))
+    c = jnp.asarray(rng.rand(steps + 1, n, n))
+    f = jnp.asarray(rng.rand(steps + 1, n, n))
+    gr = jnp.asarray(0.5 * rng.rand(steps + 1, n, n))
+
+    ux = mx.forward(c, u0, dt, source_traj=f, reaction_traj=gr)
+    uf = mf.forward(c, u0, dt, source_traj=f, reaction_traj=gr)
+    assert float(jnp.abs(uf - ux).max()) < 1e-9
+
+    uhat = 1.1 * ux[-1]
+    px = mx.adjoint(ux, uhat, dt, "finaltime", reaction_traj=gr)
+    pf = mf.adjoint(ux, uhat, dt, "finaltime", reaction_traj=gr)
+    assert float(jnp.abs(pf - px).max()) < 1e-9
+
+    px = mx.adjoint(ux, 1.1 * ux, dt, "alltime", reaction_traj=gr)
+    pf = mf.adjoint(ux, 1.1 * ux, dt, "alltime", reaction_traj=gr)
+    assert float(jnp.abs(pf - px).max()) < 1e-9
