@@ -38,15 +38,16 @@ class SolidBodyProblem(PDECOProblem):
     num_vars = 1
 
     def __init__(self, cfg: ExperimentConfig, gaussian: bool = False,
-                 dtype=None):
+                 dtype=None, backend: str = "xla"):
         super().__init__(cfg)
-        from fem_fct_pdeco_tpu.drivers.common import resolve_dtype
+        from fem_fct_pdeco_tpu.drivers.common import dist_mesh, resolve_dtype
 
         dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         self.gaussian = gaussian
         self.model = DriftControlModel(
             self.grid, eps=0.0, om=OM, drift=(1.0, 1.0), dtype=dtype,
-            solver_opts=SolverOpts(tol=tol),
+            solver_opts=SolverOpts(tol=tol), backend=backend,
+            mesh=dist_mesh(backend),
         )
         md = self.model.dtype
         if gaussian:
@@ -172,6 +173,9 @@ def main(argv=None):
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--backend",
+                    choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
+                    default="xla")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T,
@@ -182,7 +186,8 @@ def main(argv=None):
     tag = "_garvie" if args.garvie else ""
     cfg.out_folder = args.out or f"SolidBody_{cfg.optim}{tag}_T{cfg.T}_beta{cfg.beta}"
     cfg.registry_csv = f"SolidBody_{cfg.optim}_simulation_results.csv"
-    problem = SolidBodyProblem(cfg, gaussian=args.gaussian)
+    problem = SolidBodyProblem(cfg, gaussian=args.gaussian,
+                               backend=args.backend)
     if args.garvie:
         return run_garvie(problem, cfg)
     return run_pdeco(problem, cfg)

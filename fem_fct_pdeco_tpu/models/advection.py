@@ -20,6 +20,7 @@ forward-only case of either model with c = 0.
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -289,13 +290,25 @@ class AdvectionModel(ModelBase):
 
 
 class DriftControlModel(ModelBase):
-    """Drift-velocity control over a rotating base flow (solid body)."""
+    """Drift-velocity control over a rotating base flow (solid body).
+
+    Full backend treatment: ``backend="pallas_fused"`` runs the whole sweep
+    as one Pallas kernel with IN-KERNEL per-step Adrift1/Adrift2 assembly
+    (the reference reassembles both with FEniCS every step,
+    advection_solidbody_FCT_PDECO_finaltime.py:187-191);
+    ``backend="pallas_dist"`` runs the multi-chip RDMA drift sweep
+    (ops/pallas_dist.py); ``pad_to`` enables mesh-divisible padded sharding
+    on the XLA path, as for the other model families.
+    """
 
     _HOISTED_OPS = ModelBase._HOISTED_OPS + ("Nrot",)
 
     def __init__(self, grid, eps: float, om: float, drift=(1.0, 1.0),
-                 dtype=jnp.float64, solver_opts: SolverOpts | None = None):
-        super().__init__(grid, dtype, solver_opts)
+                 dtype=jnp.float64, solver_opts: SolverOpts | None = None,
+                 backend: str = "xla", pad_to: int | None = None,
+                 mesh=None, debug: bool = False):
+        super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
+                         debug=debug)
         self.eps = eps
         self.om = om
         self.drift = drift
@@ -320,15 +333,60 @@ class DriftControlModel(ModelBase):
         return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
                         solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask)
 
+    def _forward_step(self, dt):
+        def step(carry, c_i):
+            A = self.eps * self.K - self.Nrot - self._drift_matrices(c_i)
+            return self._fct(A, jnp.zeros_like(carry), carry, dt)
+
+        return step
+
+    def _adjoint_step(self, dt, optim):
+        def step(carry, x):
+            c_n, u_n, uhat_n = x
+            A = self.eps * self.K + self.Nrot + self._drift_matrices(c_n)
+            if optim == "finaltime":
+                rhs = jnp.zeros_like(carry)
+            else:
+                rhs = st.apply(self.M, uhat_n - u_n)
+            return self._fct(A, rhs, carry, dt)
+
+        return step
+
     def forward(self, control_traj, u0, dt):
         """State sweep: legacy A_u = -ε Ad + Arot + Adrift1 + Adrift2 with
         FCT_alg — ours: fct A = ε K - Arot - Adrift (sign flip)."""
 
         def build():
-            def step(carry, c_i):
-                A = self.eps * self.K - self.Nrot - self._drift_matrices(c_i)
-                return self._fct(A, jnp.zeros_like(carry), carry, dt)
+            if self.backend == "pallas_dist":
+                from fem_fct_pdeco_tpu.ops.pallas_dist import dist_drift_fct_sweep
 
+                def run_dist(c, u0):
+                    frames = dist_drift_fct_sweep(
+                        c[1:][:, None], u0,
+                        self.eps * self.K - self.Nrot, self.M, self.M_diag,
+                        self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
+                        sign=-1.0, drift=self.drift,
+                        tol=self.solver_opts.tol,
+                        iters=self.solver_opts.maxiter,
+                    )
+                    return jnp.concatenate([u0[None], frames], axis=0)
+
+                return run_dist
+            if self.backend == "pallas_fused":
+                from fem_fct_pdeco_tpu.ops.pallas_fused import fused_drift_fct_sweep
+
+                def run_fused(c, u0):
+                    frames = fused_drift_fct_sweep(
+                        c[1:][:, None], u0,
+                        self.eps * self.K - self.Nrot, self.M, self.M_diag,
+                        self.ML_diag, h=self.grid.h, dt=dt, sign=-1.0,
+                        drift=self.drift, tol=self.solver_opts.tol,
+                        iters=self.solver_opts.maxiter,
+                    )
+                    return jnp.concatenate([u0[None], frames], axis=0)
+
+                return run_fused
+            step = self._forward_step(dt)
             return lambda c, u0: forward_sweep(step, u0, c[1:])
 
         return self._jitted(("fwd", float(dt)), build)(control_traj, u0)
@@ -340,14 +398,42 @@ class DriftControlModel(ModelBase):
         """
 
         def build():
-            def step(carry, x):
-                c_n, u_n, uhat_n = x
-                A = self.eps * self.K + self.Nrot + self._drift_matrices(c_n)
-                if optim == "finaltime":
-                    rhs = jnp.zeros_like(carry)
+            if self.backend in ("pallas_fused", "pallas_dist"):
+                if self.backend == "pallas_dist":
+                    from fem_fct_pdeco_tpu.ops.pallas_dist import (
+                        dist_drift_fct_sweep as sweep_fn)
+                    extra = {"mesh": True}
                 else:
-                    rhs = st.apply(self.M, uhat_n - u_n)
-                return self._fct(A, rhs, carry, dt)
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_drift_fct_sweep as sweep_fn)
+                    extra = {}
+
+                def run_kern(u_traj, uhat, control_traj):
+                    if optim == "finaltime":
+                        pT = uhat - u_traj[-1]
+                        frames = control_traj[:-1][:, None]
+                        has_mis = False
+                    else:
+                        pT = jnp.zeros_like(u_traj[-1])
+                        mis = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
+                            uhat[:-1], u_traj[:-1])
+                        frames = jnp.stack(
+                            [control_traj[:-1], mis], axis=1)
+                        has_mis = True
+                    kw = dict(h=self.grid.h, dt=dt, sign=1.0,
+                              drift=self.drift, tol=self.solver_opts.tol,
+                              iters=self.solver_opts.maxiter,
+                              reverse=True, has_mis=has_mis)
+                    args = [frames, pT,
+                            self.eps * self.K + self.Nrot, self.M,
+                            self.M_diag, self.ML_diag]
+                    if extra:
+                        args.append(self.mesh)
+                    p = sweep_fn(*args, **kw)
+                    return jnp.concatenate([p, pT[None]], axis=0)
+
+                return run_kern
+            step = self._adjoint_step(dt, optim)
 
             def run(u_traj, uhat, control_traj):
                 if optim == "finaltime":
@@ -361,6 +447,46 @@ class DriftControlModel(ModelBase):
             return run
 
         return self._jitted(("adj", float(dt), optim), build)(u_traj, uhat, control_traj)
+
+    def adjoint_checkpointed(self, control_traj, u0, uhat, dt,
+                             optim="finaltime", num_segments: int = 8):
+        """Segmented checkpoint/recompute adjoint without a stored forward
+        trajectory (timeloop.checkpointed_adjoint; SURVEY §5 long-trajectory
+        mechanism). Returns p_traj matching adjoint(forward(...))."""
+        key = ("adjck", float(dt), optim, num_segments)
+
+        def build():
+            from fem_fct_pdeco_tpu.timeloop import checkpointed_adjoint
+
+            fwd_step = self._forward_step(dt)
+            adj_step = self._adjoint_step(dt, optim)
+
+            def run(control_traj, u0, uhat):
+                import jax as _jax
+
+                def terminal(final):
+                    if optim == "finaltime":
+                        return uhat - final
+                    return jnp.zeros_like(final)
+
+                def adj_xs(seg_traj, s, seg):
+                    cseg = _jax.lax.dynamic_slice_in_dim(
+                        control_traj, s * seg, seg, axis=0)
+                    if optim == "finaltime":
+                        uh = jnp.zeros_like(seg_traj[:-1])
+                    else:
+                        uh = _jax.lax.dynamic_slice_in_dim(
+                            uhat, s * seg, seg, axis=0)
+                    return (cseg, seg_traj[:-1], uh)
+
+                return checkpointed_adjoint(
+                    fwd_step, adj_step, u0, control_traj[1:],
+                    terminal, adj_xs, num_segments,
+                )
+
+            return run
+
+        return self._jitted(key, build)(control_traj, u0, uhat)
 
     def descent_direction(self, beta, c_traj, u_traj, p_traj):
         """dk = M^{-1}[-(β M c + (p_h (m·∇u_h), v))] via ChebSI

@@ -1753,3 +1753,199 @@ def dist_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
     )
     return fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
               A_u_adj, M, M_diag, ML_diag, Mbase_q)
+
+
+# ---------------------------------------------------------------------------
+# Distributed drift-control sweep (advection_solidbody_FCT_PDECO_*):
+# per-step Adrift1/Adrift2 assembled in-kernel on the halo-extended block.
+# ---------------------------------------------------------------------------
+
+
+def _drift_planes_rect(c, *, ncr, ncc, h2, m, grads, cmask):
+    """Rect/masked analogue of pallas_fused._drift_planes: 9 plane VALUES
+    ((ncr+1, ncc+1) each) of Adrift1 + Adrift2 for the halo-extended control
+    block (advection_solidbody_FCT_PDECO_finaltime.py:187-188; exact
+    closed-form quadratic moments = the reference's degree-2 rule)."""
+    T2 = _moments(2)
+    cc = _corners_rect(c, ncr, ncc)
+    planes = [None] * 9
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        gcx = sum(cc[t][a] * float(grads[t][a][0]) for a in range(3))
+        gcy = sum(cc[t][a] * float(grads[t][a][1]) for a in range(3))
+        mg = float(m[0]) * gcx + float(m[1]) * gcy
+        Sb = [
+            sum(cc[t][cid] * float(T2[cid, b]) for cid in range(3))
+            for b in range(3)
+        ]
+        for a, (ai, aj) in enumerate(corners):
+            gam = (float(m[0]) * float(grads[t][a][0])
+                   + float(m[1]) * float(grads[t][a][1]))
+            for b, (bi, bj) in enumerate(corners):
+                E = h2 * (float(T2[a, b]) * mg + gam * Sb[b])
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(E * cmask, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    return planes
+
+
+def _dist_drift_kernel(
+    frames_ref, x0_ref, Abase_ref, M_ref, Md_ref, ML_ref,
+    out_ref,
+    cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref, cext_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_dot,
+    *, axis, n, nl, nd, dt, sign, m, tol, iters, cheb_iters, h2, warm,
+    has_mis, grads,
+):
+    """Distributed analogue of pallas_fused._drift_sweep_kernel: the
+    control-dependent Adrift pair is assembled each step on the
+    halo-extended rows (2-row c halo exchange), added onto the stationary
+    halo-extended base εK ∓ N_rot."""
+    i = pl.program_id(0)
+    ops = _make_ops(
+        axis=axis, n=n, nl=nl, nd=nd, tol=tol, iters=iters,
+        dtype=cur_ref.dtype, hpad_ref=hpad_ref, sbuf_up=sbuf_up,
+        sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
+        drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
+        credit_dot=credit_dot)
+    row0 = ops.row0
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[:, :] = x0_ref[:, :]
+        prev_ref[:, :] = x0_ref[:, :]
+        cext_ref[:, :] = jnp.zeros_like(cext_ref)
+        ops.init_buffers()
+        ops.init_credits()
+
+    x_n = cur_ref[:, :]
+    c_i = frames_ref[0, 0, :, :]
+
+    # 2-row c halo for the straddling assembly cells
+    sbuf_up[0:2, :] = c_i[0:2, :]
+    sbuf_dn[0:2, :] = c_i[nl - 2 : nl, :]
+    th, bh = ops.exchange_bufs(2)
+    cext_ref[0:2, :] = th[0:2, :]
+    cext_ref[2 : nl + 2, :] = c_i
+    cext_ref[nl + 2 : nl + 4, :] = bh[0:2, :]
+
+    cr2 = row0 - 2 + jax.lax.broadcasted_iota(jnp.int32, (nl + 3, 1), 0)
+    cmask2 = ((cr2 >= 0) & (cr2 <= n - 2)).astype(x_n.dtype)
+    Ad = _drift_planes_rect(cext_ref[:, :], ncr=nl + 3, ncc=n - 1, h2=h2,
+                            m=m, grads=grads, cmask=cmask2)
+    for d in range(9):
+        plane = Abase_ref[d, :, :]
+        if Ad[d] is not None:
+            plane = plane + sign * Ad[d]
+        Aext_ref[d, :, :] = plane
+
+    rhs = frames_ref[0, 1, :, :] if has_mis else jnp.zeros_like(x_n)
+    x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
+    x_np1 = _dist_fct_tail(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        x_n, rhs, x0w, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=None)
+
+    prev_ref[:, :] = x_n
+    cur_ref[:, :] = x_np1
+    out_ref[0, :, :] = x_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _device_drift_sweep(frames_loc, x0_loc, Abase_rep, M_rep, Md_rep, ML_rep,
+                        *, axis, n, nl, nd, steps, F, dt, sign, m, tol,
+                        iters, cheb_iters, h2, warm, has_mis, reverse, grads):
+    me = jax.lax.axis_index(axis)
+    row0 = me * nl
+    A_pad = jnp.pad(Abase_rep, ((0, 0), (2, 2), (0, 0)))
+    Ax = jax.lax.dynamic_slice_in_dim(A_pad, row0, nl + 4, axis=1)
+    M_loc = jax.lax.dynamic_slice_in_dim(M_rep, row0, nl, axis=1)
+    Md_loc = jax.lax.dynamic_slice_in_dim(Md_rep, row0, nl, axis=0)
+    ML_loc = jax.lax.dynamic_slice_in_dim(ML_rep, row0, nl, axis=0)
+
+    dtype = x0_loc.dtype
+    kern = functools.partial(
+        _dist_drift_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, sign=sign,
+        m=m, tol=tol, iters=iters, cheb_iters=cheb_iters, h2=h2, warm=warm,
+        has_mis=has_mis, grads=grads,
+    )
+    field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nl + 4, n), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    if reverse:
+        frame_in = pl.BlockSpec((1, F, nl, n),
+                                lambda i: (steps - 1 - i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, nl, n), lambda i: (steps - 1 - i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        frame_in = pl.BlockSpec((1, F, nl, n), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
+        out_specs=frame_out,
+        scratch_shapes=[
+            pltpu.VMEM((nl, n), dtype),          # x current
+            pltpu.VMEM((nl, n), dtype),          # x prev (warm start)
+            pltpu.VMEM((9, nl + 4, n), dtype),   # A ext (-> Low, local rows)
+            pltpu.VMEM((9, nl, n), dtype),       # D
+            pltpu.VMEM((nl + 2, n + 2), dtype),  # halo/shift pad
+            pltpu.VMEM((nl + 4, n), dtype),      # c ext (2-row halo)
+        ] + _comm_scratch(nd, n, dtype, 2),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(frames_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
+    return out
+
+
+def dist_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
+                         h, dt, sign, drift, tol=1e-6, iters=60,
+                         cheb_iters=20, warm=True, reverse=False,
+                         has_mis=False, axis=None):
+    """Multi-chip drift-control FCT sweep over a 1-D device axis: semantics
+    identical to pallas_fused.fused_drift_fct_sweep (per-step in-kernel
+    Adrift assembly; sign=-1 state / +1 adjoint), distributed with the same
+    RDMA halo / credit / deterministic-reduction protocol as the other
+    sweeps."""
+    from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops.assembly import _basis_gradients
+
+    n = x0.shape[-1]
+    axis, nd = _resolve_mesh(mesh, axis, n)
+    nl = n // nd
+    steps = frames.shape[0]
+    F = frames.shape[1]
+    grads = _basis_gradients(h)
+
+    body = functools.partial(
+        _device_drift_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps,
+        F=F, dt=dt, sign=float(sign), m=tuple(float(v) for v in drift),
+        tol=tol, iters=iters, cheb_iters=cheb_iters, h2=h * h, warm=warm,
+        has_mis=has_mis, reverse=reverse, grads=grads,
+    )
+    spec_l = P(None, None, axis, None)
+    spec_t = P(None, axis, None)
+    spec_f = P(axis, None)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
+        out_specs=spec_t,
+        check_vma=False,
+    )
+    return fn(frames, x0, A_base, M, M_diag, ML_diag)

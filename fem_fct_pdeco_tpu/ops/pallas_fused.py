@@ -1639,18 +1639,8 @@ class _SynthPlanes:
         return self.plane_fn(d, self.mcoef, self.kcoef)
 
 
-def _synth_ilam(n, dtype, h2, dt, diff_coef, mass_coef):
-    """In-kernel dct_precond_ilam: inverse modal eigenvalues of
-    P = mass_coef·h²·I + dt·diff_coef·K5 via iota + cos (no VMEM input)."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).astype(dtype)
-    l = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).astype(dtype)
-    pi_over_n = np.pi / n
-    mu = (2.0 - 2.0 * jnp.cos(pi_over_n * k)) + (2.0 - 2.0 * jnp.cos(pi_over_n * l))
-    return 1.0 / (mass_coef * h2 + dt * diff_coef * mu)
-
-
 def _fwd_sweep_kernel_synth(
-    c_ref, u0_ref, v0_ref, dct_ref,
+    c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
@@ -1681,10 +1671,12 @@ def _fwd_sweep_kernel_synth(
     v_n = vcur_ref[:, :]
     c_i = c_ref[0, :, :]
     if precond == "dct":
-        ilam_u = _synth_ilam(n, dtype, h2, dt, Dm, 1.0)
-        ilam_v = _synth_ilam(n, dtype, h2, dt, Df, 1.0 + dt * delta)
-        prec_u = _make_dct_pinv(dct_ref, _FieldVal(ilam_u), dtype)
-        prec_v = _make_dct_pinv(dct_ref, _FieldVal(ilam_v), dtype)
+        # ilam values must be READ from refs inside the solver loops: a
+        # loop-carried synthesized (n, n) value sends the Mosaic compiler
+        # into hour-long layout analysis (measured: 22 s jacobi vs >10 min
+        # with carried values at 256²)
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
     else:
         prec_u = None
         prec_v = 1.0 / Mat2_ref[CENTER]
@@ -1744,7 +1736,8 @@ def fused_chemotaxis_forward_sweep_synth(
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
         grads=grads, warm=warm, reaction=reaction, precond=precond,
     )
-    dct_C = jnp.asarray(dct_matrix(n), dtype=u0.dtype)
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     u_traj, v_traj = pl.pallas_call(
@@ -1754,7 +1747,7 @@ def fused_chemotaxis_forward_sweep_synth(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
         ),
-        in_specs=[frame, field, field, field],
+        in_specs=[frame, field, field, field, field, field],
         out_specs=(frame, frame),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
@@ -1769,13 +1762,14 @@ def fused_chemotaxis_forward_sweep_synth(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
         ),
         interpret=_interp(),
-    )(c_traj[1:], u0, v0, dct_C)
+    )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
     return (jnp.concatenate([u0[None], u_traj], axis=0),
             jnp.concatenate([v0[None], v_traj], axis=0))
 
 
 def _adj_sweep_kernel_synth(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
+    ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
@@ -1806,10 +1800,8 @@ def _adj_sweep_kernel_synth(
     v_n = v_ref[0, :, :]
     c_n = c_ref[0, :, :]
     if precond == "dct":
-        ilam_p = _synth_ilam(n, dtype, h2, dt, Dm, 1.0)
-        ilam_q = _synth_ilam(n, dtype, h2, dt, Df, 1.0 + dt * delta)
-        prec_p = _make_dct_pinv(dct_ref, _FieldVal(ilam_p), dtype)
-        prec_q = _make_dct_pinv(dct_ref, _FieldVal(ilam_q), dtype)
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
     else:
         prec_p = None
         prec_q = 1.0 / Mat2_ref[CENTER]
@@ -1873,7 +1865,8 @@ def fused_chemotaxis_adjoint_sweep_synth(
         wts4=wts4, bary4=bary4, grads=grads, has_mis=has_mis,
         reaction=reaction, precond=precond,
     )
-    dct_C = jnp.asarray(dct_matrix(n), dtype=pT.dtype)
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -1891,7 +1884,8 @@ def fused_chemotaxis_adjoint_sweep_synth(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
         ),
-        in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field, field],
+        in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field, field,
+                  field, field],
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
@@ -1904,7 +1898,8 @@ def fused_chemotaxis_adjoint_sweep_synth(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
         ),
         interpret=_interp(),
-    )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT, dct_C)
+    )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
+      dct_C, ilam_p, ilam_q)
     return (jnp.concatenate([p_traj, pT[None]], axis=0),
             jnp.concatenate([q_traj, qT[None]], axis=0))
 
@@ -2251,3 +2246,134 @@ def fused_schnak_adjoint_sweep_td(u_traj, v_traj, pT, qT, K, M, M_diag,
       K, M, M_diag, ML_diag, dct_C, ilam_p, ilam_q)
     return (jnp.concatenate([p_traj, pT[None]], axis=0),
             jnp.concatenate([q_traj, qT[None]], axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Drift-control whole-sweep kernels: the control-dependent pseudo-mass /
+# pseudo-stiffness pair Adrift1/Adrift2 is assembled IN-KERNEL each step
+# from the streamed control frame — exactly the pattern the reference pays
+# two FEniCS assemblies per step for
+# (advection_solidbody_FCT_PDECO_finaltime.py:187-191).
+# ---------------------------------------------------------------------------
+
+
+def _drift_planes(c, *, nc, h2, m, grads):
+    """9-plane VALUES of Adrift1 + Adrift2 for control field ``c``:
+    A1 = ((m·∇c_h) u, v) element-constant weighted mass, A2 = ((m·∇v) c_h, u)
+    (advection_solidbody_FCT_PDECO_finaltime.py:187-188). Both integrands
+    are quadratic, so the closed-form barycentric moments equal the
+    reference's degree-2 rule exactly."""
+    T2 = _moments(2)
+    cc = _corners(c, nc)
+    planes = [None] * 9
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        gcx = sum(cc[t][a] * grads[t][a][0] for a in range(3))
+        gcy = sum(cc[t][a] * grads[t][a][1] for a in range(3))
+        mg = m[0] * gcx + m[1] * gcy  # (nc, nc) element-constant m·∇c_h
+        # Sb[b] = ∫_ref c_h λ_b = Σ_corner c_corner T2[corner, b]
+        Sb = [
+            sum(cc[t][cid] * float(T2[cid, b]) for cid in range(3))
+            for b in range(3)
+        ]
+        for a, (ai, aj) in enumerate(corners):
+            gam = m[0] * grads[t][a][0] + m[1] * grads[t][a][1]
+            for b, (bi, bj) in enumerate(corners):
+                E = h2 * (float(T2[a, b]) * mg + gam * Sb[b])
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(E, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = placed if planes[d] is None else planes[d] + placed
+    return planes
+
+
+def _drift_sweep_kernel(
+    frames_ref, x0_ref, Abase_ref, M_ref, Md_ref, ML_ref,
+    out_ref,
+    cur_ref, prev_ref, A_ref, D_ref, pad_ref,
+    *, n, dt, sign, m, tol, iters, cheb_iters, h2, warm, has_mis, grads,
+):
+    """One drift-control FCT step: A = A_base + sign·Adrift(c_i) with
+    A_base = εK ∓ N_rot precomputed (sign=-1 forward, +1 adjoint); rhs = 0
+    (forward / finaltime adjoint) or the streamed misfit load (alltime)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[:, :] = x0_ref[:, :]
+        prev_ref[:, :] = x0_ref[:, :]
+
+    x_n = cur_ref[:, :]
+    nc = n - 1
+    c_i = frames_ref[0, :, :]
+    Ad = _drift_planes(c_i, nc=nc, h2=h2, m=m, grads=grads)
+    for d in range(9):
+        plane = Abase_ref[d, :, :]
+        if Ad[d] is not None:
+            plane = plane + sign * Ad[d]
+        A_ref[d, :, :] = plane
+    rhs = frames_ref[1, :, :] if has_mis else jnp.zeros_like(x_n)
+    x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
+    x_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], x_n, rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w,
+    )
+    prev_ref[:, :] = x_n
+    cur_ref[:, :] = x_np1
+    out_ref[0, :, :] = x_np1
+
+
+def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
+                          h, dt, sign, drift, tol=1e-6, iters=60,
+                          cheb_iters=20, warm=True, reverse=False,
+                          has_mis=False):
+    """Whole drift-control sweep in ONE pallas_call with in-kernel per-step
+    Adrift1/Adrift2 assembly. ``frames``: (steps, F, n, n) — channel 0 the
+    control, channel 1 (has_mis) the alltime misfit load. ``sign``: -1 for
+    the state sweep (A = εK - N_rot - Adrift), +1 for the adjoint
+    (A = εK + N_rot + Adrift); ``A_base`` carries the stationary part.
+    ``reverse=True``: backward sweep (adjoint). Returns (steps, n, n)
+    frames excluding the initial/terminal state."""
+    n = x0.shape[-1]
+    steps = frames.shape[0]
+    F = frames.shape[1]
+    grads = _basis_gradients(h)
+    kern = functools.partial(
+        _drift_sweep_kernel, n=n, dt=dt, sign=float(sign),
+        m=tuple(float(v) for v in drift), tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h * h, warm=warm, has_mis=has_mis,
+        grads=grads,
+    )
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    if reverse:
+        frame_in = pl.BlockSpec((1, F, n, n), lambda i: (steps - 1 - i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        frame_in = pl.BlockSpec((1, F, n, n), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    def kern2(frames_ref, *rest):
+        return kern(frames_ref[0], *rest)
+
+    return pl.pallas_call(
+        kern2,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        in_specs=[frame_in, field, stencil, stencil, field, field],
+        out_specs=frame_out,
+        scratch_shapes=[
+            pltpu.VMEM((n, n), x0.dtype),
+            pltpu.VMEM((n, n), x0.dtype),
+            pltpu.VMEM((9, n, n), x0.dtype),
+            pltpu.VMEM((9, n, n), x0.dtype),
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+        interpret=_interp(),
+    )(frames, x0, A_base, M, M_diag, ML_diag)

@@ -406,3 +406,67 @@ def test_fused_scalar_reaction_matches_xla():
     px = mx.adjoint(ux, 1.1 * ux, dt, "alltime", reaction_traj=gr)
     pf = mf.adjoint(ux, 1.1 * ux, dt, "alltime", reaction_traj=gr)
     assert float(jnp.abs(pf - px).max()) < 1e-9
+
+
+def test_fused_drift_sweep_matches_xla():
+    """DriftControlModel pallas_fused backend (in-kernel per-step
+    Adrift1/Adrift2 assembly) matches the XLA path — forward, finaltime and
+    alltime adjoint (VERDICT item: drift-control gets the full backend
+    treatment)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.advection import (
+        DriftControlModel, slotted_cylinder_ic)
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 17, 5, 1e-3
+    g = Grid(-1.0, 1.0, n)
+    kw = dict(eps=0.0, om=np.pi / 40, drift=(1.0, 1.0),
+              solver_opts=SolverOpts(tol=1e-13))
+    mx = DriftControlModel(g, **kw)
+    mf = DriftControlModel(g, backend="pallas_fused", **kw)
+    rng = np.random.RandomState(1)
+    u0 = jnp.asarray(slotted_cylinder_ic(g, 0.05))
+    c = jnp.asarray(0.5 * rng.rand(steps + 1, n, n))
+
+    ux = mx.forward(c, u0, dt)
+    uf = mf.forward(c, u0, dt)
+    assert float(jnp.abs(uf - ux).max()) < 1e-9
+
+    uhat = 1.1 * ux[-1]
+    px = mx.adjoint(ux, uhat, c, dt, "finaltime")
+    pf = mf.adjoint(ux, uhat, c, dt, "finaltime")
+    assert float(jnp.abs(pf - px).max()) < 1e-9
+
+    px = mx.adjoint(ux, 1.1 * ux, c, dt, "alltime")
+    pf = mf.adjoint(ux, 1.1 * ux, c, dt, "alltime")
+    assert float(jnp.abs(pf - px).max()) < 1e-9
+
+
+def test_drift_checkpointed_adjoint_matches():
+    """DriftControlModel.adjoint_checkpointed (segmented recompute) matches
+    the stored-trajectory adjoint."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.advection import (
+        DriftControlModel, slotted_cylinder_ic)
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 17, 8, 1e-3
+    g = Grid(-1.0, 1.0, n)
+    m = DriftControlModel(g, eps=0.0, om=np.pi / 40,
+                          solver_opts=SolverOpts(tol=1e-13))
+    rng = np.random.RandomState(2)
+    u0 = jnp.asarray(slotted_cylinder_ic(g, 0.05))
+    c = jnp.asarray(0.5 * rng.rand(steps + 1, n, n))
+    u = m.forward(c, u0, dt)
+    for optim, uhat in (("finaltime", 1.1 * u[-1]), ("alltime", 1.1 * u)):
+        p_ref = m.adjoint(u, uhat, c, dt, optim)
+        p_ck = m.adjoint_checkpointed(c, u0, uhat, dt, optim, num_segments=4)
+        assert float(jnp.abs(p_ck - p_ref).max()) < 1e-9, optim
