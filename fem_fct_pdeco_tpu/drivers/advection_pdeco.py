@@ -357,12 +357,16 @@ def main(argv=None):
                          "needs the piecewise path)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--armijo-batch", type=int, default=1,
+                    help="evaluate N Armijo candidate steps per vmapped "
+                         "sweep (same accepted-step sequence)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "dt": args.dt,
          "dx": args.dx, "beta": args.beta, "tol": args.tol,
          "max_iter_gd": args.max_iter_gd, "produce_plots": args.plots,
-         "mixed_precision": args.mixed_precision}
+         "mixed_precision": args.mixed_precision,
+         "armijo_batch": args.armijo_batch}
     if args.optim == "alltime" or args.exact:
         d["T_data"] = args.T
     if args.exact and args.optim == "finaltime":

@@ -169,6 +169,9 @@ def main(argv=None):
                          "parity-grade Armijo decisions at f32 sweep speed)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
+    ap.add_argument("--armijo-batch", type=int, default=1,
+                    help="evaluate N Armijo candidate steps per vmapped "
+                         "sweep (same accepted-step sequence)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     T_data = args.T_data
@@ -182,6 +185,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
+        armijo_batch=args.armijo_batch,
     )
     problem = ChemotaxisProblem(cfg, backend=args.backend,
                                 linear_armijo=args.linear_armijo)

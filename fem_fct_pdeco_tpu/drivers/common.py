@@ -56,6 +56,9 @@ class ExperimentConfig:
     memory_telemetry: bool = False
     registry_csv: str | None = None
     checkpoint_path: str | None = None  # enable PGD save/resume
+    # Armijo trial batching: evaluate this many candidate step sizes per
+    # vmapped sweep (identical accepted-step sequence; optimize/armijo.py)
+    armijo_batch: int = 1
     tag: str = ""
     # f32 sweeps + f64 objectives/norms (requires jax_enable_x64; see
     # optimize/cost.py). Drivers set this from --mixed-precision.
@@ -117,6 +120,24 @@ class PDECOProblem:
     def solve_state(self, c):  # -> tuple of trajectories
         raise NotImplementedError
 
+    def solve_state_batched(self, cs):
+        """Batched state solves over a leading batch of controls (Armijo
+        trial batching, optimize/armijo.py): one jit-cached vmap of
+        ``solve_state`` with the model operators hoisted to arguments
+        (ModelBase.hoist_wrap — closed-over stencils would otherwise be
+        inlined as O(n²) constants)."""
+        if getattr(self, "_batched_state_fn", None) is None:
+            import jax
+
+            def one(c):
+                state = self.solve_state(c)
+                return state if isinstance(state, tuple) else (state,)
+
+            wrapper, opvals = self.model.hoist_wrap(jax.vmap(one))
+            self._batched_state_fn = (jax.jit(wrapper), opvals)
+        jfn, opvals = self._batched_state_fn
+        return jfn(opvals(), (cs,))
+
     def solve_adjoint(self, state, c):  # -> tuple of adjoint trajectories
         raise NotImplementedError
 
@@ -162,6 +183,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         max_iter_armijo=cfg.max_iter_armijo, c_lower=cfg.c_lower,
         c_upper=cfg.c_upper, gam=cfg.gam, s0=cfg.s0,
         checkpoint_path=cfg.checkpoint_path,
+        armijo_batch=cfg.armijo_batch,
     )
 
     targets = problem.targets()
@@ -241,6 +263,8 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             fidelity_fn=fidelity,
             callback=callback,
             linear_increments=lin if getattr(problem, "use_linear_increments", False) else None,
+            batched_solver=(problem.solve_state_batched
+                            if cfg.armijo_batch > 1 else None),
         )
 
     # ---- post-run artifacts (reference driver tail) --------------------

@@ -177,13 +177,17 @@ def main(argv=None):
                     help="legacy m(4-m) system (old_helpers.py:87-111)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--armijo-batch", type=int, default=1,
+                    help="evaluate N Armijo candidate steps per vmapped "
+                         "sweep (same accepted-step sequence)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T_data,
          "dt": args.dt, "dx": args.dx, "a2": args.a2, "beta": args.beta,
          "tol": args.tol, "max_iter_gd": args.max_iter_gd,
          "produce_plots": args.plots,
-         "mixed_precision": args.mixed_precision}
+         "mixed_precision": args.mixed_precision,
+         "armijo_batch": args.armijo_batch}
     if args.legacy_m4:
         # legacy script config (chemotaxis_mimura_FCT_PGD.py:44-57)
         assert args.optim == "finaltime", "--legacy-m4 is final-time only"

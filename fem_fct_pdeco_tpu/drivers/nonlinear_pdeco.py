@@ -161,6 +161,9 @@ def main(argv=None):
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
+    ap.add_argument("--armijo-batch", type=int, default=1,
+                    help="evaluate N Armijo candidate steps per vmapped "
+                         "sweep (same accepted-step sequence)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     cfg = build_config(
@@ -169,6 +172,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
+        armijo_batch=args.armijo_batch,
     )
     problem = NonlinearProblem(cfg, backend=args.backend)
     problem.use_discrete_gradient = args.discrete_gradient

@@ -169,6 +169,9 @@ def main(argv=None):
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
+    ap.add_argument("--armijo-batch", type=int, default=1,
+                    help="evaluate N Armijo candidate steps per vmapped "
+                         "sweep (same accepted-step sequence)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     T_data = args.T_data
@@ -180,6 +183,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
+        armijo_batch=args.armijo_batch,
     )
     return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data,
                                    td_wind=args.td_wind, backend=args.backend), cfg)

@@ -176,12 +176,16 @@ def main(argv=None):
     ap.add_argument("--backend",
                     choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
+    ap.add_argument("--armijo-batch", type=int, default=1,
+                    help="evaluate N Armijo candidate steps per vmapped "
+                         "sweep (same accepted-step sequence)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T,
          "dt": args.dt, "beta": args.beta, "tol": args.tol,
          "max_iter_gd": args.max_iter_gd,
-         "mixed_precision": args.mixed_precision}
+         "mixed_precision": args.mixed_precision,
+         "armijo_batch": args.armijo_batch}
     cfg = ExperimentConfig(**d)
     tag = "_garvie" if args.garvie else ""
     cfg.out_folder = args.out or f"SolidBody_{cfg.optim}{tag}_T{cfg.T}_beta{cfg.beta}"

@@ -44,7 +44,37 @@ def armijo_line_search(
     gam: float = 1e-4,
     max_iter: int = 10,
     s0: float = 1.0,
+    batched_solver: Callable | None = None,  # (stacked controls) -> batched state
+    batch: int = 1,
 ) -> ArmijoResult:
+    """``batched_solver`` + ``batch`` > 1: evaluate ``batch`` candidate step
+    sizes (s0, s0/2, ...) per round in ONE vmapped state sweep and accept
+    the LARGEST passing s — the accepted-step sequence is identical to the
+    sequential halving loop (the reference's semantics,
+    helpers.py:1683-1708), but each round costs one batched sweep instead
+    of up to ``batch`` sequential sweep+sync round trips."""
+    if batched_solver is not None and increments is None and batch > 1:
+        k = 0
+        new_state, c_inc, cost2, s = state, control, cost_init, s0
+        while k < max_iter:
+            nb = min(batch, max_iter - k)
+            svals = [s0 / 2.0 ** j for j in range(k, k + nb)]
+            c_incs = jnp.stack([
+                jnp.clip(control + sv * direction, c_lower, c_upper)
+                for sv in svals
+            ])
+            states = batched_solver(c_incs)
+            for j, sv in enumerate(svals):
+                new_state = tuple(t[j] for t in states)
+                c_inc, s = c_incs[j], sv
+                cost2 = float(cost_fn(new_state, c_inc))
+                cdiff = float(control_norm_sq(c_inc - control))
+                if cost2 - cost_init <= -gam / sv * cdiff:
+                    return ArmijoResult(new_state, c_inc, k + j + 1, sv,
+                                        True, cost2)
+            k += nb
+        return ArmijoResult(new_state, c_inc, max_iter, s, False, cost2)
+
     s = s0
     armijo = float("inf")
     cdiff = 1.0

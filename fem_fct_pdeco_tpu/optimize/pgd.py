@@ -42,6 +42,9 @@ class PGDConfig:
     restart_limit: int = 5
     checkpoint_path: str | None = None  # enable save/resume when set
     checkpoint_every: int = 1
+    # Armijo trial batching: >1 evaluates that many candidate steps per
+    # vmapped sweep (armijo_line_search); needs a batched_solver
+    armijo_batch: int = 1
 
 
 @dataclasses.dataclass
@@ -68,6 +71,7 @@ def projected_gradient_descent(
     fidelity_fn: Callable | None = None,  # (state) -> dict of misfit norms
     callback: Callable | None = None,     # (it, locals dict) -> None
     linear_increments: Callable | None = None,  # (direction) -> increments
+    batched_solver: Callable | None = None,  # (stacked controls) -> states
 ) -> PGDResult:
     cfg = config
     t_start = time.time()
@@ -129,6 +133,7 @@ def projected_gradient_descent(
             solver=solve_state if linear_increments is None else None,
             increments=None if linear_increments is None else linear_increments(dk),
             gam=cfg.gam, max_iter=cfg.max_iter_armijo, s0=cfg.s0,
+            batched_solver=batched_solver, batch=cfg.armijo_batch,
         )
         state, ck = res.state, res.control
         if linear_increments is not None:

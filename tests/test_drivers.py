@@ -199,3 +199,19 @@ def test_per_iteration_progress_flush(in_tmp):
     import glob
 
     assert glob.glob(os.path.join(folder, "*.png"))
+
+
+def test_armijo_batch_driver_equivalence(in_tmp):
+    """--armijo-batch 2: identical cost history and accepted-trial counts to
+    the sequential driver run (the batched trials change wall-clock, never
+    the optimization path)."""
+    from fem_fct_pdeco_tpu.drivers import nonlinear_pdeco as d
+
+    args = ["--T", "0.02", "--dx", "0.1", "--max-iter-gd", "3", "--tol", "1e-10"]
+    out1 = d.main(args)
+    out2 = d.main(args + ["--armijo-batch", "2"])
+    h1, h2 = out1["result"].history, out2["result"].history
+    assert h1["armijo_iters"] == h2["armijo_iters"]
+    import numpy as np
+
+    np.testing.assert_allclose(h1["cost"], h2["cost"], rtol=1e-12)

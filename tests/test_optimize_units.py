@@ -136,3 +136,47 @@ def test_mixed_precision_norms_match_f64_oracle():
     om_mixed = float(l2_norm_sq_omega(traj32[0], M64, accum_dtype=jnp.float64))
     om_oracle = float(flat[0] @ Md @ flat[0])
     assert abs(om_mixed - om_oracle) / om_oracle < 1e-12
+
+
+def test_batched_armijo_matches_sequential():
+    """Batched Armijo trials (evaluate K candidate steps per vmapped solve,
+    accept the largest passing s) produce the IDENTICAL accepted step,
+    state, and trial count as the sequential halving loop, for acceptance
+    at every position including failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.optimize.armijo import armijo_line_search
+
+    # synthetic 1-var problem: J(c) = ||c - target||^2 summed; solver is the
+    # identity "state"; acceptance position is steered via the target
+    target = jnp.asarray([[2.0]])
+    control = jnp.asarray([[0.0]])
+
+    def cost_fn(state, c):
+        return float(jnp.sum((c - target) ** 2))
+
+    def norm_sq(dc):
+        return float(jnp.sum(dc**2))
+
+    def solver(c):
+        return (c,)
+
+    def batched_solver(cs):
+        return (cs,)
+
+    for direction_scale in (2.0, 1.0, 0.5, 0.125, 1e-9):
+        direction = jnp.full((1, 1), direction_scale)
+        kw = dict(cost_fn=cost_fn, control_norm_sq=norm_sq,
+                  c_lower=-10.0, c_upper=10.0, gam=1e-4, max_iter=5, s0=1.0)
+        seq = armijo_line_search(control, direction, (control,), cost_fn((control,), control),
+                                 solver=solver, **kw)
+        for batch in (2, 3, 5):
+            bat = armijo_line_search(control, direction, (control,),
+                                     cost_fn((control,), control),
+                                     solver=solver, batched_solver=batched_solver,
+                                     batch=batch, **kw)
+            assert bat.converged == seq.converged, direction_scale
+            assert bat.iterations == seq.iterations, direction_scale
+            assert bat.step_size == seq.step_size, direction_scale
+            assert float(jnp.abs(bat.control - seq.control).max()) == 0.0
