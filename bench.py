@@ -121,9 +121,10 @@ def tpu_schnak_steps_per_sec() -> dict:
 
 
 def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50) -> dict:
-    """Forward sweep throughput at a grid too large for the VMEM-resident
-    whole-sweep kernel (XLA path; possible at all only since the model
-    operators are hoisted to jit arguments — see models/base.py)."""
+    """Forward sweep throughput at 1024²: the synth fused whole-sweep
+    kernel (in-kernel synthesized stationary operators, pallas_fused.py)
+    vs the XLA fallback, with a fused-vs-XLA parity guard so a silently
+    wrong kernel can't post a fast number."""
     import jax
     import jax.numpy as jnp
 
@@ -132,23 +133,87 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50) -> dict:
     from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
 
     g = Grid(0.0, 1.0, n)
-    model = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float32,
-                            solver_opts=SolverOpts(tol=1e-6, maxiter=200),
-                            backend="xla")
-    u0np, v0np = model.ic()
+    u0np, v0np = None, None
+    out = {}
+
+    def measure(backend, steps_b):
+        nonlocal u0np, v0np
+        model = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float32,
+                                solver_opts=SolverOpts(tol=1e-6, maxiter=200),
+                                backend=backend)
+        if u0np is None:
+            u0np, v0np = model.ic()
+        u0 = jnp.asarray(u0np, jnp.float32)
+        v0 = jnp.asarray(v0np, jnp.float32)
+        c = jnp.full((steps_b + 1, n, n), model.params.gamma, jnp.float32)
+        u, v = model.forward(c, u0, v0, DT)
+        jax.block_until_ready((u, v))
+        assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = model.forward(c, u0, v0, DT)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        return model, (u, v), steps_b / best
+
+    model_f, (uf, vf), sps_fused = measure("pallas_fused", steps)
+    assert model_f.backend == "pallas_fused", model_f.backend
+    out[f"forward_steps_per_sec_{n}"] = round(sps_fused, 3)
+    try:
+        model_x, (ux, vx), sps_xla = measure("xla", steps)
+        out[f"forward_steps_per_sec_{n}_xla"] = round(sps_xla, 3)
+        # parity guard over the first 5 steps (f32 trajectories diverge
+        # chaotically at long horizons; early steps must agree closely)
+        rel = float(jnp.abs(uf[5] - ux[5]).max() / jnp.abs(ux[5]).max())
+        assert rel < 1e-2, rel
+        out[f"fused_vs_xla_rel_{n}"] = rel
+    except Exception as e:
+        out[f"large_grid_xla_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def tpu_dist_smoke(n: int = 256, steps: int = 50) -> dict:
+    """Real-TPU smoke of the RDMA dist path on an nd=1 mesh: Mosaic must
+    lower the remote-DMA descriptors, semaphore protocol and the
+    distributed-transpose DCT machinery on actual hardware (the rest of the
+    dist coverage runs in interpret mode on the CPU mesh); result is
+    checked against the fused path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    g = Grid(0.0, 1.0, n)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    md = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float32,
+                         solver_opts=SolverOpts(tol=1e-6, maxiter=200),
+                         backend="pallas_dist", mesh=mesh)
+    mf = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float32,
+                         solver_opts=SolverOpts(tol=1e-6, maxiter=200),
+                         backend="pallas_fused")
+    u0np, v0np = md.ic()
     u0 = jnp.asarray(u0np, jnp.float32)
     v0 = jnp.asarray(v0np, jnp.float32)
-    c = jnp.full((steps + 1, n, n), model.params.gamma, jnp.float32)
-    u, v = model.forward(c, u0, v0, DT)
-    jax.block_until_ready((u, v))
-    assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+    c = jnp.full((steps + 1, n, n), md.params.gamma, jnp.float32)
+    ud, vd = md.forward(c, u0, v0, DT)
+    jax.block_until_ready((ud, vd))
+    assert bool(jnp.isfinite(ud).all()) and bool(jnp.isfinite(vd).all())
+    uf, _ = mf.forward(c, u0, v0, DT)
+    rel = float(jnp.abs(ud[5] - uf[5]).max() / jnp.abs(uf[5]).max())
+    assert rel < 1e-2, rel
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = model.forward(c, u0, v0, DT)
-        jax.block_until_ready(out)
+        o = md.forward(c, u0, v0, DT)
+        jax.block_until_ready(o)
         best = min(best, time.perf_counter() - t0)
-    return {f"forward_steps_per_sec_{n}": round(steps / best, 3)}
+    return {"dist_smoke_steps_per_sec": round(steps / best, 3),
+            "dist_vs_fused_rel": rel}
 
 
 def tpu_pdeco_wallclock(max_iter_gd: int = 5) -> dict:
@@ -380,6 +445,10 @@ def main():
     except Exception as e:
         big = {"large_grid_error": f"{type(e).__name__}: {e}"}
     try:
+        dist = tpu_dist_smoke()
+    except Exception as e:
+        dist = {"dist_smoke_error": f"{type(e).__name__}: {e}"}
+    try:
         base = cpu_baseline_steps_per_sec()
     except Exception:
         base = None
@@ -393,6 +462,7 @@ def main():
             **pdeco,
             **schnak,
             **big,
+            **dist,
         },
     }
     print(json.dumps(out))

@@ -214,7 +214,7 @@ class ChemotaxisModel(ModelBase):
                     Dm=p.Dm, chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol,
                     iters=self.solver_opts.maxiter,
-                    reaction=self._fused_reaction)
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta)
 
             return run_dist
         if self._uses_fused_sweep():
@@ -376,7 +376,7 @@ class ChemotaxisModel(ModelBase):
                     eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol,
                     iters=self.solver_opts.maxiter,
-                    reaction=self._fused_reaction)
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta)
 
             return run_dist
         if self._uses_fused_sweep():

@@ -254,7 +254,9 @@ def _q_load_rect(p_n, u, *, ncr, ncc, chi, eta, wts, bary, grads, cmask):
 def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
               hpad_ref, sbuf_up, sbuf_dn, rtop, rbot, dot_s, dot_r,
               hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
-              credit_up, credit_dn, credit_dot):
+              credit_up, credit_dn, credit_dot,
+              tsend=None, trecv=None, tsend_sem=None, trecv_sem=None,
+              credit_tr=None):
     """Build the communication and solver closures shared by the forward
     and adjoint sweep kernels (see the module docstring for the protocol)."""
     import types
@@ -287,6 +289,11 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
                 src = (me - o + nd) % nd
                 pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1,
                                        device_id=src, device_id_type=LOGICAL)
+        if credit_tr is not None and nd > 1:
+            for o in range(1, nd):
+                src = (me - o + nd) % nd
+                pltpu.semaphore_signal(credit_tr.at[o - 1], inc=1,
+                                       device_id=src, device_id_type=LOGICAL)
 
     def drain():
         """Consume the outstanding tokens so every semaphore exits at zero;
@@ -304,6 +311,9 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
         if nd > 1:
             for o in range(1, nd):
                 pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+        if credit_tr is not None and nd > 1:
+            for o in range(1, nd):
+                pltpu.semaphore_wait(credit_tr.at[o - 1], 1)
 
     def exchange_bufs(k):
         """Exchange the first ``k`` pre-written rows of sbuf_up/sbuf_dn with
@@ -399,6 +409,40 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
                                    device_id=src, device_id_type=LOGICAL)
         return tuple(total[0, t] for t in range(len(scalars)))
 
+    def dtranspose(x):
+        """Distributed transpose of the row-block-distributed (nl, n) field
+        ``x``: returns my (nl, n) row block of x^T. All-to-all of locally
+        transposed (nl, nl) tiles over the ring (same credit discipline as
+        dist_sums), safe inside data-dependent solver while_loops."""
+        # stage every tile, transposed: tile p = x[:, p nl : (p+1) nl]^T
+        for p in range(nd):
+            tsend[p] = jnp.transpose(x[:, p * nl : (p + 1) * nl])
+        if nd == 1:
+            return tsend[0] + 0.0
+        # own tile lands locally in my source slot
+        trecv[pl.ds(me, 1)] = tsend[pl.ds(me, 1)]
+        descs = []
+        for o in range(1, nd):
+            dst = (me + o) % nd
+            d_ = pltpu.make_async_remote_copy(
+                src_ref=tsend.at[pl.ds(dst, 1)],
+                dst_ref=trecv.at[pl.ds(me, 1)],
+                send_sem=tsend_sem.at[o - 1], recv_sem=trecv_sem.at[o - 1],
+                device_id=dst, device_id_type=LOGICAL)
+            pltpu.semaphore_wait(credit_tr.at[o - 1], 1)
+            d_.start()
+            descs.append(d_)
+        for d_ in descs:
+            d_.wait_recv()
+            d_.wait_send()
+        out = jnp.concatenate(
+            [trecv[src] for src in range(nd)], axis=1)
+        for o in range(1, nd):
+            src = (me - o + nd) % nd
+            pltpu.semaphore_signal(credit_tr.at[o - 1], inc=1,
+                                   device_id=src, device_id_type=LOGICAL)
+        return out
+
     def fill_hpad(x, th, bh):
         hpad_ref[1 : nl + 1, 1 : n + 1] = x
         hpad_ref[0:1, 1 : n + 1] = th
@@ -426,7 +470,8 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
 
         return apply
 
-    def dbicgstab(apply_A, Kinv, b, x0):
+    def dbicgstab(apply_A, prec, b, x0):
+        Pinv = prec if callable(prec) else (lambda r_: prec * r_)
         x = x0
         r = b - apply_A(x)
         rhat = r
@@ -440,12 +485,12 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
 
         def body(c):
             k, x, r, p_, rho, _ = c
-            phat = Kinv * p_
+            phat = Pinv(p_)
             v = apply_A(phat)
             (rv,) = dist_sums(jnp.sum(rhat * v))
             alpha = _safe_div(rho, rv)
             s = r - alpha * v
-            shat = Kinv * s
+            shat = Pinv(s)
             t2 = apply_A(shat)
             ts, tt = dist_sums(jnp.sum(t2 * s), jnp.sum(t2 * t2))
             omega = _safe_div(ts, tt)
@@ -460,10 +505,11 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
         _, x, *_ = jax.lax.while_loop(cond, body, init)
         return x
 
-    def dcg(apply_A, Kinv, b, x0):
+    def dcg(apply_A, prec, b, x0):
+        Pinv = prec if callable(prec) else (lambda r_: prec * r_)
         x = x0
         r = b - apply_A(x)
-        z = Kinv * r
+        z = Pinv(r)
         rz, bb, rr = dist_sums(jnp.sum(r * z), jnp.sum(b * b),
                                jnp.sum(r * r))
         atol2 = tol * tol * bb
@@ -479,7 +525,7 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
             alpha = _safe_div(rz, pAp)
             x2 = x + alpha * p_
             r2 = r - alpha * Ap
-            z2 = Kinv * r2
+            z2 = Pinv(r2)
             rz2, rn2 = dist_sums(jnp.sum(r2 * z2), jnp.sum(r2 * r2))
             beta = _safe_div(rz2, rz)
             p2 = z2 + beta * p_
@@ -495,11 +541,41 @@ def _make_ops(*, axis, n, nl, nd, tol, iters, dtype,
         exchange_bufs=exchange_bufs, exchange=exchange, dist_sums=dist_sums,
         fill_hpad=fill_hpad, window=window, plane_sum=plane_sum,
         make_apply=make_apply, dbicgstab=dbicgstab, dcg=dcg,
+        dtranspose=dtranspose,
         sbuf_up=sbuf_up, sbuf_dn=sbuf_dn)
 
 
+def _dct_pinv_dist(ops, C_ref, ilam_ref, dtype):
+    """Distributed spectral (DCT) preconditioner apply for row-block fields:
+    r -> C^T ((C r C^T) * invLam) C via 4 LOCAL MXU matmuls + 2 distributed
+    transposes (pallas_fused._make_dct_pinv semantics; ilam_ref holds MY
+    nl rows of the symmetric modal-eigenvalue reciprocal)."""
+    hi = jax.lax.Precision.DEFAULT
+
+    def pinv(r):
+        C = C_ref[:, :]
+        # column transform: b = r C^T
+        b = jax.lax.dot_general(r, C, (((1,), (1,)), ((), ())), precision=hi,
+                                preferred_element_type=dtype)
+        bT = ops.dtranspose(b)
+        # row transform (now local): d = (C r C^T)^T rows
+        d = jax.lax.dot_general(bT, C, (((1,), (1,)), ((), ())), precision=hi,
+                                preferred_element_type=dtype)
+        e = d * ilam_ref[:, :]
+        # inverse column transform on the transposed layout: h = e C
+        h = jax.lax.dot_general(e, C, (((1,), (0,)), ((), ())), precision=hi,
+                                preferred_element_type=dtype)
+        hT = ops.dtranspose(h)
+        # inverse row transform: out = h^T C (= C^T (..) C row block)
+        return jax.lax.dot_general(hT, C, (((1,), (0,)), ((), ())),
+                                   precision=hi, preferred_element_type=dtype)
+
+    return pinv
+
+
 def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
-                   u_prev, rhs, x0, *, n, nl, dt, cheb_iters, S=None):
+                   u_prev, rhs, x0, *, n, nl, dt, cheb_iters, S=None,
+                   prec=None):
     """Distributed FCT step tail, given the assembled flux matrix in the
     row-extended Aext_ref (ext row e = global row row0-2+e): artificial
     diffusion -> Low (in place, local rows) -> distributed BiCGStab ->
@@ -543,8 +619,10 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
         return ops.plane_sum(low_at, x)
 
     b = ML * u_prev + dt * rhs
-    u_low = ops.dbicgstab(apply_low, 1.0 / Aext_ref[CENTER, 2 : nl + 2, :],
-                          b, x0)
+    u_low = ops.dbicgstab(
+        apply_low,
+        prec if prec is not None else 1.0 / Aext_ref[CENTER, 2 : nl + 2, :],
+        b, x0)
 
     # Chebyshev du/dt on M du = -A u_low + rhs (A = (Low-ML)/dt + D - S:
     # the flux matrix alone drives the antidiffusive du/dt)
@@ -657,6 +735,7 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
 def _dist_fwd_kernel(
     # inputs (per-device blocks)
     c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    C_ref, ilamu_ref, ilamv_ref,
     # outputs
     uout_ref, vout_ref,
     # scratch
@@ -667,8 +746,9 @@ def _dist_fwd_kernel(
     dot_s, dot_r,
     hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
     credit_up, credit_dn, credit_dot,
+    tsend, trecv, tsend_sem, trecv_sem, credit_tr,
     *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, h2, grads, warm, reaction,
+    wts4, bary4, h2, grads, warm, reaction, precond,
 ):
     i = pl.program_id(0)
     ops = _make_ops(
@@ -677,8 +757,16 @@ def _dist_fwd_kernel(
         sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
         hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
         drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
-        credit_dot=credit_dot)
+        credit_dot=credit_dot,
+        tsend=tsend, trecv=trecv, tsend_sem=tsend_sem, trecv_sem=trecv_sem,
+        credit_tr=credit_tr)
     row0 = ops.row0
+    if precond == "dct":
+        prec_u = _dct_pinv_dist(ops, C_ref, ilamu_ref, ucur_ref.dtype)
+        prec_v = _dct_pinv_dist(ops, C_ref, ilamv_ref, ucur_ref.dtype)
+    else:
+        prec_u = None
+        prec_v = None
 
     @pl.when(i == 0)
     def _():
@@ -722,8 +810,10 @@ def _dist_fwd_kernel(
     apply_M = ops.make_apply(M_ref)
     b_v = apply_M(v_n) + (dt * inv_r) * load
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
-    v_np1 = ops.dcg(ops.make_apply(Mat2_ref), 1.0 / Mat2_ref[CENTER, :, :],
-                    b_v, x0v)
+    v_np1 = ops.dcg(
+        ops.make_apply(Mat2_ref),
+        prec_v if prec_v is not None else 1.0 / Mat2_ref[CENTER, :, :],
+        b_v, x0v)
 
     # ---- u half-step: assemble A on the row-extended block --------------
     th, bh = ops.exchange(v_np1[0:2, :], v_np1[nl - 2 : nl, :])
@@ -753,7 +843,7 @@ def _dist_fwd_kernel(
     u_np1 = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         u_n, rhs_u, x0u, n=n, nl=nl, dt=dt,
-        cheb_iters=cheb_iters)
+        cheb_iters=cheb_iters, prec=prec_u)
 
     uprev_ref[:, :] = u_n
     vprev_ref[:, :] = v_n
@@ -771,6 +861,7 @@ def _dist_adj_kernel(
     # inputs (per-device blocks, streamed in reverse)
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    C_ref, ilamu_ref, ilamv_ref,
     # outputs
     pout_ref, qout_ref,
     # scratch
@@ -781,8 +872,9 @@ def _dist_adj_kernel(
     dot_s, dot_r,
     hsend_sem, hrecv_sem, dsend_sem, drecv_sem,
     credit_up, credit_dn, credit_dot,
+    tsend, trecv, tsend_sem, trecv_sem, credit_tr,
     *, axis, n, nl, nd, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts5, bary5, wts4, bary4, h2, grads, warm, reaction,
+    wts5, bary5, wts4, bary4, h2, grads, warm, reaction, precond,
 ):
     """Distributed chemotaxis adjoint sweep step (helpers.py:1387-1581
     semantics, identical to pallas_fused._adj_sweep_kernel): p FCT with the
@@ -794,8 +886,16 @@ def _dist_adj_kernel(
         sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot, dot_s=dot_s, dot_r=dot_r,
         hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
         drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
-        credit_dot=credit_dot)
+        credit_dot=credit_dot,
+        tsend=tsend, trecv=trecv, tsend_sem=tsend_sem, trecv_sem=trecv_sem,
+        credit_tr=credit_tr)
     row0 = ops.row0
+    if precond == "dct":
+        prec_p = _dct_pinv_dist(ops, C_ref, ilamu_ref, pcur_ref.dtype)
+        prec_q = _dct_pinv_dist(ops, C_ref, ilamv_ref, pcur_ref.dtype)
+    else:
+        prec_p = None
+        prec_q = None
 
     @pl.when(i == 0)
     def _():
@@ -876,7 +976,8 @@ def _dist_adj_kernel(
     x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
     p_n = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        p_np1, rhs, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+        p_np1, rhs, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S,
+        prec=prec_p)
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
     thp, bhp = ops.exchange(p_n[0:1, :], p_n[nl - 1 : nl, :])
@@ -891,8 +992,10 @@ def _dist_adj_kernel(
     apply_M = ops.make_apply(M_ref)
     b = apply_M(q_np1) + dt * qload
     x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
-    q_n = ops.dcg(ops.make_apply(Mat2_ref), 1.0 / Mat2_ref[CENTER, :, :],
-                  b, x0q)
+    q_n = ops.dcg(
+        ops.make_apply(Mat2_ref),
+        prec_q if prec_q is not None else 1.0 / Mat2_ref[CENTER, :, :],
+        b, x0q)
 
     pprev_ref[:, :] = p_np1
     qprev_ref[:, :] = q_np1
@@ -911,9 +1014,11 @@ def _dist_adj_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _comm_scratch(nd, n, dtype, sbuf_rows):
-    """The communication scratch block shared by both sweep kernels."""
-    return [
+def _comm_scratch(nd, n, dtype, sbuf_rows, nl=None, transpose=False):
+    """The communication scratch block shared by the sweep kernels;
+    ``transpose=True`` appends the distributed-transpose tile buffers +
+    semaphores (ops.dtranspose, for the spectral DCT preconditioner)."""
+    out = [
         pltpu.VMEM((sbuf_rows, n), dtype),          # halo send up
         pltpu.VMEM((sbuf_rows, n), dtype),          # halo send down
         pltpu.VMEM((sbuf_rows, n), dtype),          # halo recv top
@@ -928,6 +1033,15 @@ def _comm_scratch(nd, n, dtype, sbuf_rows):
         pltpu.SemaphoreType.REGULAR,                # credit: may send down
         pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
     ]
+    if transpose:
+        out += [
+            pltpu.VMEM((nd, nl, nl), dtype),        # transpose send tiles
+            pltpu.VMEM((nd, nl, nl), dtype),        # transpose recv tiles
+            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # transpose send
+            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # transpose recv
+            pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # tr credits
+        ]
+    return out
 
 
 def _slice_device_rows(K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, row0, nl):
@@ -957,21 +1071,24 @@ def _compiler_params():
 
 
 def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
-                  Mat2_rep, *, axis, n, nl, nd, steps, dt, Dm, chi, eta,
+                  Mat2_rep, C_rep, ilamu_rep, ilamv_rep, *, axis, n, nl, nd,
+                  steps, dt, Dm, chi, eta,
                   inv_r, tol, iters, cheb_iters, wts4, bary4, h2, grads,
-                  warm, reaction):
+                  warm, reaction, precond):
     """Per-device body run under shard_map: slice this device's operator
     rows, then run the whole sweep in one pallas_call."""
     me = jax.lax.axis_index(axis)
     Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
         K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
+    ilamu_loc = jax.lax.dynamic_slice_in_dim(ilamu_rep, me * nl, nl, axis=0)
+    ilamv_loc = jax.lax.dynamic_slice_in_dim(ilamv_rep, me * nl, nl, axis=0)
 
     dtype = u0_loc.dtype
     kern = functools.partial(
         _dist_fwd_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
         chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
         cheb_iters=cheb_iters, wts4=wts4, bary4=bary4, h2=h2, grads=grads,
-        warm=warm, reaction=reaction,
+        warm=warm, reaction=reaction, precond=precond,
     )
     field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
@@ -988,7 +1105,10 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
         ),
         in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
-                  field, stencil_loc],
+                  field, stencil_loc,
+                  pl.BlockSpec((n, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  field, field],
         out_specs=(frame, frame),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # u current
@@ -1001,23 +1121,27 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             pltpu.VMEM((nl + 4, n), dtype),      # u ext (2-row halo)
             pltpu.VMEM((nl + 4, n), dtype),      # v ext
             pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
-        ] + _comm_scratch(nd, n, dtype, 3),
+        ] + _comm_scratch(nd, n, dtype, 3, nl=nl, transpose=True),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
-    )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+    )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc,
+      C_rep, ilamu_loc, ilamv_loc)
     u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
     return u_traj, v_traj
 
 
 def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
-                      qT_loc, K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, *,
+                      qT_loc, K_rep, M_rep, Md_rep, ML_rep, Mat2_rep,
+                      C_rep, ilamu_rep, ilamv_rep, *,
                       axis, n, nl, nd, steps, dt, Dm, chi, eta, inv_r, tol,
                       iters, cheb_iters, wts5, bary5, wts4, bary4, h2,
-                      grads, warm, has_mis, reaction):
+                      grads, warm, has_mis, reaction, precond):
     me = jax.lax.axis_index(axis)
     Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
         K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
+    ilamu_loc = jax.lax.dynamic_slice_in_dim(ilamu_rep, me * nl, nl, axis=0)
+    ilamv_loc = jax.lax.dynamic_slice_in_dim(ilamv_rep, me * nl, nl, axis=0)
 
     dtype = pT_loc.dtype
     kern = functools.partial(
@@ -1025,6 +1149,7 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
         chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
         cheb_iters=cheb_iters, wts5=wts5, bary5=bary5, wts4=wts4,
         bary4=bary4, h2=h2, grads=grads, warm=warm, reaction=reaction,
+        precond=precond,
     )
     field = pl.BlockSpec((nl, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil_loc = pl.BlockSpec((9, nl, n), lambda i: (0, 0, 0),
@@ -1044,7 +1169,10 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
-                  stencil_ext, stencil_loc, field, field, stencil_loc],
+                  stencil_ext, stencil_loc, field, field, stencil_loc,
+                  pl.BlockSpec((n, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  field, field],
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # p current
@@ -1059,11 +1187,11 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
             pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
             pltpu.VMEM((nl + 2, n), dtype),      # q ext
             pltpu.VMEM((nl + 2, n), dtype),      # p ext
-        ] + _comm_scratch(nd, n, dtype, 6),
+        ] + _comm_scratch(nd, n, dtype, 6, nl=nl, transpose=True),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
-      Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+      Kx, M_loc, Md_loc, ML_loc, Mat2_loc, C_rep, ilamu_loc, ilamv_loc)
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
     return p_traj, q_traj
@@ -1082,7 +1210,8 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                   Mat2, mesh, *, h, dt, Dm, chi, eta,
                                   rescaling, tol=1e-6, iters=60,
                                   cheb_iters=20, warm=True, reaction=None,
-                                  axis=None):
+                                  axis=None, precond="dct", Df=None,
+                                  delta=None):
     """Multi-chip fused chemotaxis forward sweep over a 1-D device axis.
 
     Semantics identical to pallas_fused.fused_chemotaxis_forward_sweep
@@ -1093,18 +1222,29 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     """
     from jax import shard_map
 
+    from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix, dct_precond_ilam
+
     n = u0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
     nl = n // nd
     steps = c_traj.shape[0] - 1
     wts4, bary4, grads = _quad_consts(4, h)
     wts4 = wts4 * h * h
+    dtype = u0.dtype
+    C = jnp.asarray(dct_matrix(n), dtype)
+    ilam_u = jnp.asarray(dct_precond_ilam(n, h, dt, Dm, 1.0), dtype)
+    ilam_v = jnp.asarray(
+        dct_precond_ilam(n, h, dt, Df if Df is not None else 0.0,
+                         1.0 + dt * delta if delta is not None else 1.0),
+        dtype)
+    if (Df is None or delta is None) and precond == "dct":
+        precond = "jacobi"
 
     body = functools.partial(
         _device_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps, dt=dt,
         Dm=Dm, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
-        h2=h * h, grads=grads, warm=warm, reaction=reaction,
+        h2=h * h, grads=grads, warm=warm, reaction=reaction, precond=precond,
     )
     spec_t = P(None, axis, None)
     spec_f = P(axis, None)
@@ -1112,11 +1252,12 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     rep2 = P(None, None)
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
+        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3,
+                  rep2, rep2, rep2),
         out_specs=(spec_t, spec_t),
         check_vma=False,
     )
-    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2)
+    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, C, ilam_u, ilam_v)
 
 
 def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
@@ -1124,7 +1265,8 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                   mis_v=None, *, h, dt, Dm, chi, eta,
                                   rescaling, tol=1e-6, iters=60,
                                   cheb_iters=20, warm=True, reaction=None,
-                                  axis=None):
+                                  axis=None, precond="dct", Df=None,
+                                  delta=None):
     """Multi-chip fused chemotaxis adjoint sweep (reverse-streamed frames).
 
     Semantics identical to pallas_fused.fused_chemotaxis_adjoint_sweep
@@ -1148,12 +1290,24 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
         mis_v = mis_u
 
+    from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix, dct_precond_ilam
+
+    dtype = pT.dtype
+    C = jnp.asarray(dct_matrix(n), dtype)
+    ilam_p = jnp.asarray(dct_precond_ilam(n, h, dt, Dm, 1.0), dtype)
+    ilam_q = jnp.asarray(
+        dct_precond_ilam(n, h, dt, Df if Df is not None else 0.0,
+                         1.0 + dt * delta if delta is not None else 1.0),
+        dtype)
+    if (Df is None or delta is None) and precond == "dct":
+        precond = "jacobi"
+
     body = functools.partial(
         _device_adj_sweep, axis=axis, n=n, nl=nl, nd=nd, steps=steps,
         dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
         wts4=wts4, bary4=bary4, h2=h * h, grads=grads, warm=warm,
-        has_mis=has_mis, reaction=reaction,
+        has_mis=has_mis, reaction=reaction, precond=precond,
     )
     spec_t = P(None, axis, None)
     spec_f = P(axis, None)
@@ -1162,12 +1316,12 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_t, spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
-                  rep3, rep3, rep2, rep2, rep3),
+                  rep3, rep3, rep2, rep2, rep3, rep2, rep2, rep2),
         out_specs=(spec_t, spec_t),
         check_vma=False,
     )
     return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
-              K, M, M_diag, ML_diag, Mat2)
+              K, M, M_diag, ML_diag, Mat2, C, ilam_p, ilam_q)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,1006 @@
+"""2-D (row x col) distributed fused FCT sweep: Pallas + inter-chip RDMA.
+
+Extends the 1-D row-block RDMA fast path (ops/pallas_dist.py) to a full 2-D
+device mesh ("x" rows x "y" cols): device (r, c) owns the
+(nlr, nlc) = (n/nr, n/nc) block of every field. The protocol is the 1-D
+module's, applied twice per halo exchange:
+
+- **row phase**: exchange the top/bottom halo rows with the (r∓1, c)
+  neighbors (same credit-based RDMA as the 1-D path, device ids now mesh
+  coordinate tuples);
+- **column phase**: exchange the left/right halo columns OF THE
+  ROW-EXTENDED block with the (r, c∓1) neighbors — the corner values ride
+  along with the column halos, so all 8 neighbors are covered in two
+  phases.
+
+Krylov dot products reduce over ALL nr*nc devices with the same
+deterministic global-order all-to-all as the 1-D path (ring over the
+row-major flattening of the mesh coordinates).
+
+The in-kernel P1 assembly reuses the rectangular masked builders of
+pallas_dist (they are dimension-generic: the cell-validity mask is simply
+the OUTER PRODUCT of the global row and column cell masks here).
+
+Krylov preconditioning is Jacobi on this path (the spectral DCT
+preconditioner needs a distributed transpose across BOTH axes — composed
+on the 1-D path, future work here; see pallas_dist._dct_pinv_dist).
+
+Correctness is pinned by tests/test_pallas_dist2d.py on a (2, 4) virtual
+CPU mesh (TPU interpret mode simulates the remote DMAs and semaphores)
+against the single-device XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS, opposite
+from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+from fem_fct_pdeco_tpu.ops.pallas_fused import _quad_consts, _safe_div
+from fem_fct_pdeco_tpu.ops.pallas_dist import (
+    _assemble_forward_A_rect, _assemble_adjoint_A_rect, _lf_prod_rect,
+    _q_load_rect, _dist_interp, _compiler_params)
+
+
+def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
+                hpad_ref,
+                sbuf_up, sbuf_dn, rtop, rbot,
+                sbuf_lf, sbuf_rt, rlef, rrig,
+                dot_s, dot_r,
+                hsend_sem, hrecv_sem, csend_sem, crecv_sem,
+                dsend_sem, drecv_sem,
+                credit_up, credit_dn, credit_lf, credit_rt, credit_dot):
+    """2-D analogue of pallas_dist._make_ops. Row buffers are
+    (rows_k, nlc+4) (column-extended so corner values can ride in the
+    column phase is NOT needed — see exchange2d: rows first, then
+    row-extended columns), column buffers are (nlr+4, cols_k)."""
+    import types
+
+    me_r = jax.lax.axis_index(ax_r)
+    me_c = jax.lax.axis_index(ax_c)
+    nd = nr * nc
+    gid = me_r * nc + me_c
+    has_up = me_r > 0
+    has_dn = me_r < nr - 1
+    has_lf = me_c > 0
+    has_rt = me_c < nc - 1
+    LOGICAL = pltpu.DeviceIdType.LOGICAL
+
+    def gid_of(r, c):
+        # logical device id = row-major index into the mesh's device array
+        # (Mesh(devices.reshape(nr, nc), ...) construction order)
+        return r * nc + c
+
+    def init_buffers():
+        hpad_ref[:, :] = jnp.zeros_like(hpad_ref)
+        rtop[:, :] = jnp.zeros_like(rtop)
+        rbot[:, :] = jnp.zeros_like(rbot)
+        rlef[:, :] = jnp.zeros_like(rlef)
+        rrig[:, :] = jnp.zeros_like(rrig)
+
+    def init_credits():
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_signal(credit_dn, inc=1,
+                                   device_id=gid_of(me_r - 1, me_c),
+                                   device_id_type=LOGICAL)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_signal(credit_up, inc=1,
+                                   device_id=gid_of(me_r + 1, me_c),
+                                   device_id_type=LOGICAL)
+
+        @pl.when(has_lf)
+        def _():
+            pltpu.semaphore_signal(credit_rt, inc=1,
+                                   device_id=gid_of(me_r, me_c - 1),
+                                   device_id_type=LOGICAL)
+
+        @pl.when(has_rt)
+        def _():
+            pltpu.semaphore_signal(credit_lf, inc=1,
+                                   device_id=gid_of(me_r, me_c + 1),
+                                   device_id_type=LOGICAL)
+
+        if nd > 1:
+            for o in range(1, nd):
+                sg = (gid - o + nd) % nd
+                pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1,
+                                       device_id=sg,
+                                       device_id_type=LOGICAL)
+
+    def drain():
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_wait(credit_up, 1)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_wait(credit_dn, 1)
+
+        @pl.when(has_lf)
+        def _():
+            pltpu.semaphore_wait(credit_lf, 1)
+
+        @pl.when(has_rt)
+        def _():
+            pltpu.semaphore_wait(credit_rt, 1)
+
+        if nd > 1:
+            for o in range(1, nd):
+                pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+
+    def exchange_rows(k):
+        """Exchange the first k pre-written rows of sbuf_up/sbuf_dn with the
+        row neighbors; returns (top, bot) (k, nlc) values (zeros at the
+        global edge)."""
+        up_d = pltpu.make_async_remote_copy(
+            src_ref=sbuf_up.at[0:k, :], dst_ref=rbot.at[0:k, :],
+            send_sem=hsend_sem.at[0], recv_sem=hrecv_sem.at[0],
+            device_id=gid_of(me_r - 1, me_c), device_id_type=LOGICAL)
+        dn_d = pltpu.make_async_remote_copy(
+            src_ref=sbuf_dn.at[0:k, :], dst_ref=rtop.at[0:k, :],
+            send_sem=hsend_sem.at[1], recv_sem=hrecv_sem.at[1],
+            device_id=gid_of(me_r + 1, me_c), device_id_type=LOGICAL)
+
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_wait(credit_up, 1)
+            up_d.start()
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_wait(credit_dn, 1)
+            dn_d.start()
+
+        @pl.when(has_up)
+        def _():
+            dn_d.wait_recv()
+            up_d.wait_send()
+
+        @pl.when(has_dn)
+        def _():
+            up_d.wait_recv()
+            dn_d.wait_send()
+
+        th = rtop[0:k, :] + 0.0
+        bh = rbot[0:k, :] + 0.0
+
+        @pl.when(has_up)
+        def _():
+            pltpu.semaphore_signal(credit_dn, inc=1,
+                                   device_id=gid_of(me_r - 1, me_c),
+                                   device_id_type=LOGICAL)
+
+        @pl.when(has_dn)
+        def _():
+            pltpu.semaphore_signal(credit_up, inc=1,
+                                   device_id=gid_of(me_r + 1, me_c),
+                                   device_id_type=LOGICAL)
+
+        return th, bh
+
+    def exchange_cols(k, rows):
+        """Exchange the first k pre-written columns (rows high) of
+        sbuf_lf/sbuf_rt with the column neighbors; returns (left, right)
+        (rows, k) values."""
+        lf_d = pltpu.make_async_remote_copy(
+            src_ref=sbuf_lf.at[0:rows, 0:k], dst_ref=rrig.at[0:rows, 0:k],
+            send_sem=csend_sem.at[0], recv_sem=crecv_sem.at[0],
+            device_id=gid_of(me_r, me_c - 1), device_id_type=LOGICAL)
+        rt_d = pltpu.make_async_remote_copy(
+            src_ref=sbuf_rt.at[0:rows, 0:k], dst_ref=rlef.at[0:rows, 0:k],
+            send_sem=csend_sem.at[1], recv_sem=crecv_sem.at[1],
+            device_id=gid_of(me_r, me_c + 1), device_id_type=LOGICAL)
+
+        @pl.when(has_lf)
+        def _():
+            pltpu.semaphore_wait(credit_lf, 1)
+            lf_d.start()
+
+        @pl.when(has_rt)
+        def _():
+            pltpu.semaphore_wait(credit_rt, 1)
+            rt_d.start()
+
+        @pl.when(has_lf)
+        def _():
+            rt_d.wait_recv()
+            lf_d.wait_send()
+
+        @pl.when(has_rt)
+        def _():
+            lf_d.wait_recv()
+            rt_d.wait_send()
+
+        lh = rlef[0:rows, 0:k] + 0.0
+        rh = rrig[0:rows, 0:k] + 0.0
+
+        @pl.when(has_lf)
+        def _():
+            pltpu.semaphore_signal(credit_rt, inc=1,
+                                   device_id=gid_of(me_r, me_c - 1),
+                                   device_id_type=LOGICAL)
+
+        @pl.when(has_rt)
+        def _():
+            pltpu.semaphore_signal(credit_lf, inc=1,
+                                   device_id=gid_of(me_r, me_c + 1),
+                                   device_id_type=LOGICAL)
+
+        return lh, rh
+
+    def exchange2d(x, k):
+        """Full 2-D halo exchange of depth k for the (nlr, nlc) field x:
+        returns the (nlr+2k, nlc+2k) extended VALUE (zeros outside the
+        global domain). Rows first; the column phase ships the
+        row-extended columns, so the corners arrive with them."""
+        sbuf_up[0:k, :] = x[0:k, :]
+        sbuf_dn[0:k, :] = x[nlr - k : nlr, :]
+        th, bh = exchange_rows(k)
+        xr = jnp.concatenate([th, x, bh], axis=0)  # (nlr+2k, nlc)
+        rows = nlr + 2 * k
+        sbuf_lf[0:rows, 0:k] = xr[:, 0:k]
+        sbuf_rt[0:rows, 0:k] = xr[:, nlc - k : nlc]
+        lh, rh = exchange_cols(k, rows)
+        return jnp.concatenate([lh, xr, rh], axis=1)
+
+    def dist_sums(*scalars):
+        """Global sums over all nr*nc devices, bitwise identical everywhere
+        (partials reduced in global row-major device order)."""
+        if nd == 1:
+            return scalars
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = jnp.zeros((1, 128), dtype=dtype)
+        for t, sc in enumerate(scalars):
+            row = jnp.where(lane == t, sc, row)
+        dot_s[0:1, :] = row
+        descs = []
+        for o in range(1, nd):
+            dg = (gid + o) % nd
+            d_ = pltpu.make_async_remote_copy(
+                src_ref=dot_s.at[0:1, :], dst_ref=dot_r.at[o - 1 : o, :],
+                send_sem=dsend_sem.at[o - 1], recv_sem=drecv_sem.at[o - 1],
+                device_id=dg, device_id_type=LOGICAL)
+            pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+            d_.start()
+            descs.append(d_)
+        for d_ in descs:
+            d_.wait_recv()
+            d_.wait_send()
+        total = jnp.zeros((1, 128), dtype=dtype)
+        own = dot_s[0:1, :] + 0.0
+        for dev in range(nd):
+            o = (gid - dev + nd) % nd
+            slot = jnp.maximum(o - 1, 0)
+            r = dot_r[pl.ds(slot, 1), :]
+            total = total + jnp.where(o == 0, own, r)
+        for o in range(1, nd):
+            sg = (gid - o + nd) % nd
+            pltpu.semaphore_signal(credit_dot.at[o - 1], inc=1,
+                                   device_id=sg,
+                                   device_id_type=LOGICAL)
+        return tuple(total[0, t] for t in range(len(scalars)))
+
+    def fill_hpad(ext1):
+        """Write a depth-1 extended value into the hpad scratch."""
+        hpad_ref[:, :] = ext1
+
+    def window(d):
+        di, dj = OFFSETS[d]
+        return hpad_ref[1 + di : 1 + di + nlr, 1 + dj : 1 + dj + nlc]
+
+    def plane_sum(S_at, x):
+        acc = S_at(CENTER) * x
+        for d in range(9):
+            if d == CENTER or d in ANTI_DIAGONAL_IDS:
+                continue
+            acc = acc + S_at(d) * window(d)
+        return acc
+
+    def make_apply(S_ref):
+        S_at = lambda d: S_ref[d, :, :]
+
+        def apply(x):
+            fill_hpad(exchange2d(x, 1))
+            return plane_sum(S_at, x)
+
+        return apply
+
+    def dbicgstab(apply_A, prec, b, x0):
+        Pinv = prec if callable(prec) else (lambda r_: prec * r_)
+        x = x0
+        r = b - apply_A(x)
+        rhat = r
+        rho, bb, rr = dist_sums(jnp.sum(rhat * r), jnp.sum(b * b),
+                                jnp.sum(r * r))
+        atol2 = tol * tol * bb
+
+        def cond(c_):
+            k, x, r, p_, rho, rn2 = c_
+            return (k < iters) & (rn2 > atol2)
+
+        def body(c_):
+            k, x, r, p_, rho, _ = c_
+            phat = Pinv(p_)
+            v = apply_A(phat)
+            (rv,) = dist_sums(jnp.sum(rhat * v))
+            alpha = _safe_div(rho, rv)
+            s = r - alpha * v
+            shat = Pinv(s)
+            t2 = apply_A(shat)
+            ts, tt = dist_sums(jnp.sum(t2 * s), jnp.sum(t2 * t2))
+            omega = _safe_div(ts, tt)
+            x2 = x + alpha * phat + omega * shat
+            r2 = s - omega * t2
+            rho2, rn2 = dist_sums(jnp.sum(rhat * r2), jnp.sum(r2 * r2))
+            beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
+            p2 = r2 + beta * (p_ - omega * v)
+            return k + 1, x2, r2, p2, rho2, rn2
+
+        init = (jnp.asarray(0, jnp.int32), x, r, r, rho, rr)
+        _, x, *_ = jax.lax.while_loop(cond, body, init)
+        return x
+
+    def dcg(apply_A, prec, b, x0):
+        Pinv = prec if callable(prec) else (lambda r_: prec * r_)
+        x = x0
+        r = b - apply_A(x)
+        z = Pinv(r)
+        rz, bb, rr = dist_sums(jnp.sum(r * z), jnp.sum(b * b),
+                               jnp.sum(r * r))
+        atol2 = tol * tol * bb
+
+        def cond(c_):
+            k, x, r, z, p_, rz, rn2 = c_
+            return (k < iters) & (rn2 > atol2)
+
+        def body(c_):
+            k, x, r, z, p_, rz, _ = c_
+            Ap = apply_A(p_)
+            (pAp,) = dist_sums(jnp.sum(p_ * Ap))
+            alpha = _safe_div(rz, pAp)
+            x2 = x + alpha * p_
+            r2 = r - alpha * Ap
+            z2 = Pinv(r2)
+            rz2, rn2 = dist_sums(jnp.sum(r2 * z2), jnp.sum(r2 * r2))
+            beta = _safe_div(rz2, rz)
+            p2 = z2 + beta * p_
+            return k + 1, x2, r2, z2, p2, rz2, rn2
+
+        init = (jnp.asarray(0, jnp.int32), x, r, z, z, rz, rr)
+        _, x, *_ = jax.lax.while_loop(cond, body, init)
+        return x
+
+    return types.SimpleNamespace(
+        me_r=me_r, me_c=me_c, row0=me_r * nlr, col0=me_c * nlc,
+        init_buffers=init_buffers, init_credits=init_credits, drain=drain,
+        exchange2d=exchange2d, dist_sums=dist_sums,
+        fill_hpad=fill_hpad, window=window, plane_sum=plane_sum,
+        make_apply=make_apply, dbicgstab=dbicgstab, dcg=dcg)
+
+
+def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k):
+    """Scratch for the 2-D protocol: row halo buffers (row_k, nlc), column
+    halo buffers (nlr + 2*row_k, col_k) (column phase ships row-extended
+    columns), the dot all-to-all block, and the credit semaphores."""
+    nd = nr * nc
+    return [
+        pltpu.VMEM((row_k, nlc), dtype),            # row send up
+        pltpu.VMEM((row_k, nlc), dtype),            # row send down
+        pltpu.VMEM((row_k, nlc), dtype),            # row recv top
+        pltpu.VMEM((row_k, nlc), dtype),            # row recv bottom
+        pltpu.VMEM((nlr + 2 * row_k, col_k), dtype),  # col send left
+        pltpu.VMEM((nlr + 2 * row_k, col_k), dtype),  # col send right
+        pltpu.VMEM((nlr + 2 * row_k, col_k), dtype),  # col recv left
+        pltpu.VMEM((nlr + 2 * row_k, col_k), dtype),  # col recv right
+        pltpu.VMEM((1, 128), dtype),                # dot partial (mine)
+        pltpu.VMEM((max(nd - 1, 1), 128), dtype),   # dot partials (peers)
+        pltpu.SemaphoreType.DMA((2,)),              # row send sems
+        pltpu.SemaphoreType.DMA((2,)),              # row recv sems
+        pltpu.SemaphoreType.DMA((2,)),              # col send sems
+        pltpu.SemaphoreType.DMA((2,)),              # col recv sems
+        pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot send sems
+        pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),  # dot recv sems
+        pltpu.SemaphoreType.REGULAR,                # credit up
+        pltpu.SemaphoreType.REGULAR,                # credit down
+        pltpu.SemaphoreType.REGULAR,                # credit left
+        pltpu.SemaphoreType.REGULAR,                # credit right
+        pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
+    ]
+
+
+def _dist_fct_tail_2d(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
+                      u_prev, rhs, x0, *, n, nlr, nlc, dt, cheb_iters,
+                      S=None):
+    """2-D analogue of pallas_dist._dist_fct_tail: the assembled flux matrix
+    sits in Aext_ref with 2-deep halos in BOTH dimensions (ext index e =
+    global - block0 + 2)."""
+    # artificial diffusion at local cells (needs the +-1 ext ring of A)
+    offsum = None
+    for d in range(9):
+        if d == CENTER:
+            continue
+        di, dj = OFFSETS[d]
+        Atr = Aext_ref[opposite(d), 2 + di : 2 + di + nlr,
+                       2 + dj : 2 + dj + nlc]
+        Dd = jnp.maximum(0.0, jnp.maximum(
+            Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2], Atr))
+        D_ref[d, :, :] = Dd
+        offsum = Dd if offsum is None else offsum + Dd
+    D_ref[CENTER, :, :] = -offsum
+
+    # transform local A block -> Low in place
+    for d in range(9):
+        plane = Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2] - D_ref[d, :, :]
+        if S is not None and S[d] is not None:
+            plane = plane + S[d]
+        plane = dt * plane
+        if d == CENTER:
+            plane = plane + ML
+        Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2] = plane
+
+    low_at = lambda d: Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2]
+
+    def apply_low(x):
+        ops.fill_hpad(ops.exchange2d(x, 1))
+        return ops.plane_sum(low_at, x)
+
+    b = ML * u_prev + dt * rhs
+    u_low = ops.dbicgstab(
+        apply_low, 1.0 / Aext_ref[CENTER, 2 : nlr + 2, 2 : nlc + 2], b, x0)
+
+    # Chebyshev du/dt on M du = -A u_low + rhs
+    ops.fill_hpad(ops.exchange2d(u_low, 1))
+    low_x = ops.plane_sum(low_at, u_low)
+    D_x = ops.plane_sum(lambda d: D_ref[d, :, :], u_low)
+    A_x = (low_x - ML * u_low) / dt + D_x
+    if S is not None:
+        S_x = ops.plane_sum(
+            lambda d: S[d] if S[d] is not None else jnp.zeros_like(u_low),
+            u_low)
+        A_x = A_x - S_x
+    rdot = -A_x + rhs
+
+    apply_M = ops.make_apply(M_ref)
+    lmin, lmax = 0.5, 2.0
+    rho_c = (lmax - lmin) / (lmax + lmin)
+    Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
+    yold = jnp.zeros_like(rdot)
+    ymid = jnp.zeros_like(rdot)
+    om = 1.0
+    for k in range(1, cheb_iters + 1):
+        if k == 2:
+            om = 1.0 / (1.0 - rho_c**2 / 2.0)
+        elif k > 2:
+            om = 1.0 / (1.0 - om * rho_c**2 / 4.0)
+        rr_ = rdot - apply_M(ymid)
+        ynew = om * (rr_ * Mdinv + ymid - yold) + yold
+        yold, ymid = ymid, ynew
+    du = ymid
+
+    # fluxes + Zalesak limiter (global-index masked)
+    ul_ext = ops.exchange2d(u_low, 1)
+    du_ext = ops.exchange2d(du, 1)
+    ul_sh = {d: ul_ext[1 + OFFSETS[d][0] : 1 + OFFSETS[d][0] + nlr,
+                       1 + OFFSETS[d][1] : 1 + OFFSETS[d][1] + nlc]
+             for d in EDGE_NEIGHBOR_IDS}
+    du_sh = {d: du_ext[1 + OFFSETS[d][0] : 1 + OFFSETS[d][0] + nlr,
+                       1 + OFFSETS[d][1] : 1 + OFFSETS[d][1] + nlc]
+             for d in EDGE_NEIGHBOR_IDS}
+
+    grow = ops.row0 + jax.lax.broadcasted_iota(jnp.int32, (nlr, nlc), 0)
+    gcol = ops.col0 + jax.lax.broadcasted_iota(jnp.int32, (nlr, nlc), 1)
+
+    fluxes = {}
+    p_pos = jnp.zeros_like(u_low)
+    p_neg = jnp.zeros_like(u_low)
+    u_max = u_low
+    u_min = u_low
+    oks = {}
+    for d in EDGE_NEIGHBOR_IDS:
+        di, dj = OFFSETS[d]
+        F = M_ref[d, :, :] * (du - du_sh[d]) + D_ref[d, :, :] * (
+            u_low - ul_sh[d])
+        fluxes[d] = F
+        p_pos += jnp.maximum(F, 0.0)
+        p_neg += jnp.minimum(F, 0.0)
+        ok = ((grow + di >= 0) & (grow + di < n)
+              & (gcol + dj >= 0) & (gcol + dj < n))
+        oks[d] = ok
+        nbr = jnp.where(ok, ul_sh[d], u_low)
+        u_max = jnp.maximum(u_max, nbr)
+        u_min = jnp.minimum(u_min, nbr)
+
+    q_pos = u_max - u_low
+    q_neg = u_min - u_low
+    den_pos = dt * p_pos  # branch on the PRODUCT (f32 underflow; fct.py)
+    r_pos = jnp.where(
+        den_pos > 0.0,
+        jnp.minimum(1.0, ML * q_pos / jnp.where(den_pos > 0.0, den_pos, 1.0)),
+        1.0,
+    )
+    den_neg = dt * p_neg
+    r_neg = jnp.where(
+        den_neg < 0.0,
+        jnp.minimum(1.0, ML * q_neg / jnp.where(den_neg < 0.0, den_neg, 1.0)),
+        1.0,
+    )
+
+    rp_ext = ops.exchange2d(r_pos, 1)
+    rn_ext = ops.exchange2d(r_neg, 1)
+    rp_sh = {d: jnp.where(oks[d],
+                          rp_ext[1 + OFFSETS[d][0] : 1 + OFFSETS[d][0] + nlr,
+                                 1 + OFFSETS[d][1] : 1 + OFFSETS[d][1] + nlc],
+                          1.0)
+             for d in EDGE_NEIGHBOR_IDS}
+    rn_sh = {d: jnp.where(oks[d],
+                          rn_ext[1 + OFFSETS[d][0] : 1 + OFFSETS[d][0] + nlr,
+                                 1 + OFFSETS[d][1] : 1 + OFFSETS[d][1] + nlc],
+                          1.0)
+             for d in EDGE_NEIGHBOR_IDS}
+
+    fbar = jnp.zeros_like(u_low)
+    for d in EDGE_NEIGHBOR_IDS:
+        F = fluxes[d]
+        lim_p = jnp.minimum(r_pos, rn_sh[d])
+        lim_n = jnp.minimum(r_neg, rp_sh[d])
+        fbar += jnp.where(F > 0.0, lim_p * F,
+                          jnp.where(F < 0.0, lim_n * F, 0.0))
+
+    return u_low + dt * fbar / ML
+
+
+# ---------------------------------------------------------------------------
+# 2-D distributed chemotaxis sweep kernels (helpers.py:1321-1581)
+# ---------------------------------------------------------------------------
+
+
+def _cell_mask2d(row0, col0, ncr, ncc, n, dtype):
+    """Global cell-validity mask for an extended cell block whose (0, 0)
+    cell is global cell (row0, col0): the outer product of the row and
+    column validity used by the 1-D path."""
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (ncr, ncc), 0)
+    gc = col0 + jax.lax.broadcasted_iota(jnp.int32, (ncr, ncc), 1)
+    ok = (gr >= 0) & (gr <= n - 2) & (gc >= 0) & (gc <= n - 2)
+    return jnp.where(ok, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+
+
+def _dist2d_fwd_kernel(
+    c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    sbuf_lf, sbuf_rt, rlef, rrig,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, Dm, chi, eta, inv_r, tol,
+    iters, cheb_iters, wts4, bary4, h2, grads, warm, reaction,
+):
+    """2-D analogue of pallas_dist._dist_fwd_kernel."""
+    i = pl.program_id(0)
+    ops = _make_ops2d(
+        ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr, nc=nc, tol=tol,
+        iters=iters, dtype=ucur_ref.dtype, hpad_ref=hpad_ref,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot,
+        sbuf_lf=sbuf_lf, sbuf_rt=sbuf_rt, rlef=rlef, rrig=rrig,
+        dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
+        crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
+        credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
+        credit_rt=credit_rt, credit_dot=credit_dot)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+        ops.init_buffers()
+        ops.init_credits()
+
+    dtype = ucur_ref.dtype
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+
+    # ---- v half-step: Mat2 v^{n+1} = M v^n + dt/r (c u, phi) ------------
+    uext1 = ops.exchange2d(u_n, 1)
+    cext1 = ops.exchange2d(c_i, 1)
+    cmask1 = _cell_mask2d(ops.row0 - 1, ops.col0 - 1, nlr + 1, nlc + 1,
+                          n, dtype)
+    load_ext = _lf_prod_rect([cext1, uext1], ncr=nlr + 1, ncc=nlc + 1,
+                             h2=h2, cmask=cmask1)
+    load = load_ext[1 : nlr + 1, 1 : nlc + 1]
+
+    apply_M = ops.make_apply(M_ref)
+    b_v = apply_M(v_n) + (dt * inv_r) * load
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = ops.dcg(ops.make_apply(Mat2_ref),
+                    1.0 / Mat2_ref[CENTER, :, :], b_v, x0v)
+
+    # ---- u half-step: assemble A on the 2-deep-extended block -----------
+    uext2 = ops.exchange2d(u_n, 2)
+    vext2 = ops.exchange2d(v_np1, 2)
+    cmask2 = _cell_mask2d(ops.row0 - 2, ops.col0 - 2, nlr + 3, nlc + 3,
+                          n, dtype)
+    _assemble_forward_A_rect(
+        uext2, vext2, Kx_ref, Aext_ref,
+        ncr=nlr + 3, ncc=nlc + 3, Dm=Dm, chi=chi, eta=eta,
+        wts=wts4, bary=bary4, grads=grads, cmask=cmask2)
+
+    if reaction == "mimura":
+        ue1 = uext2[1 : nlr + 3, 1 : nlc + 3]
+        r2 = _lf_prod_rect([ue1, ue1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                           cmask=cmask1)
+        r3 = _lf_prod_rect([ue1, ue1, ue1], ncr=nlr + 1, ncc=nlc + 1,
+                           h2=h2, cmask=cmask1, scale=-1.0)
+        rhs_u = (r2 + r3)[1 : nlr + 1, 1 : nlc + 1]
+    else:
+        rhs_u = jnp.zeros_like(u_n)
+
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _dist_fct_tail_2d(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        u_n, rhs_u, x0u, n=n, nlr=nlr, nlc=nlc, dt=dt,
+        cheb_iters=cheb_iters)
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _slice_block(x, r0, c0, kr, kc, pad=0):
+    """x padded by ``pad`` on the last two dims, then the (kr, kc) block
+    whose (0,0) sits at global (r0-pad, c0-pad)."""
+    r0 = jnp.asarray(r0, jnp.int32)
+    c0 = jnp.asarray(c0, jnp.int32)
+    if x.ndim == 3:
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)))
+        out = jax.lax.dynamic_slice(
+            xp, (jnp.asarray(0, jnp.int32), r0, c0), (x.shape[0], kr, kc))
+    else:
+        xp = jnp.pad(x, ((pad, pad), (pad, pad)))
+        out = jax.lax.dynamic_slice(xp, (r0, c0), (kr, kc))
+    return out
+
+
+def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
+                  Mat2_rep, *, ax_r, ax_c, n, nlr, nlc, nr, nc, steps, dt,
+                  Dm, chi, eta, inv_r, tol, iters, cheb_iters, wts4, bary4,
+                  h2, grads, warm, reaction):
+    me_r = jax.lax.axis_index(ax_r)
+    me_c = jax.lax.axis_index(ax_c)
+    r0 = me_r * nlr
+    c0 = me_c * nlc
+    Kx = _slice_block(K_rep, r0, c0, nlr + 4, nlc + 4, pad=2)
+    M_loc = _slice_block(M_rep, r0, c0, nlr, nlc)
+    Mat2_loc = _slice_block(Mat2_rep, r0, c0, nlr, nlc)
+    Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
+    ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
+
+    dtype = u0_loc.dtype
+    kern = functools.partial(
+        _dist2d_fwd_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
+        nr=nr, nc=nc, dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4, h2=h2,
+        grads=grads, warm=warm, reaction=reaction,
+    )
+    field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nlr, nlc), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, nlr, nlc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        ),
+        in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
+                  field, stencil_loc],
+        out_specs=(frame, frame),
+        scratch_shapes=[
+            pltpu.VMEM((nlr, nlc), dtype),            # u current
+            pltpu.VMEM((nlr, nlc), dtype),            # v current
+            pltpu.VMEM((nlr, nlc), dtype),            # u prev
+            pltpu.VMEM((nlr, nlc), dtype),            # v prev
+            pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
+            pltpu.VMEM((9, nlr, nlc), dtype),         # D
+            pltpu.VMEM((nlr + 2, nlc + 2), dtype),    # hpad
+        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+    u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
+    v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
+    return u_traj, v_traj
+
+
+def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
+                                    Mat2, mesh, *, h, dt, Dm, chi, eta,
+                                    rescaling, tol=1e-6, iters=60,
+                                    cheb_iters=20, warm=True, reaction=None,
+                                    axes=None):
+    """Multi-chip chemotaxis forward sweep over a 2-D (rows x cols) device
+    mesh: each device owns an (n/nr, n/nc) block; halos move over ICI in a
+    row phase + a column phase (corners ride the column phase). Semantics
+    identical to the 1-D dist sweep / the single-chip fused sweep."""
+    from jax import shard_map
+
+    n = u0.shape[-1]
+    if axes is None:
+        axes = mesh.axis_names[:2]
+    ax_r, ax_c = axes
+    nr = mesh.shape[ax_r]
+    nc = mesh.shape[ax_c]
+    if n % nr or n % nc:
+        raise ValueError(f"n={n} not divisible by mesh {nr}x{nc}")
+    nlr, nlc = n // nr, n // nc
+    steps = c_traj.shape[0] - 1
+    wts4, bary4, grads = _quad_consts(4, h)
+    wts4 = wts4 * h * h
+
+    body = functools.partial(
+        _device2d_fwd, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr,
+        nc=nc, steps=steps, dt=dt, Dm=Dm, chi=chi, eta=eta,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        wts4=wts4, bary4=bary4, h2=h * h, grads=grads, warm=warm,
+        reaction=reaction,
+    )
+    spec_t = P(None, ax_r, ax_c)
+    spec_f = P(ax_r, ax_c)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2)
+
+
+def _dist2d_adj_kernel(
+    u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    sbuf_lf, sbuf_rt, rlef, rrig,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, Dm, chi, eta, inv_r, tol,
+    iters, cheb_iters, wts5, bary5, wts4, bary4, h2, grads, warm, reaction,
+):
+    """2-D analogue of pallas_dist._dist_adj_kernel: p FCT with the
+    transposed-stencil matrix, then the implicit q solve
+    (helpers.py:1387-1581)."""
+    i = pl.program_id(0)
+    ops = _make_ops2d(
+        ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr, nc=nc, tol=tol,
+        iters=iters, dtype=pcur_ref.dtype, hpad_ref=hpad_ref,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot,
+        sbuf_lf=sbuf_lf, sbuf_rt=sbuf_rt, rlef=rlef, rrig=rrig,
+        dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
+        crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
+        credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
+        credit_rt=credit_rt, credit_dot=credit_dot)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+        ops.init_buffers()
+        ops.init_credits()
+
+    dtype = pcur_ref.dtype
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    c_n = c_ref[0, :, :]
+
+    # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
+    uext2 = ops.exchange2d(u_n, 2)
+    vext2 = ops.exchange2d(v_n, 2)
+    cmask2 = _cell_mask2d(ops.row0 - 2, ops.col0 - 2, nlr + 3, nlc + 3,
+                          n, dtype)
+    _assemble_adjoint_A_rect(
+        uext2, vext2, Kx_ref, Aext_ref,
+        ncr=nlr + 3, ncc=nlc + 3, Dm=Dm, chi=chi, eta=eta,
+        wts=wts5, bary=bary5, grads=grads, cmask=cmask2)
+
+    cext1 = ops.exchange2d(c_n, 1)
+    qext1 = ops.exchange2d(q_np1, 1)
+    cmask1 = _cell_mask2d(ops.row0 - 1, ops.col0 - 1, nlr + 1, nlc + 1,
+                          n, dtype)
+    load_ext = _lf_prod_rect([cext1, qext1], ncr=nlr + 1, ncc=nlc + 1,
+                             h2=h2, cmask=cmask1, scale=inv_r)
+    rhs = load_ext[1 : nlr + 1, 1 : nlc + 1] + misu_ref[0, :, :]
+
+    if reaction == "mimura":
+        from fem_fct_pdeco_tpu.ops.pallas_dist import _wm_prod_rect
+
+        ue1 = uext2[1 : nlr + 3, 1 : nlc + 3]
+        W1 = _wm_prod_rect([ue1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                           cmask=cmask1, scale=-2.0)
+        W2 = _wm_prod_rect([ue1, ue1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                           cmask=cmask1, scale=3.0)
+        S = [
+            (W1[d][1 : nlr + 1, 1 : nlc + 1] if W1[d] is not None else 0.0)
+            + (W2[d][1 : nlr + 1, 1 : nlc + 1] if W2[d] is not None else 0.0)
+            if (W1[d] is not None or W2[d] is not None) else None
+            for d in range(9)
+        ]
+    else:
+        S = None
+
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _dist_fct_tail_2d(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        p_np1, rhs, x0p, n=n, nlr=nlr, nlc=nlc, dt=dt,
+        cheb_iters=cheb_iters, S=S)
+
+    # ---- q implicit half-step (helpers.py:1531-1538) --------------------
+    pext1 = ops.exchange2d(p_n, 1)
+    uext1 = uext2[1 : nlr + 3, 1 : nlc + 3]
+    qload_ext = _q_load_rect(
+        pext1, uext1, ncr=nlr + 1, ncc=nlc + 1,
+        chi=chi, eta=eta, wts=wts4, bary=bary4, grads=grads, cmask=cmask1)
+    qload = qload_ext[1 : nlr + 1, 1 : nlc + 1] + misv_ref[0, :, :]
+
+    apply_M = ops.make_apply(M_ref)
+    b = apply_M(q_np1) + dt * qload
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = ops.dcg(ops.make_apply(Mat2_ref),
+                  1.0 / Mat2_ref[CENTER, :, :], b, x0q)
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
+                  K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, *, ax_r, ax_c, n,
+                  nlr, nlc, nr, nc, steps, dt, Dm, chi, eta, inv_r, tol,
+                  iters, cheb_iters, wts5, bary5, wts4, bary4, h2, grads,
+                  warm, has_mis, reaction):
+    me_r = jax.lax.axis_index(ax_r)
+    me_c = jax.lax.axis_index(ax_c)
+    r0 = me_r * nlr
+    c0 = me_c * nlc
+    Kx = _slice_block(K_rep, r0, c0, nlr + 4, nlc + 4, pad=2)
+    M_loc = _slice_block(M_rep, r0, c0, nlr, nlc)
+    Mat2_loc = _slice_block(Mat2_rep, r0, c0, nlr, nlc)
+    Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
+    ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
+
+    dtype = pT_loc.dtype
+    kern = functools.partial(
+        _dist2d_adj_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
+        nr=nr, nc=nc, dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
+        wts4=wts4, bary4=bary4, h2=h2, grads=grads, warm=warm,
+        reaction=reaction,
+    )
+    field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nlr, nlc), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    rev = pl.BlockSpec((1, nlr, nlc), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mis_spec = rev if has_mis else pl.BlockSpec(
+        (1, nlr, nlc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        ),
+        in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
+                  stencil_ext, stencil_loc, field, field, stencil_loc],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((nlr, nlc), dtype),            # p current
+            pltpu.VMEM((nlr, nlc), dtype),            # q current
+            pltpu.VMEM((nlr, nlc), dtype),            # p prev
+            pltpu.VMEM((nlr, nlc), dtype),            # q prev
+            pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
+            pltpu.VMEM((9, nlr, nlc), dtype),         # D
+            pltpu.VMEM((nlr + 2, nlc + 2), dtype),    # hpad
+        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
+      Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+    p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
+    q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
+    return p_traj, q_traj
+
+
+def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
+                                    M_diag, ML_diag, Mat2, mesh, mis_u=None,
+                                    mis_v=None, *, h, dt, Dm, chi, eta,
+                                    rescaling, tol=1e-6, iters=60,
+                                    cheb_iters=20, warm=True, reaction=None,
+                                    axes=None):
+    """Multi-chip chemotaxis adjoint sweep over a 2-D device mesh (the
+    reverse-streamed analogue of dist2d_chemotaxis_forward_sweep)."""
+    from jax import shard_map
+
+    n = pT.shape[-1]
+    if axes is None:
+        axes = mesh.axis_names[:2]
+    ax_r, ax_c = axes
+    nr = mesh.shape[ax_r]
+    nc = mesh.shape[ax_c]
+    if n % nr or n % nc:
+        raise ValueError(f"n={n} not divisible by mesh {nr}x{nc}")
+    nlr, nlc = n // nr, n // nc
+    steps = u_traj.shape[0] - 1
+    wts5, bary5, grads = _quad_consts(5, h)
+    wts4, bary4, _ = _quad_consts(4, h)
+    wts5 = wts5 * h * h
+    wts4 = wts4 * h * h
+    has_mis = mis_u is not None
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+
+    body = functools.partial(
+        _device2d_adj, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr,
+        nc=nc, steps=steps, dt=dt, Dm=Dm, chi=chi, eta=eta,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, h2=h * h,
+        grads=grads, warm=warm, has_mis=has_mis, reaction=reaction,
+    )
+    spec_t = P(None, ax_r, ax_c)
+    spec_f = P(ax_r, ax_c)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
+                  rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
+              K, M, M_diag, ML_diag, Mat2)

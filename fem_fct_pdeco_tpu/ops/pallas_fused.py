@@ -1643,19 +1643,29 @@ def _fwd_sweep_kernel_synth(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
+    M7_ref, Mat27_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, grads, warm, reaction, precond,
+    wts4, bary4, grads, warm, reaction, precond, materialize,
 ):
     """Chemotaxis forward step with synthesized stationary operators
     (helpers.py:1321-1385 semantics — identical math to _fwd_sweep_kernel,
-    ≥1024²-capable)."""
+    ≥1024²-capable). With ``materialize`` the heavily-reused M and Mat2
+    stencils are built ONCE (step 0) into persistent compact scratch, so
+    their solver-loop applies (20 Chebyshev + CG iterations per step) read
+    VMEM instead of rebuilding the masked planes every iteration; without
+    it (the largest grids, where two more 7-plane scratches do not fit)
+    every apply synthesizes the planes in place."""
     dtype = ucur_ref.dtype
     plane, ml_diag = _make_synth(n, dtype, h2)
     A_ref = _CompactPlanes(A7_ref, n, dtype)
     D_ref = _CompactPlanes(D7_ref, n, dtype)
-    M_ref = _SynthPlanes(plane, 1.0, 0.0)
     K_ref = _SynthPlanes(plane, 0.0, 1.0)
-    Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
+    if materialize:
+        M_ref = _CompactPlanes(M7_ref, n, dtype)
+        Mat2_ref = _CompactPlanes(Mat27_ref, n, dtype)
+    else:
+        M_ref = _SynthPlanes(plane, 1.0, 0.0)
+        Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
     Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
 
     i = pl.program_id(0)
@@ -1666,6 +1676,10 @@ def _fwd_sweep_kernel_synth(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
+        if materialize:
+            for k7, d in enumerate(P7):
+                M7_ref[k7] = plane(d, 1.0, 0.0)
+                Mat27_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -1728,6 +1742,10 @@ def fused_chemotaxis_forward_sweep_synth(
     this variant fits ≥1024² f32 in VMEM."""
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
+    itemsize = jnp.dtype(u0.dtype).itemsize
+    # materialized M/Mat2 add two 7-plane scratches; keep them while the
+    # total stays inside the ~120 MB VMEM budget
+    materialize = (44 * n * n * itemsize) <= 115 * 2**20
     wts4, bary4, grads = _quad_consts(4, h)
     wts4 = wts4 * h * h
     kern = functools.partial(
@@ -1735,6 +1753,7 @@ def fused_chemotaxis_forward_sweep_synth(
         delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
         grads=grads, warm=warm, reaction=reaction, precond=precond,
+        materialize=materialize,
     )
     dct_C, ilam_u, ilam_v = _dct_inputs(
         n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
@@ -1757,7 +1776,13 @@ def fused_chemotaxis_forward_sweep_synth(
             pltpu.VMEM((7, n, n), u0.dtype),   # A -> Low (compact)
             pltpu.VMEM((7, n, n), u0.dtype),   # D (compact)
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
-        ],
+        ] + ([
+            pltpu.VMEM((7, n, n), u0.dtype),   # M (materialized once)
+            pltpu.VMEM((7, n, n), u0.dtype),   # Mat2 (materialized once)
+        ] if materialize else [
+            pltpu.VMEM((1, 8, 128), u0.dtype),
+            pltpu.VMEM((1, 8, 128), u0.dtype),
+        ]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
         ),
@@ -1772,19 +1797,26 @@ def _adj_sweep_kernel_synth(
     ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
+    M7_ref, Mat27_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
     wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
+    materialize,
 ):
     """Chemotaxis adjoint step with synthesized stationary operators
     (helpers.py:1387-1581 semantics — the large-grid variant of
-    _adj_sweep_kernel; no warm-start scratch to stay in VMEM budget)."""
+    _adj_sweep_kernel; no warm-start scratch to stay in VMEM budget).
+    ``materialize``: see _fwd_sweep_kernel_synth."""
     dtype = pcur_ref.dtype
     plane, ml_diag = _make_synth(n, dtype, h2)
     A_ref = _CompactPlanes(A7_ref, n, dtype)
     D_ref = _CompactPlanes(D7_ref, n, dtype)
-    M_ref = _SynthPlanes(plane, 1.0, 0.0)
     K_ref = _SynthPlanes(plane, 0.0, 1.0)
-    Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
+    if materialize:
+        M_ref = _CompactPlanes(M7_ref, n, dtype)
+        Mat2_ref = _CompactPlanes(Mat27_ref, n, dtype)
+    else:
+        M_ref = _SynthPlanes(plane, 1.0, 0.0)
+        Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
     Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
 
     i = pl.program_id(0)
@@ -1793,6 +1825,10 @@ def _adj_sweep_kernel_synth(
     def _():
         pcur_ref[:, :] = pT_ref[:, :]
         qcur_ref[:, :] = qT_ref[:, :]
+        if materialize:
+            for k7, d in enumerate(P7):
+                M7_ref[k7] = plane(d, 1.0, 0.0)
+                Mat27_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -1858,12 +1894,14 @@ def fused_chemotaxis_adjoint_sweep_synth(
     wts4, bary4, _ = _quad_consts(4, h)
     wts5 = wts5 * h * h
     wts4 = wts4 * h * h
+    itemsize = jnp.dtype(pT.dtype).itemsize
+    materialize = (44 * n * n * itemsize) <= 115 * 2**20
     kern = functools.partial(
         _adj_sweep_kernel_synth, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,
         delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
         wts4=wts4, bary4=bary4, grads=grads, has_mis=has_mis,
-        reaction=reaction, precond=precond,
+        reaction=reaction, precond=precond, materialize=materialize,
     )
     dct_C, ilam_p, ilam_q = _dct_inputs(
         n, h, dt, pT.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
@@ -1893,7 +1931,13 @@ def fused_chemotaxis_adjoint_sweep_synth(
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
-        ],
+        ] + ([
+            pltpu.VMEM((7, n, n), pT.dtype),   # M (materialized once)
+            pltpu.VMEM((7, n, n), pT.dtype),   # Mat2 (materialized once)
+        ] if materialize else [
+            pltpu.VMEM((1, 8, 128), pT.dtype),
+            pltpu.VMEM((1, 8, 128), pT.dtype),
+        ]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
         ),
