@@ -42,18 +42,47 @@ class ChemotaxisModel(ModelBase):
                  rescaling: float = 1.0 / 10.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, backend: str = "xla",
                  consistent_alltime_misfit: bool = False,
-                 pad_to: int | None = None, mesh=None, debug: bool = False):
+                 pad_to: int | None = None, mesh=None, debug: bool = False,
+                 gradient_smoothing: bool = False):
         """``consistent_alltime_misfit``: the reference adds the RAW nodal
         misfit û-u to the assembled adjoint loads in all-time mode
         (helpers.py:1506-1507, dimensionally inconsistent — the gradient is
         off by ~1/mass-scale, which projected Armijo absorbs). Set True for
         the mass-weighted M(û-u) variant that satisfies the adjoint identity.
+
+        ``gradient_smoothing``: the reference's commented-out experimental
+        adjoint variant (helpers.py:1520-1528): before assembling the q
+        load χ u e^{-ηu} ∇p·∇w, project the raw per-element ∇p (DG0) into
+        CG1 by an L2 mass solve and use the smoothed nodal gradient field.
+        XLA adjoint path only (forces backend="xla").
         """
+        if gradient_smoothing and backend != "xla":
+            from fem_fct_pdeco_tpu.models.base import _warn_backend_fallback
+
+            _warn_backend_fallback(backend, "gradient_smoothing adjoint")
+            backend = "xla"
         super().__init__(grid, dtype, solver_opts, backend, pad_to, mesh,
                          debug=debug)
         self.params = params
         self.rescaling = rescaling
         self.consistent_alltime_misfit = consistent_alltime_misfit
+        self.gradient_smoothing = gradient_smoothing
+
+    def smooth_gradient(self, p_field):
+        """DG0 -> CG1 smoothed gradient (helpers.py:1520-1525): the
+        per-element constant gradient of the P1 field, L2-projected onto
+        nodal CG1 components via mass solves. Returns (gx, gy) nodal."""
+        asm = self.asm
+        rd_opts = dataclasses.replace(self.solver_opts, symmetric=True)
+        gp = asm.elem_grad(p_field)  # (2, 2comp, nc, nc), element-constant
+        nq = asm.rule(2)[1].shape[0]
+        out = []
+        for comp in range(2):
+            f = jnp.broadcast_to(gp[:, comp][:, None],
+                                 (2, nq) + gp.shape[-2:])
+            b = asm.linear_form(f, 2)
+            out.append(solve_stencil(self.M, b, opts=rd_opts))
+        return out[0], out[1]
 
     # ------------------------------------------------------------------
 
@@ -296,10 +325,21 @@ class ChemotaxisModel(ModelBase):
                 Mat_p, rhs_p, p_np1, dt, self.M, self.M_diag, self.ML_diag,
                 non_flux=nf, solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
             )
-            # q-solve (helpers.py:1531-1538)
-            rhs_q = asm.advective_form(
-                asm.elem_grad(p_n), p.chi * asm.nodal_at_quad(u_n, 4) * expu, degree=4
-            )
+            # q-solve (helpers.py:1531-1538); gradient_smoothing swaps the
+            # raw per-element grad(p) for its CG1 L2 projection
+            # (helpers.py:1520-1528)
+            if self.gradient_smoothing:
+                gx, gy = self.smooth_gradient(p_n)
+                Gq = jnp.stack(
+                    [asm.nodal_at_quad(gx, 4), asm.nodal_at_quad(gy, 4)],
+                    axis=2)
+                rhs_q = asm.advective_form(
+                    Gq, p.chi * asm.nodal_at_quad(u_n, 4) * expu, degree=4
+                )
+            else:
+                rhs_q = asm.advective_form(
+                    asm.elem_grad(p_n), p.chi * asm.nodal_at_quad(u_n, 4) * expu, degree=4
+                )
             if optim == "alltime":
                 rhs_q = rhs_q + mis_v
             q_n = solve_stencil(

@@ -56,3 +56,38 @@ def test_adjoint_gradient_fd(optim):
     h = 1e-3
     fd = (J(c + h * delta) - J(c - h * delta)) / (2 * h)
     assert fd == pytest.approx(grad_dot, rel=0.08), (fd, grad_dot)
+
+
+def test_gradient_smoothing_adjoint_variant():
+    """The reference's experimental DG0->CG1 gradient-smoothing adjoint
+    (helpers.py:1520-1528): for a LINEAR p the element gradient is globally
+    constant, so the L2 projection is exact and the smoothed adjoint equals
+    the raw one; for a general p it differs but stays finite."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n = 17
+    g = Grid(0.0, 1.0, n)
+    m = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                        gradient_smoothing=True)
+    X, Y = g.xy
+    p_lin = jnp.asarray(0.3 * X + 0.7 * Y)
+    gx, gy = m.smooth_gradient(p_lin)
+    assert float(jnp.abs(gx - 0.3).max()) < 1e-9
+    assert float(jnp.abs(gy - 0.7).max()) < 1e-9
+
+    m0 = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    u0np, v0np = m0.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((4, n, n), 100.0)
+    u, v = m0.forward(c, u0, v0, 5e-4)
+    uhat, vhat = 1.01 * u[-1], 1.02 * v[-1]
+    p_raw, q_raw = m0.adjoint(u, v, uhat, vhat, c, 5e-4, "finaltime")
+    p_sm, q_sm = m.adjoint(u, v, uhat, vhat, c, 5e-4, "finaltime")
+    assert bool(jnp.isfinite(p_sm).all()) and bool(jnp.isfinite(q_sm).all())
+    # the variants agree closely (the smoothing is a mild regularization)
+    assert float(jnp.abs(q_sm - q_raw).max()) < 0.1 * float(jnp.abs(q_raw).max() + 1e-30)
