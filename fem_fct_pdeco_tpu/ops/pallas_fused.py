@@ -239,7 +239,8 @@ def _fused_u_kernel(
 
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
-              *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None):
+              *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None,
+              m_swap=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
@@ -248,7 +249,12 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     ``S``: optional non-flux matrix (``non_flux`` of ops/fct.py: enters the
     low-order matrix but not the artificial diffusion or the du/dt flux
     right-hand side) as a list of 9 plane VALUES with None for structurally
-    zero planes."""
+    zero planes.
+    ``m_swap``: synth-kernel hook — the Low matrix is DEAD once the du/dt
+    right-hand side is computed, so the hook materializes the (synthesized)
+    consistent mass into the A_ref scratch at that point and returns the
+    new M accessor; the Chebyshev loop and the flux stage then read VMEM
+    instead of re-synthesizing M's planes per use."""
     # compact-layout stencils (the synth kernels) declare their structurally
     # zero planes; skip the dead work for them
     zero_planes = getattr(type(A_ref), "zero_planes", ())
@@ -284,8 +290,6 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
                             skip_planes=ANTI_DIAGONAL_IDS)
     apply_D = _make_apply(D_ref, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
-    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
-                          skip_planes=ANTI_DIAGONAL_IDS)
 
     def apply_S(x):
         pad_ref[1 : n + 1, 1 : n + 1] = x
@@ -311,6 +315,10 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
 
     # ---- 5. Chebyshev du/dt on M du = -A u_low + rhs --------------------
     rdot = -apply_A(u_low) + rhs
+    if m_swap is not None:
+        M_ref = m_swap()  # Low is dead: A_ref now holds the consistent mass
+    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
     lmin, lmax = 0.5, 2.0
     rho_c = (lmax - lmin) / (lmax + lmin)
     Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
@@ -1643,29 +1651,22 @@ def _fwd_sweep_kernel_synth(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
-    M7_ref, Mat27_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, grads, warm, reaction, precond, materialize,
+    wts4, bary4, grads, warm, reaction, precond,
 ):
     """Chemotaxis forward step with synthesized stationary operators
     (helpers.py:1321-1385 semantics — identical math to _fwd_sweep_kernel,
-    ≥1024²-capable). With ``materialize`` the heavily-reused M and Mat2
-    stencils are built ONCE (step 0) into persistent compact scratch, so
-    their solver-loop applies (20 Chebyshev + CG iterations per step) read
-    VMEM instead of rebuilding the masked planes every iteration; without
-    it (the largest grids, where two more 7-plane scratches do not fit)
-    every apply synthesizes the planes in place."""
+    ≥1024²-capable). No stationary stencil ever occupies VMEM for longer
+    than its use window: Mat2 is materialized into the A scratch before the
+    v solve (assembly overwrites it), and the consistent mass is
+    materialized into the same scratch once Low is dead (_fct_core m_swap)
+    — every solver loop reads VMEM, never re-synthesizing planes."""
     dtype = ucur_ref.dtype
     plane, ml_diag = _make_synth(n, dtype, h2)
     A_ref = _CompactPlanes(A7_ref, n, dtype)
     D_ref = _CompactPlanes(D7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
     K_ref = _SynthPlanes(plane, 0.0, 1.0)
-    if materialize:
-        M_ref = _CompactPlanes(M7_ref, n, dtype)
-        Mat2_ref = _CompactPlanes(Mat27_ref, n, dtype)
-    else:
-        M_ref = _SynthPlanes(plane, 1.0, 0.0)
-        Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
     Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
 
     i = pl.program_id(0)
@@ -1676,10 +1677,6 @@ def _fwd_sweep_kernel_synth(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
-        if materialize:
-            for k7, d in enumerate(P7):
-                M7_ref[k7] = plane(d, 1.0, 0.0)
-                Mat27_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -1693,20 +1690,26 @@ def _fwd_sweep_kernel_synth(
         prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
     else:
         prec_u = None
-        prec_v = 1.0 / Mat2_ref[CENTER]
+        prec_v = None
 
     # ---- v half-step (helpers.py:1339-1342) -----------------------------
-    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    # Mat2 = (1+dtδ)M + dt·Df·K materialized into the A scratch (free until
+    # the u assembly), so the CG loop reads VMEM
+    for k7, d in enumerate(P7):
+        A7_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
-    apply_mat = _make_apply(Mat2_ref, pad_ref, n, prezeroed=True,
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
                             skip_planes=ANTI_DIAGONAL_IDS)
-    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+    apply_M = _make_apply(M_syn, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
     load = _v_load(c_i, u_n, nc=n - 1, h2=h2)
     b = apply_M(v_n) + (dt * inv_r) * load
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
-    v_np1 = _cg(apply_mat, prec_v, b, x0v, tol, iters)
+    v_np1 = _cg(apply_mat,
+                prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
+                b, x0v, tol, iters)
 
     # ---- u half-step (helpers.py:1350-1356) -----------------------------
     _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
@@ -1717,10 +1720,16 @@ def _fwd_sweep_kernel_synth(
     else:
         rhs_u = jnp.zeros_like(u_n)
     x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
     u_np1 = _fct_core(
-        A_ref, D_ref, pad_ref, M_ref, Md_ref, ml_diag(), u_n, rhs_u,
+        A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
-        prec=prec_u,
+        prec=prec_u, m_swap=m_swap,
     )
 
     uprev_ref[:, :] = u_n
@@ -1742,10 +1751,6 @@ def fused_chemotaxis_forward_sweep_synth(
     this variant fits ≥1024² f32 in VMEM."""
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
-    itemsize = jnp.dtype(u0.dtype).itemsize
-    # materialized M/Mat2 add two 7-plane scratches; keep them while the
-    # total stays inside the ~120 MB VMEM budget
-    materialize = (44 * n * n * itemsize) <= 115 * 2**20
     wts4, bary4, grads = _quad_consts(4, h)
     wts4 = wts4 * h * h
     kern = functools.partial(
@@ -1753,7 +1758,6 @@ def fused_chemotaxis_forward_sweep_synth(
         delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
         grads=grads, warm=warm, reaction=reaction, precond=precond,
-        materialize=materialize,
     )
     dct_C, ilam_u, ilam_v = _dct_inputs(
         n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
@@ -1776,13 +1780,7 @@ def fused_chemotaxis_forward_sweep_synth(
             pltpu.VMEM((7, n, n), u0.dtype),   # A -> Low (compact)
             pltpu.VMEM((7, n, n), u0.dtype),   # D (compact)
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
-        ] + ([
-            pltpu.VMEM((7, n, n), u0.dtype),   # M (materialized once)
-            pltpu.VMEM((7, n, n), u0.dtype),   # Mat2 (materialized once)
-        ] if materialize else [
-            pltpu.VMEM((1, 8, 128), u0.dtype),
-            pltpu.VMEM((1, 8, 128), u0.dtype),
-        ]),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
         ),
@@ -1797,26 +1795,21 @@ def _adj_sweep_kernel_synth(
     ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
-    M7_ref, Mat27_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
     wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
-    materialize,
 ):
     """Chemotaxis adjoint step with synthesized stationary operators
     (helpers.py:1387-1581 semantics — the large-grid variant of
     _adj_sweep_kernel; no warm-start scratch to stay in VMEM budget).
-    ``materialize``: see _fwd_sweep_kernel_synth."""
+    Scratch-swapping as in _fwd_sweep_kernel_synth: M is materialized into
+    the A scratch once Low is dead, and Mat2 takes the same scratch for
+    the q solve after the p step's mass reads are done."""
     dtype = pcur_ref.dtype
     plane, ml_diag = _make_synth(n, dtype, h2)
     A_ref = _CompactPlanes(A7_ref, n, dtype)
     D_ref = _CompactPlanes(D7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
     K_ref = _SynthPlanes(plane, 0.0, 1.0)
-    if materialize:
-        M_ref = _CompactPlanes(M7_ref, n, dtype)
-        Mat2_ref = _CompactPlanes(Mat27_ref, n, dtype)
-    else:
-        M_ref = _SynthPlanes(plane, 1.0, 0.0)
-        Mat2_ref = _SynthPlanes(plane, 1.0 + dt * delta, dt * Df)
     Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
 
     i = pl.program_id(0)
@@ -1825,10 +1818,6 @@ def _adj_sweep_kernel_synth(
     def _():
         pcur_ref[:, :] = pT_ref[:, :]
         qcur_ref[:, :] = qT_ref[:, :]
-        if materialize:
-            for k7, d in enumerate(P7):
-                M7_ref[k7] = plane(d, 1.0, 0.0)
-                Mat27_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -1840,7 +1829,7 @@ def _adj_sweep_kernel_synth(
         prec_q = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
     else:
         prec_p = None
-        prec_q = 1.0 / Mat2_ref[CENTER]
+        prec_q = None
 
     # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
     load = _assemble_adjoint_A_and_load(
@@ -1853,26 +1842,38 @@ def _adj_sweep_kernel_synth(
                         _wm_prod([u_n, u_n], nc=n - 1, h2=h2), s2=3.0)
     else:
         S = None
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
     p_n = _fct_core(
-        A_ref, D_ref, pad_ref, M_ref, Md_ref, ml_diag(), p_np1, rhs,
+        A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
-        prec=prec_p,
+        prec=prec_p, m_swap=m_swap,
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
+    # A scratch still holds M from the swap: take the mass reads first
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
-    apply_mat = _make_apply(Mat2_ref, pad_ref, n, prezeroed=True,
+    apply_Msc = _make_apply(A_ref, pad_ref, n, prezeroed=True,
                             skip_planes=ANTI_DIAGONAL_IDS)
-    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
-                          skip_planes=ANTI_DIAGONAL_IDS)
     qload = _q_load(p_n, u_n, nc=n - 1, chi=chi, eta=eta,
                     wts=wts4, bary=bary4, grads=grads)
     if has_mis:
         qload = qload + misv_ref[0, :, :]
-    b = apply_M(q_np1) + dt * qload
-    q_n = _cg(apply_mat, prec_q, b, q_np1, tol, iters)
+    b = apply_Msc(q_np1) + dt * qload
+    # now rededicate the scratch to Mat2 for the CG solve
+    for k7, d in enumerate(P7):
+        A7_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    q_n = _cg(apply_mat,
+              prec_q if prec_q is not None else 1.0 / A_ref[CENTER],
+              b, q_np1, tol, iters)
 
     pcur_ref[:, :] = p_n
     qcur_ref[:, :] = q_n
@@ -1894,14 +1895,12 @@ def fused_chemotaxis_adjoint_sweep_synth(
     wts4, bary4, _ = _quad_consts(4, h)
     wts5 = wts5 * h * h
     wts4 = wts4 * h * h
-    itemsize = jnp.dtype(pT.dtype).itemsize
-    materialize = (44 * n * n * itemsize) <= 115 * 2**20
     kern = functools.partial(
         _adj_sweep_kernel_synth, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,
         delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
         wts4=wts4, bary4=bary4, grads=grads, has_mis=has_mis,
-        reaction=reaction, precond=precond, materialize=materialize,
+        reaction=reaction, precond=precond,
     )
     dct_C, ilam_p, ilam_q = _dct_inputs(
         n, h, dt, pT.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
@@ -1931,13 +1930,7 @@ def fused_chemotaxis_adjoint_sweep_synth(
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
-        ] + ([
-            pltpu.VMEM((7, n, n), pT.dtype),   # M (materialized once)
-            pltpu.VMEM((7, n, n), pT.dtype),   # Mat2 (materialized once)
-        ] if materialize else [
-            pltpu.VMEM((1, 8, 128), pT.dtype),
-            pltpu.VMEM((1, 8, 128), pT.dtype),
-        ]),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
         ),
