@@ -51,6 +51,20 @@ class SchnakenbergModel(ModelBase):
     _HOISTED_OPS = ModelBase._HOISTED_OPS + (
         "N", "A_u", "B_v", "A_u_adj", "B_v_adj")
 
+    # stationary-wind Schnakenberg has large-grid synth kernels (M/K from
+    # iota masks + in-kernel wind assembly, pallas_fused.py)
+    _synth_capable = True
+    force_synth = False  # test hook
+
+    def _use_synth_sweep(self):
+        if self.td_wind_fn is not None:
+            return False  # td kernels carry their own in-kernel assembly
+        if self.force_synth:
+            return True
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+        return not fits_vmem(self.grid.n, self.dtype)
+
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, td_wind_fn=None,
@@ -193,6 +207,23 @@ class SchnakenbergModel(ModelBase):
 
                 return run_dist
             if self.backend == "pallas_fused":
+                if self._use_synth_sweep():
+                    from fem_fct_pdeco_tpu.models.schnakenberg import (
+                        schnak_wind as _w)
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_schnak_forward_sweep_synth)
+
+                    def run_synth(c, u0, v0):
+                        return fused_schnak_forward_sweep_synth(
+                            c, u0, v0, wind_fn=_w, h=self.grid.h,
+                            a1=self.grid.a1, dt=dt, Du=p.Du, Dv=p.Dv,
+                            omega1=p.omega1, omega2=p.omega2,
+                            gamma=p.gamma, c_b=p.c_b,
+                            rescaling=self.rescaling,
+                            tol=self.solver_opts.tol,
+                        )
+
+                    return run_synth
                 if self.td_wind_fn is not None:
                     from fem_fct_pdeco_tpu.ops.pallas_fused import (
                         fused_schnak_forward_sweep_td)
@@ -284,6 +315,24 @@ class SchnakenbergModel(ModelBase):
                         vhat[:-1], v_traj[:-1])
                     return pT, jnp.zeros_like(pT), mis_u, mis_v
 
+                if self._use_synth_sweep():
+                    from fem_fct_pdeco_tpu.models.schnakenberg import (
+                        schnak_wind as _w)
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_schnak_adjoint_sweep_synth)
+
+                    def run_synth(u_traj, v_traj, uhat, vhat):
+                        pT, qT, mis_u, mis_v = _terminal(
+                            u_traj, v_traj, uhat, vhat)
+                        return fused_schnak_adjoint_sweep_synth(
+                            u_traj, v_traj, pT, qT, mis_u, mis_v,
+                            wind_fn=_w, h=self.grid.h, a1=self.grid.a1,
+                            dt=dt, Du=p.Du, Dv=p.Dv, omega1=p.omega1,
+                            omega2=p.omega2, gamma=p.gamma,
+                            tol=self.solver_opts.tol,
+                        )
+
+                    return run_synth
                 if self.td_wind_fn is not None:
                     from fem_fct_pdeco_tpu.ops.pallas_fused import (
                         fused_schnak_adjoint_sweep_td)

@@ -240,7 +240,7 @@ def _fused_u_kernel(
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
               *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None,
-              m_swap=None):
+              m_swap=None, S_at=None, A_direct=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
@@ -254,7 +254,16 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     right-hand side is computed, so the hook materializes the (synthesized)
     consistent mass into the A_ref scratch at that point and returns the
     new M accessor; the Chebyshev loop and the flux stage then read VMEM
-    instead of re-synthesizing M's planes per use."""
+    instead of re-synthesizing M's planes per use.
+    ``S_at``: synth-kernel alternative to ``S`` — a callable d -> plane
+    value, materialized TRANSIENTLY at each use site so the non-flux
+    planes never span the Krylov while_loop as live VMEM values.
+    ``A_direct``: optional apply for the raw flux matrix; when given, the
+    du/dt right-hand side uses it instead of reconstructing
+    A = (Low - ML)/dt + D - S (synth kernels re-synthesize A cheaper than
+    keeping the pieces alive)."""
+    if S_at is not None:
+        assert S is None
     # compact-layout stencils (the synth kernels) declare their structurally
     # zero planes; skip the dead work for them
     zero_planes = getattr(type(A_ref), "zero_planes", ())
@@ -279,6 +288,8 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         plane = A_ref[d, :, :] - D_ref[d, :, :]
         if S is not None and S[d] is not None:
             plane = plane + S[d]
+        if S_at is not None:
+            plane = plane + S_at(d)
         plane = dt * plane
         if d == CENTER:
             plane = plane + ML
@@ -303,6 +314,8 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     def apply_A(x):
         # A = (Low - diag(ML))/dt + D - S  (the flux matrix alone drives the
         # antidiffusive du/dt, helpers.py:1812-1815)
+        if A_direct is not None:
+            return A_direct(x)
         out = (apply_low(x) - ML * x) / dt + apply_D(x)
         if S is not None:
             out = out - apply_S(x)
@@ -2414,3 +2427,359 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(frames, x0, A_base, M, M_diag, ML_diag)
+
+
+# ---------------------------------------------------------------------------
+# Schnakenberg SYNTH whole-sweep kernels (≥1024²): M and K synthesized from
+# iota masks, the convection stencil assembled in-kernel from the wind at
+# iota-synthesized quadrature coordinates (so no stationary stencil occupies
+# VMEM), per-step stencils in compact 7-plane scratch with scratch-swapping.
+# ---------------------------------------------------------------------------
+
+
+def _schnak_fwd_kernel_synth(
+    c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
+    *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol,
+    iters, cheb_iters, warm, precond, wind_fn, pts, wts, bary, grads,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = ucur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    D_ref = _CompactPlanes(D7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+    nc = n - 1
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+    if precond == "dct":
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_u = None
+        prec_v = None
+
+    t0 = jnp.asarray(0.0, dtype)  # stationary wind: t unused
+
+    def conv(transpose=False):
+        return _conv_planes_td(wind_fn, t0, nc=nc, h=h, a1=a1, pts=pts,
+                               wts=wts, bary=bary, grads=grads, dtype=dtype,
+                               transpose=transpose)
+
+    # ---- u FCT (helpers.py:581-588): A_u = Du K - ω₁ N ------------------
+    N = conv()
+    for k7, d in enumerate(P7):
+        p_ = Du * plane(d, 0.0, 1.0)
+        if N[d] is not None:
+            p_ = p_ - omega1 * N[d]
+        A7_ref[k7] = p_
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_M0 = _make_apply(M_syn, pad_ref, n, prezeroed=True,
+                           skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_u = ((gamma * inv_r) * apply_M0(c_i)
+             + _lf_prod([u_n, u_n, v_n], nc=nc, h2=h2, scale=gamma))
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    def A_direct(x):
+        Nv = conv()
+        pad_ref[1 : n + 1, 1 : n + 1] = x
+        pc = Du * plane(CENTER, 0.0, 1.0)
+        if Nv[CENTER] is not None:
+            pc = pc - omega1 * Nv[CENTER]
+        acc = pc * x
+        for d in range(9):
+            if d == CENTER or d in ANTI_DIAGONAL_IDS:
+                continue
+            pd = Du * plane(d, 0.0, 1.0)
+            if Nv[d] is not None:
+                pd = pd - omega1 * Nv[d]
+            acc = acc + pd * _shifted(pad_ref, d, n)
+        return acc
+
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _fct_core(
+        A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
+        prec=prec_u, m_swap=m_swap,
+        S_at=lambda d: gamma * plane(d, 1.0, 0.0), A_direct=A_direct,
+    )
+
+    # ---- v implicit with the NEW u (helpers.py:590-596) -----------------
+    # A scratch holds M (swap): read the mass apply for b first
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_Msc = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    b = apply_Msc(v_n) + dt * ((gamma * c_b) * ml_diag())
+    # rededicate the scratch to Mat_v = M + dt(Dv K - ω₂N + γ M_{u²})
+    N2 = conv()
+    Mu2 = _wm_prod([u_np1, u_np1], nc=nc, h2=h2)
+    for k7, d in enumerate(P7):
+        p_ = plane(d, 1.0, dt * Dv)
+        if N2[d] is not None:
+            p_ = p_ - (dt * omega2) * N2[d]
+        if Mu2[d] is not None:
+            p_ = p_ + (dt * gamma) * Mu2[d]
+        A7_ref[k7] = p_
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = _cg(apply_mat,
+                prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
+                b, x0v, tol, iters)
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+
+def fused_schnak_forward_sweep_synth(
+        c_traj, u0, v0, *, wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
+        gamma, c_b, rescaling, tol=1e-6, iters=60, cheb_iters=20, warm=True,
+        precond="dct", conv_degree=5, vmem_limit_mb=120):
+    """Large-grid Schnakenberg forward sweep: the synth analogue of
+    fused_schnak_forward_sweep — M/K synthesized from iota masks, the wind
+    stencil assembled in-kernel each step (``wind_fn(x, y) -> (wx, wy)``
+    jnp-traceable), compact per-step scratches with scratch-swapping."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    pts, wts = rule_for_degree(conv_degree)
+    bary = barycentric(pts)
+    grads = _basis_gradients(h)
+    wfn3 = lambda x, y, t: wind_fn(x, y)
+    kern = functools.partial(
+        _schnak_fwd_kernel_synth, n=n, h=h, a1=a1, h2=h * h, dt=dt, Du=Du,
+        Dv=Dv, omega1=omega1, omega2=omega2, gamma=gamma, c_b=c_b,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        warm=warm, precond=precond, wind_fn=wfn3, pts=pts, wts=wts,
+        bary=bary, grads=grads,
+    )
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype,
+        [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame, field, field, field, field, field],
+        out_specs=(frame, frame),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((7, n, n), u0.dtype),
+            pltpu.VMEM((7, n, n), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
+    return (jnp.concatenate([u0[None], u_traj], axis=0),
+            jnp.concatenate([v0[None], v_traj], axis=0))
+
+
+def _schnak_adj_kernel_synth(
+    u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
+    *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, tol, iters,
+    cheb_iters, has_mis, precond, wind_fn, pts, wts, bary, grads,
+):
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = pcur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    D_ref = _CompactPlanes(D7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+    nc = n - 1
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+    if precond == "dct":
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_p = None
+        prec_q = None
+
+    t0 = jnp.asarray(0.0, dtype)
+
+    def conv_t():
+        return _conv_planes_td(wind_fn, t0, nc=nc, h=h, a1=a1, pts=pts,
+                               wts=wts, bary=bary, grads=grads, dtype=dtype,
+                               transpose=True)
+
+    # ---- q implicit first (helpers.py:680-688) --------------------------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_M0 = _make_apply(M_syn, pad_ref, n, prezeroed=True,
+                           skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_q = _lf_prod([p_np1, u_n, u_n], nc=nc, h2=h2, scale=gamma)
+    if has_mis:
+        rhs_q = rhs_q + misv_ref[0, :, :]
+    b = apply_M0(q_np1) + dt * rhs_q
+    Nt = conv_t()
+    Mu2 = _wm_prod([u_n, u_n], nc=nc, h2=h2)
+    for k7, d in enumerate(P7):
+        p_ = plane(d, 1.0, dt * Dv)
+        if Nt[d] is not None:
+            p_ = p_ - (dt * omega2) * Nt[d]
+        if Mu2[d] is not None:
+            p_ = p_ + (dt * gamma) * Mu2[d]
+        A7_ref[k7] = p_
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    q_n = _cg(apply_mat,
+              prec_q if prec_q is not None else 1.0 / A_ref[CENTER],
+              b, q_np1, tol, iters)
+
+    # ---- p FCT (helpers.py:690-697): A = Du K - ω₁ Nᵀ, S = γM - 2γ M_uv -
+    rhs_p = _lf_prod([u_n, v_n, q_n], nc=nc, h2=h2, scale=-2.0 * gamma)
+    if has_mis:
+        rhs_p = rhs_p + misu_ref[0, :, :]
+    Muv = _wm_prod([u_n, v_n], nc=nc, h2=h2)
+
+    def S_at(d):
+        p_ = gamma * plane(d, 1.0, 0.0)
+        if Muv[d] is not None:
+            p_ = p_ - (2.0 * gamma) * Muv[d]
+        return p_
+
+    Nt2 = conv_t()
+    for k7, d in enumerate(P7):
+        p_ = Du * plane(d, 0.0, 1.0)
+        if Nt2[d] is not None:
+            p_ = p_ - omega1 * Nt2[d]
+        A7_ref[k7] = p_
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    def A_direct(x):
+        Nv = conv_t()
+        pad_ref[1 : n + 1, 1 : n + 1] = x
+        pc = Du * plane(CENTER, 0.0, 1.0)
+        if Nv[CENTER] is not None:
+            pc = pc - omega1 * Nv[CENTER]
+        acc = pc * x
+        for d in range(9):
+            if d == CENTER or d in ANTI_DIAGONAL_IDS:
+                continue
+            pd = Du * plane(d, 0.0, 1.0)
+            if Nv[d] is not None:
+                pd = pd - omega1 * Nv[d]
+            acc = acc + pd * _shifted(pad_ref, d, n)
+        return acc
+
+    p_n = _fct_core(
+        A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs_p,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        prec=prec_p, m_swap=m_swap, S_at=S_at, A_direct=A_direct,
+    )
+
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+
+def fused_schnak_adjoint_sweep_synth(
+        u_traj, v_traj, pT, qT, mis_u=None, mis_v=None, *, wind_fn, h, a1,
+        dt, Du, Dv, omega1, omega2, gamma, tol=1e-6, iters=60,
+        cheb_iters=20, precond="jacobi", conv_degree=5, vmem_limit_mb=120):
+    """Large-grid Schnakenberg adjoint sweep (synth analogue of
+    fused_schnak_adjoint_sweep; default Jacobi like the resident kernel —
+    the adjoint mass coefficients swing with the stored pattern state)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    pts, wts = rule_for_degree(conv_degree)
+    bary = barycentric(pts)
+    grads = _basis_gradients(h)
+    wfn3 = lambda x, y, t: wind_fn(x, y)
+    kern = functools.partial(
+        _schnak_adj_kernel_synth, n=n, h=h, a1=a1, h2=h * h, dt=dt, Du=Du,
+        Dv=Dv, omega1=omega1, omega2=omega2, gamma=gamma, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, has_mis=has_mis,
+        precond=precond, wind_fn=wfn3, pts=pts, wts=wts, bary=bary,
+        grads=grads,
+    )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype,
+        [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rev = pl.BlockSpec((1, n, n), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+        mis_spec = pl.BlockSpec((1, n, n), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        mis_spec = rev
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[rev, rev, mis_spec, mis_spec, field, field,
+                  field, field, field],
+        out_specs=(rev, rev),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((n, n), pT.dtype),
+            pltpu.VMEM((7, n, n), pT.dtype),
+            pltpu.VMEM((7, n, n), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
+      dct_C, ilam_p, ilam_q)
+    return (jnp.concatenate([p_traj, pT[None]], axis=0),
+            jnp.concatenate([q_traj, qT[None]], axis=0))

@@ -470,3 +470,39 @@ def test_drift_checkpointed_adjoint_matches():
         p_ref = m.adjoint(u, uhat, c, dt, optim)
         p_ck = m.adjoint_checkpointed(c, u0, uhat, dt, optim, num_segments=4)
         assert float(jnp.abs(p_ck - p_ref).max()) < 1e-9, optim
+
+
+def test_synth_sweeps_match_xla_schnakenberg():
+    """Schnakenberg SYNTH whole-sweep kernels (M/K from iota masks +
+    in-kernel wind assembly) match the XLA path at solver tolerance."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 24, 4, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13))
+    ms = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13),
+                           backend="pallas_fused")
+    ms.force_synth = True
+    assert ms._use_synth_sweep()
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), 0.1)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    us, vs = ms.forward(c, u0, v0, dt)
+    assert float(jnp.abs(us - ux).max()) < 1e-9
+    assert float(jnp.abs(vs - vx).max()) < 1e-9
+
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, dt, optim)
+        ps, qs = ms.adjoint(ux, vx, uhat, vhat, dt, optim)
+        assert float(jnp.abs(ps - px).max()) < 1e-9, optim
+        assert float(jnp.abs(qs - qx).max()) < 1e-9, optim
