@@ -120,11 +120,14 @@ def tpu_schnak_steps_per_sec() -> dict:
     return {"schnak_forward_steps_per_sec": round(STEPS_PER_CALL / best, 3)}
 
 
-def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50) -> dict:
+def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
+                                 include_fused: bool = True) -> dict:
     """Forward sweep throughput at 1024²: the synth fused whole-sweep
     kernel (in-kernel synthesized stationary operators, pallas_fused.py)
     vs the XLA fallback, with a fused-vs-XLA parity guard so a silently
-    wrong kernel can't post a fast number."""
+    wrong kernel can't post a fast number. ``include_fused=False`` measures
+    only the XLA path (the timeout fallback of
+    ``_tpu_large_grid_with_timeout``)."""
     import jax
     import jax.numpy as jnp
 
@@ -157,20 +160,54 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50) -> dict:
             best = min(best, time.perf_counter() - t0)
         return model, (u, v), steps_b / best
 
-    model_f, (uf, vf), sps_fused = measure("pallas_fused", steps)
-    assert model_f.backend == "pallas_fused", model_f.backend
-    out[f"forward_steps_per_sec_{n}"] = round(sps_fused, 3)
+    if include_fused:
+        model_f, (uf, vf), sps_fused = measure("pallas_fused", steps)
+        assert model_f.backend == "pallas_fused", model_f.backend
+        out[f"forward_steps_per_sec_{n}"] = round(sps_fused, 3)
     try:
         model_x, (ux, vx), sps_xla = measure("xla", steps)
         out[f"forward_steps_per_sec_{n}_xla"] = round(sps_xla, 3)
-        # parity guard over the first 5 steps (f32 trajectories diverge
-        # chaotically at long horizons; early steps must agree closely)
-        rel = float(jnp.abs(uf[5] - ux[5]).max() / jnp.abs(ux[5]).max())
-        assert rel < 1e-2, rel
-        out[f"fused_vs_xla_rel_{n}"] = rel
+        if include_fused:
+            # parity guard over the first 5 steps (f32 trajectories diverge
+            # chaotically at long horizons; early steps must agree closely)
+            rel = float(jnp.abs(uf[5] - ux[5]).max() / jnp.abs(ux[5]).max())
+            assert rel < 1e-2, rel
+            out[f"fused_vs_xla_rel_{n}"] = rel
     except Exception as e:
-        out[f"large_grid_xla_error"] = f"{type(e).__name__}: {e}"
+        out["large_grid_xla_error"] = f"{type(e).__name__}: {e}"
     return out
+
+
+# The 1024² synth kernels pay a large one-time Mosaic compile when
+# /tmp/jax_cache is cold (hours through the axon remote-compile tunnel);
+# never let the whole bench hang on it.
+LG_FUSED_TIMEOUT_S = int(os.environ.get("FEMFCT_LG_FUSED_TIMEOUT_S", "2700"))
+
+
+def _tpu_large_grid_with_timeout() -> dict:
+    """Run the fused 1024² measurement in a timeout-guarded subprocess
+    (compile-cache hits return in minutes; a cold cache is cut off at
+    ``LG_FUSED_TIMEOUT_S``), falling back to the XLA-path measurement."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--large-grid-only"],
+            capture_output=True, text=True, timeout=LG_FUSED_TIMEOUT_S,
+        )
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return {"large_grid_error": f"subprocess rc={r.returncode}: {tail}"}
+    except subprocess.TimeoutExpired:
+        out = tpu_large_grid_steps_per_sec(include_fused=False)
+        out["large_grid_fused_error"] = (
+            f"mosaic compile exceeded {LG_FUSED_TIMEOUT_S}s (cold cache); "
+            "XLA-path number reported")
+        return out
 
 
 def tpu_dist_smoke(n: int = 256, steps: int = 50) -> dict:
@@ -430,6 +467,13 @@ def main():
             [sys.executable, os.path.abspath(__file__), "--baseline-only"],
             check=False, timeout=3600,
         )
+    # Large-grid fused measurement first, in its own (timeout-guarded)
+    # process, BEFORE this process initializes the TPU — two live TPU
+    # clients through the axon tunnel are not guaranteed to coexist.
+    try:
+        big = _tpu_large_grid_with_timeout()
+    except Exception as e:
+        big = {"large_grid_error": f"{type(e).__name__}: {e}"}
     sweep = tpu_steps_per_sec()
     value = sweep["forward_steps_per_sec"]
     try:
@@ -440,10 +484,6 @@ def main():
         schnak = tpu_schnak_steps_per_sec()
     except Exception as e:
         schnak = {"schnak_error": f"{type(e).__name__}: {e}"}
-    try:
-        big = tpu_large_grid_steps_per_sec()
-    except Exception as e:
-        big = {"large_grid_error": f"{type(e).__name__}: {e}"}
     try:
         dist = tpu_dist_smoke()
     except Exception as e:
@@ -474,5 +514,10 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         cpu_baseline_steps_per_sec()
+    elif "--large-grid-only" in sys.argv:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        print(json.dumps(tpu_large_grid_steps_per_sec()))
     else:
         main()

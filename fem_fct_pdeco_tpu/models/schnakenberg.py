@@ -81,6 +81,21 @@ class SchnakenbergModel(ModelBase):
         self.params = params
         self.rescaling = rescaling
         self.td_wind_fn = td_wind_fn
+        if td_wind_fn is not None and self.backend == "pallas_fused":
+            # the td-wind fused kernels are RESIDENT-only (no synth
+            # variant), so the base guard's synth allowance does not apply
+            from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+            if not fits_vmem(grid.n, self.dtype):
+                import warnings
+
+                warnings.warn(
+                    f"grid {grid.n}x{grid.n} ({self.dtype}) exceeds the "
+                    "single-block VMEM budget of the td-wind fused kernels "
+                    "(no synth variant); falling back to backend='xla'",
+                    stacklevel=2,
+                )
+                self.backend = "xla"
         self.N = self.asm.convection(schnak_wind)  # (w·∇v, u)
         # u flux matrix: Du*Ad - ω₁*A (helpers.py:582-583)
         self.A_u = params.Du * self.K - params.omega1 * self.N

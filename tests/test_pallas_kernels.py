@@ -136,11 +136,19 @@ def test_vmem_guard_falls_back_to_xla():
     from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
     from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
 
-    # Schnakenberg has no synth kernels: the resident budget governs
+    # Schnakenberg (stationary wind) IS synth-capable: 512² f64 exceeds the
+    # resident budget but keeps the fused backend on the synth kernels
     n_big = 512
     assert not fits_vmem(n_big, jnp.float64)
+    model = SchnakenbergModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
+    assert model.backend == "pallas_fused" and model._use_synth_sweep()
+
+    # ... but the td-wind fused kernels are resident-only, so the same grid
+    # with a time-dependent wind must warn and fall back
     with _pytest.warns(UserWarning, match="VMEM"):
-        model = SchnakenbergModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
+        model = SchnakenbergModel(
+            Grid(0.0, 1.0, n_big), backend="pallas_fused",
+            td_wind_fn=lambda x, y, t: (y, -x))
     assert model.backend == "xla"
 
     # chemotaxis IS synth-capable: 512² f64 exceeds the resident budget but
