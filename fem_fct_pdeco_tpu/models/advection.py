@@ -284,6 +284,83 @@ class AdvectionModel(ModelBase):
             args.append(reaction_traj)
         return fn(*args)
 
+    def adjoint_checkpointed(self, control_traj, u0, uhat, dt,
+                             optim="finaltime", num_segments: int = 8,
+                             source_traj=None, reaction_traj=None):
+        """Segmented checkpoint/recompute adjoint without a stored forward
+        trajectory (timeloop.checkpointed_adjoint; SURVEY §5 long-trajectory
+        mechanism). Returns p_traj matching ``adjoint(forward(...))`` for the
+        same optional source/reaction trajectories."""
+        has_src = source_traj is not None
+        has_g = reaction_traj is not None
+        key = ("adjck", float(dt), optim, num_segments, has_src, has_g)
+
+        def build():
+            from fem_fct_pdeco_tpu.timeloop import checkpointed_adjoint
+
+            def fwd_step(carry, x):
+                rhs = st.apply(self.M, x[0])
+                k = 1
+                if has_src:
+                    rhs = rhs + st.apply(self.M, x[k])
+                    k += 1
+                if has_g:
+                    rhs = rhs - self._reaction_load(x[k], carry)
+                return self._fct(self.A_state, rhs, carry, dt)
+
+            def adj_step(carry, x):
+                u_n, uhat_n, g_n = x
+                if optim == "finaltime":
+                    rhs = jnp.zeros_like(carry)
+                else:
+                    rhs = st.apply(self.M, uhat_n - u_n)
+                if has_g:
+                    rhs = rhs - self._reaction_load(g_n, carry)
+                return self._fct(self.A_adjoint, rhs, carry, dt)
+
+            def run(control_traj, u0, uhat, *rest):
+                fwd_xs = [control_traj[1:]]
+                i = 0
+                if has_src:
+                    fwd_xs.append(rest[i][1:])  # f(t_{n+1})
+                    i += 1
+                if has_g:
+                    g_traj = rest[i]
+                    fwd_xs.append(g_traj[:-1])  # g(t_n): previous-step IMEX
+
+                def terminal(final):
+                    if optim == "finaltime":
+                        return uhat - final
+                    return jnp.zeros_like(final)
+
+                def adj_xs(seg_traj, s, seg):
+                    if optim == "finaltime":
+                        uh = jnp.zeros_like(seg_traj[:-1])
+                    else:
+                        uh = jax.lax.dynamic_slice_in_dim(
+                            uhat, s * seg, seg, axis=0)
+                    if has_g:
+                        g = jax.lax.dynamic_slice_in_dim(
+                            g_traj, s * seg, seg, axis=0)
+                    else:
+                        g = jnp.zeros_like(seg_traj[:-1])
+                    return (seg_traj[:-1], uh, g)
+
+                return checkpointed_adjoint(
+                    fwd_step, adj_step, u0, tuple(fwd_xs),
+                    terminal, adj_xs, num_segments,
+                )
+
+            return run
+
+        fn = self._jitted(key, build)
+        args = [control_traj, u0, uhat]
+        if has_src:
+            args.append(source_traj)
+        if has_g:
+            args.append(reaction_traj)
+        return fn(*args)
+
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - p) (advection_FCT_PDECO_finaltime.py:237)."""
         return -(beta * c_traj - p_traj)

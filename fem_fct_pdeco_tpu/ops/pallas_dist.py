@@ -29,10 +29,14 @@ device axis, with
   identical everywhere and the tolerance-based ``while_loop`` exits in
   lockstep on all chips.
 
-The Krylov solves are Jacobi-preconditioned (the spectral DCT
-preconditioner needs a distributed transpose — an all-to-all of (nl, nl)
-blocks — left as a future lever; the low-order matrix is an M-matrix, so
-Jacobi-BiCGStab converges in a handful of iterations regardless).
+The chemotaxis-family Krylov solves run the spectral DCT preconditioner
+ON the distributed path (``precond="dct"``, the default): 4 local MXU
+matmuls + 2 distributed transposes per apply, where the distributed
+transpose is a credit-based all-to-all of locally transposed (nl, nl)
+tiles (``dtranspose`` / ``_dct_pinv_dist``). The remaining sweeps are
+Jacobi-preconditioned (the low-order matrix is an M-matrix, so
+Jacobi-BiCGStab converges in a handful of iterations regardless). A 2-D
+(rows x cols) mesh auto-routes every entry point to ops/pallas_dist2d.py.
 
 Correctness is pinned by tests/test_pallas_dist.py: the sweep on an
 ``xla_force_host_platform_device_count`` CPU mesh (TPU interpret mode
@@ -1222,7 +1226,14 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     """
     from jax import shard_map
 
+    from fem_fct_pdeco_tpu.ops import pallas_dist2d as d2
     from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix, dct_precond_ilam
+
+    if axis is None and d2.mesh_is_2d(mesh):
+        return d2.dist2d_chemotaxis_forward_sweep(
+            c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, mesh, h=h, dt=dt,
+            Dm=Dm, chi=chi, eta=eta, rescaling=rescaling, tol=tol,
+            iters=iters, cheb_iters=cheb_iters, warm=warm, reaction=reaction)
 
     n = u0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1276,6 +1287,15 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     Together with the forward sweep this gives the full PDECO gradient on
     the multi-chip RDMA fast path."""
     from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops import pallas_dist2d as d2
+
+    if axis is None and d2.mesh_is_2d(mesh):
+        return d2.dist2d_chemotaxis_adjoint_sweep(
+            u_traj, v_traj, c_traj, pT, qT, K, M, M_diag, ML_diag, Mat2,
+            mesh, mis_u, mis_v, h=h, dt=dt, Dm=Dm, chi=chi, eta=eta,
+            rescaling=rescaling, tol=tol, iters=iters,
+            cheb_iters=cheb_iters, warm=warm, reaction=reaction)
 
     n = pT.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1475,6 +1495,15 @@ def dist_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
     with the same RDMA halo / credit / deterministic-reduction protocol as
     the chemotaxis sweeps."""
     from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops import pallas_dist2d as d2
+
+    if axis is None and d2.mesh_is_2d(mesh):
+        return d2.dist2d_scalar_fct_sweep(
+            load_traj, x0, A_flux, M, M_diag, ML_diag, mesh, h=h, dt=dt,
+            tol=tol, iters=iters, cheb_iters=cheb_iters, warm=warm,
+            nonflux_mode=nonflux_mode, load_is_mass=load_is_mass,
+            reverse=reverse)
 
     n = x0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1848,6 +1877,14 @@ def dist_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
     (helpers.py:511-597)."""
     from jax import shard_map
 
+    from fem_fct_pdeco_tpu.ops import pallas_dist2d as d2
+
+    if axis is None and d2.mesh_is_2d(mesh):
+        return d2.dist2d_schnak_forward_sweep(
+            c_traj, u0, v0, A_u, M, M_diag, ML_diag, Mbase_v, mesh, h=h,
+            dt=dt, gamma=gamma, c_b=c_b, rescaling=rescaling, tol=tol,
+            iters=iters, cheb_iters=cheb_iters, warm=warm)
+
     n = u0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
     nl = n // nd
@@ -1879,6 +1916,14 @@ def dist_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
     """Multi-chip Schnakenberg adjoint sweep, semantics identical to
     pallas_fused.fused_schnak_adjoint_sweep (helpers.py:599-698)."""
     from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops import pallas_dist2d as d2
+
+    if axis is None and d2.mesh_is_2d(mesh):
+        return d2.dist2d_schnak_adjoint_sweep(
+            u_traj, v_traj, pT, qT, A_u_adj, M, M_diag, ML_diag, Mbase_q,
+            mesh, mis_u, mis_v, h=h, dt=dt, gamma=gamma, tol=tol,
+            iters=iters, cheb_iters=cheb_iters, warm=warm)
 
     n = pT.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -2076,7 +2121,15 @@ def dist_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
     sweeps."""
     from jax import shard_map
 
+    from fem_fct_pdeco_tpu.ops import pallas_dist2d as d2
     from fem_fct_pdeco_tpu.ops.assembly import _basis_gradients
+
+    if axis is None and d2.mesh_is_2d(mesh):
+        return d2.dist2d_drift_fct_sweep(
+            frames, x0, A_base, M, M_diag, ML_diag, mesh, h=h, dt=dt,
+            sign=sign, drift=drift, tol=tol, iters=iters,
+            cheb_iters=cheb_iters, warm=warm, reverse=reverse,
+            has_mis=has_mis)
 
     n = x0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)

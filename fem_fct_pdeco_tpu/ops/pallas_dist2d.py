@@ -46,7 +46,16 @@ from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 from fem_fct_pdeco_tpu.ops.pallas_fused import _quad_consts, _safe_div
 from fem_fct_pdeco_tpu.ops.pallas_dist import (
     _assemble_forward_A_rect, _assemble_adjoint_A_rect, _lf_prod_rect,
-    _q_load_rect, _dist_interp, _compiler_params)
+    _wm_prod_rect, _q_load_rect, _drift_planes_rect, _dist_interp,
+    _compiler_params)
+
+
+def mesh_is_2d(mesh, axes=None):
+    """True when the (first two axes of the) mesh spreads devices over BOTH
+    dimensions — i.e. the 2-D two-phase halo protocol is required. A mesh
+    with a single >1 axis runs the cheaper 1-D row-block path."""
+    names = mesh.axis_names[:2] if axes is None else axes
+    return len(names) >= 2 and all(mesh.shape[a] > 1 for a in names)
 
 
 def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
@@ -846,8 +855,6 @@ def _dist2d_adj_kernel(
     rhs = load_ext[1 : nlr + 1, 1 : nlc + 1] + misu_ref[0, :, :]
 
     if reaction == "mimura":
-        from fem_fct_pdeco_tpu.ops.pallas_dist import _wm_prod_rect
-
         ue1 = uext2[1 : nlr + 3, 1 : nlc + 3]
         W1 = _wm_prod_rect([ue1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
                            cmask=cmask1, scale=-2.0)
@@ -1004,3 +1011,725 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     )
     return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
               K, M, M_diag, ML_diag, Mat2)
+
+# ---------------------------------------------------------------------------
+# 2-D distributed single-field FCT sweep (nonlinear equation, linear
+# advection state/adjoint — helpers.py:881-1038,
+# advection_FCT_PDECO_finaltime.py:194-231)
+# ---------------------------------------------------------------------------
+
+
+def _dist2d_scalar_kernel(
+    load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
+    out_ref,
+    cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    sbuf_lf, sbuf_rt, rlef, rrig,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, tol, iters, cheb_iters, h2,
+    warm, nonflux_mode, load_is_mass,
+):
+    """2-D analogue of pallas_dist._dist_scalar_kernel: one FCT field with a
+    stationary flux matrix, optional per-step IMEX non-flux weighted mass
+    (nonlinear state +1 / adjoint -1), per-step load frames."""
+    i = pl.program_id(0)
+    ops = _make_ops2d(
+        ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr, nc=nc, tol=tol,
+        iters=iters, dtype=cur_ref.dtype, hpad_ref=hpad_ref,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot,
+        sbuf_lf=sbuf_lf, sbuf_rt=sbuf_rt, rlef=rlef, rrig=rrig,
+        dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
+        crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
+        credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
+        credit_rt=credit_rt, credit_dot=credit_dot)
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[:, :] = x0_ref[:, :]
+        prev_ref[:, :] = x0_ref[:, :]
+        ops.init_buffers()
+        ops.init_credits()
+
+    dtype = cur_ref.dtype
+    x_n = cur_ref[:, :]
+
+    if load_is_mass:
+        apply_M = ops.make_apply(M_ref)
+        rhs = apply_M(load_ref[0, 0, :, :])
+    else:
+        rhs = load_ref[0, 0, :, :]
+
+    if nonflux_mode == 0:
+        S = None
+    else:
+        # u for the IMEX weighted mass: forward uses the CARRIED state x_n;
+        # the adjoint linearizes around the stored state (frame 1)
+        u_for_S = x_n if nonflux_mode > 0 else load_ref[0, 1, :, :]
+        uext1 = ops.exchange2d(u_for_S, 1)
+        cmask1 = _cell_mask2d(ops.row0 - 1, ops.col0 - 1, nlr + 1, nlc + 1,
+                              n, dtype)
+        Mu2 = _wm_prod_rect([uext1, uext1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                            cmask=cmask1)
+        scale = (1.0 / 3.0) if nonflux_mode > 0 else 1.0
+        S = [
+            (scale * Mu2[d][1 : nlr + 1, 1 : nlc + 1]
+             if Mu2[d] is not None else 0.0)
+            - M_ref[d, :, :]
+            for d in range(9)
+        ]
+
+    for d in range(9):
+        Aext_ref[d, :, :] = Aflux_ref[d, :, :]
+
+    x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
+    x_np1 = _dist_fct_tail_2d(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        x_n, rhs, x0w, n=n, nlr=nlr, nlc=nlc, dt=dt,
+        cheb_iters=cheb_iters, S=S)
+
+    prev_ref[:, :] = x_n
+    cur_ref[:, :] = x_np1
+    out_ref[0, :, :] = x_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _frame_specs2d(steps, F, nlr, nlc, reverse):
+    if reverse:
+        frame_in = pl.BlockSpec((1, F, nlr, nlc),
+                                lambda i: (steps - 1 - i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, nlr, nlc),
+                                 lambda i: (steps - 1 - i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        frame_in = pl.BlockSpec((1, F, nlr, nlc), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        frame_out = pl.BlockSpec((1, nlr, nlc), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return frame_in, frame_out
+
+
+def _device2d_scalar(load_loc, x0_loc, A_rep, M_rep, Md_rep, ML_rep, *,
+                     ax_r, ax_c, n, nlr, nlc, nr, nc, steps, F, dt, tol,
+                     iters, cheb_iters, h2, warm, nonflux_mode,
+                     load_is_mass, reverse):
+    me_r = jax.lax.axis_index(ax_r)
+    me_c = jax.lax.axis_index(ax_c)
+    r0 = me_r * nlr
+    c0 = me_c * nlc
+    Ax = _slice_block(A_rep, r0, c0, nlr + 4, nlc + 4, pad=2)
+    M_loc = _slice_block(M_rep, r0, c0, nlr, nlc)
+    Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
+    ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
+
+    dtype = x0_loc.dtype
+    kern = functools.partial(
+        _dist2d_scalar_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
+        nr=nr, nc=nc, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        h2=h2, warm=warm, nonflux_mode=nonflux_mode,
+        load_is_mass=load_is_mass,
+    )
+    field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nlr, nlc), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    frame_in, frame_out = _frame_specs2d(steps, F, nlr, nlc, reverse)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
+        out_specs=frame_out,
+        scratch_shapes=[
+            pltpu.VMEM((nlr, nlc), dtype),             # x current
+            pltpu.VMEM((nlr, nlc), dtype),             # x prev (warm start)
+            pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
+            pltpu.VMEM((9, nlr, nlc), dtype),          # D
+            pltpu.VMEM((nlr + 2, nlc + 2), dtype),     # hpad
+        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(load_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
+    return out
+
+
+def dist2d_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
+                            *, h, dt, tol=1e-6, iters=60, cheb_iters=20,
+                            warm=True, nonflux_mode=0, load_is_mass=True,
+                            reverse=False, axes=None):
+    """Multi-chip single-field FCT sweep over a 2-D (rows x cols) device
+    mesh — semantics identical to pallas_dist.dist_scalar_fct_sweep, halos
+    via the two-phase 2-D RDMA protocol."""
+    from jax import shard_map
+
+    n = x0.shape[-1]
+    if axes is None:
+        axes = mesh.axis_names[:2]
+    ax_r, ax_c = axes
+    nr = mesh.shape[ax_r]
+    nc = mesh.shape[ax_c]
+    if n % nr or n % nc:
+        raise ValueError(f"n={n} not divisible by mesh {nr}x{nc}")
+    nlr, nlc = n // nr, n // nc
+    steps = load_traj.shape[0]
+    F = load_traj.shape[1]
+
+    body = functools.partial(
+        _device2d_scalar, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
+        nr=nr, nc=nc, steps=steps, F=F, dt=dt, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h * h, warm=warm,
+        nonflux_mode=nonflux_mode, load_is_mass=load_is_mass,
+        reverse=reverse,
+    )
+    spec_l = P(None, None, ax_r, ax_c)
+    spec_t = P(None, ax_r, ax_c)
+    spec_f = P(ax_r, ax_c)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
+        out_specs=spec_t,
+        check_vma=False,
+    )
+    return fn(load_traj, x0, A_flux, M, M_diag, ML_diag)
+
+# ---------------------------------------------------------------------------
+# 2-D distributed Schnakenberg sweeps (helpers.py:511-698)
+# ---------------------------------------------------------------------------
+
+
+def _dist2d_schnak_fwd_kernel(
+    c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, uprev_ref, vprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    sbuf_lf, sbuf_rt, rlef, rrig,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, gamma, c_b, inv_r, tol, iters,
+    cheb_iters, h2, warm,
+):
+    """2-D analogue of pallas_dist._dist_schnak_fwd_kernel: u FCT with
+    rhs = γ(c/r + u²v) and non_flux = γM, then the v implicit solve with
+    the u²-weighted mass assembled from the NEW u (helpers.py:581-596)."""
+    i = pl.program_id(0)
+    ops = _make_ops2d(
+        ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr, nc=nc, tol=tol,
+        iters=iters, dtype=ucur_ref.dtype, hpad_ref=hpad_ref,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot,
+        sbuf_lf=sbuf_lf, sbuf_rt=sbuf_rt, rlef=rlef, rrig=rrig,
+        dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
+        crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
+        credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
+        credit_rt=credit_rt, credit_dot=credit_dot)
+
+    @pl.when(i == 0)
+    def _():
+        ucur_ref[:, :] = u0_ref[:, :]
+        vcur_ref[:, :] = v0_ref[:, :]
+        uprev_ref[:, :] = u0_ref[:, :]
+        vprev_ref[:, :] = v0_ref[:, :]
+        ops.init_buffers()
+        ops.init_credits()
+
+    dtype = ucur_ref.dtype
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+
+    cmask1 = _cell_mask2d(ops.row0 - 1, ops.col0 - 1, nlr + 1, nlc + 1,
+                          n, dtype)
+
+    # u FCT: rhs = γ(c/r + u²v), non_flux = γM
+    apply_M = ops.make_apply(M_ref)
+    Mc = apply_M(c_i)
+    uext1 = ops.exchange2d(u_n, 1)
+    vext1 = ops.exchange2d(v_n, 1)
+    load_ext = _lf_prod_rect([uext1, uext1, vext1], ncr=nlr + 1,
+                             ncc=nlc + 1, h2=h2, cmask=cmask1, scale=gamma)
+    rhs_u = (gamma * inv_r) * Mc + load_ext[1 : nlr + 1, 1 : nlc + 1]
+
+    S = [gamma * M_ref[d, :, :] for d in range(9)]
+    for d in range(9):
+        Aext_ref[d, :, :] = Au_ref[d, :, :]
+    x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
+    u_np1 = _dist_fct_tail_2d(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        u_n, rhs_u, x0u, n=n, nlr=nlr, nlc=nlc, dt=dt,
+        cheb_iters=cheb_iters, S=S)
+
+    # v implicit with the NEW u: Mat_v = Mbv + dt γ M_{u²}
+    uext1n = ops.exchange2d(u_np1, 1)
+    Mu2 = _wm_prod_rect([uext1n, uext1n], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                        cmask=cmask1)
+    MatV = [
+        Mbv_ref[d, :, :]
+        + ((dt * gamma) * Mu2[d][1 : nlr + 1, 1 : nlc + 1]
+           if Mu2[d] is not None else 0.0)
+        for d in range(9)
+    ]
+
+    def apply_matv(x):
+        ops.fill_hpad(ops.exchange2d(x, 1))
+        return ops.plane_sum(lambda d: MatV[d], x)
+
+    b = apply_M(v_n) + (dt * gamma * c_b) * ML_ref[:, :]
+    x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
+    v_np1 = ops.dcg(apply_matv, 1.0 / MatV[CENTER], b, x0v)
+
+    uprev_ref[:, :] = u_n
+    vprev_ref[:, :] = v_n
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    uout_ref[0, :, :] = u_np1
+    vout_ref[0, :, :] = v_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _dist2d_schnak_adj_kernel(
+    u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, pprev_ref, qprev_ref,
+    Aext_ref, D_ref, hpad_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    sbuf_lf, sbuf_rt, rlef, rrig,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, gamma, tol, iters, cheb_iters,
+    h2, warm,
+):
+    """2-D analogue of pallas_dist._dist_schnak_adj_kernel: the q implicit
+    solve (Mat_q = Mbq + dt γ M_{u²}, rhs = γ p u²), then the p FCT with
+    non_flux = γM - 2γM_{uv} and rhs = -2γ u v q (helpers.py:680-697)."""
+    i = pl.program_id(0)
+    ops = _make_ops2d(
+        ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr, nc=nc, tol=tol,
+        iters=iters, dtype=pcur_ref.dtype, hpad_ref=hpad_ref,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot,
+        sbuf_lf=sbuf_lf, sbuf_rt=sbuf_rt, rlef=rlef, rrig=rrig,
+        dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
+        crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
+        credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
+        credit_rt=credit_rt, credit_dot=credit_dot)
+
+    @pl.when(i == 0)
+    def _():
+        pcur_ref[:, :] = pT_ref[:, :]
+        qcur_ref[:, :] = qT_ref[:, :]
+        pprev_ref[:, :] = pT_ref[:, :]
+        qprev_ref[:, :] = qT_ref[:, :]
+        ops.init_buffers()
+        ops.init_credits()
+
+    dtype = pcur_ref.dtype
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = u_ref[0, :, :]
+    v_n = v_ref[0, :, :]
+
+    cmask1 = _cell_mask2d(ops.row0 - 1, ops.col0 - 1, nlr + 1, nlc + 1,
+                          n, dtype)
+    uext1 = ops.exchange2d(u_n, 1)
+    vext1 = ops.exchange2d(v_n, 1)
+    pext1 = ops.exchange2d(p_np1, 1)
+
+    # q implicit first: Mat_q = Mbq + dt γ M_{u²}
+    Mu2 = _wm_prod_rect([uext1, uext1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                        cmask=cmask1)
+    MatQ = [
+        Mbq_ref[d, :, :]
+        + ((dt * gamma) * Mu2[d][1 : nlr + 1, 1 : nlc + 1]
+           if Mu2[d] is not None else 0.0)
+        for d in range(9)
+    ]
+
+    def apply_matq(x):
+        ops.fill_hpad(ops.exchange2d(x, 1))
+        return ops.plane_sum(lambda d: MatQ[d], x)
+
+    rhs_q_ext = _lf_prod_rect([pext1, uext1, uext1], ncr=nlr + 1,
+                              ncc=nlc + 1, h2=h2, cmask=cmask1, scale=gamma)
+    rhs_q = rhs_q_ext[1 : nlr + 1, 1 : nlc + 1] + misv_ref[0, :, :]
+    apply_M = ops.make_apply(M_ref)
+    b = apply_M(q_np1) + dt * rhs_q
+    x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
+    q_n = ops.dcg(apply_matq, 1.0 / MatQ[CENTER], b, x0q)
+
+    # p FCT: rhs = -2γ u v q_n, S = γM - 2γ M_{uv}
+    qext1 = ops.exchange2d(q_n, 1)
+    rhs_p_ext = _lf_prod_rect([uext1, vext1, qext1], ncr=nlr + 1,
+                              ncc=nlc + 1, h2=h2, cmask=cmask1,
+                              scale=-2.0 * gamma)
+    rhs_p = rhs_p_ext[1 : nlr + 1, 1 : nlc + 1] + misu_ref[0, :, :]
+
+    Muv = _wm_prod_rect([uext1, vext1], ncr=nlr + 1, ncc=nlc + 1, h2=h2,
+                        cmask=cmask1)
+    S = [
+        gamma * M_ref[d, :, :]
+        - ((2.0 * gamma) * Muv[d][1 : nlr + 1, 1 : nlc + 1]
+           if Muv[d] is not None else 0.0)
+        for d in range(9)
+    ]
+    for d in range(9):
+        Aext_ref[d, :, :] = Aadj_ref[d, :, :]
+    x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
+    p_n = _dist_fct_tail_2d(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        p_np1, rhs_p, x0p, n=n, nlr=nlr, nlc=nlc, dt=dt,
+        cheb_iters=cheb_iters, S=S)
+
+    pprev_ref[:, :] = p_np1
+    qprev_ref[:, :] = q_np1
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    pout_ref[0, :, :] = p_n
+    qout_ref[0, :, :] = q_n
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _device2d_schnak(adjoint, *arrays, ax_r, ax_c, n, nlr, nlc, nr, nc,
+                     steps, dt, gamma, c_b, inv_r, tol, iters, cheb_iters,
+                     h2, warm, has_mis):
+    me_r = jax.lax.axis_index(ax_r)
+    me_c = jax.lax.axis_index(ax_c)
+    r0 = me_r * nlr
+    c0 = me_c * nlc
+
+    def ext(x):
+        return _slice_block(x, r0, c0, nlr + 4, nlc + 4, pad=2)
+
+    def loc(x):
+        return _slice_block(x, r0, c0, nlr, nlc)
+
+    field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nlr, nlc), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    base_scratch = lambda dtype: [
+        pltpu.VMEM((nlr, nlc), dtype),
+        pltpu.VMEM((nlr, nlc), dtype),
+        pltpu.VMEM((nlr, nlc), dtype),
+        pltpu.VMEM((nlr, nlc), dtype),
+        pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
+        pltpu.VMEM((9, nlr, nlc), dtype),          # D
+        pltpu.VMEM((nlr + 2, nlc + 2), dtype),     # hpad
+    ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2)
+
+    if not adjoint:
+        c_loc, u0_loc, v0_loc, A_u, M, Md, ML, Mbv = arrays
+        dtype = u0_loc.dtype
+        kern = functools.partial(
+            _dist2d_schnak_fwd_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr,
+            nlc=nlc, nr=nr, nc=nc, dt=dt, gamma=gamma, c_b=c_b,
+            inv_r=inv_r, tol=tol, iters=iters, cheb_iters=cheb_iters,
+            h2=h2, warm=warm)
+        frame = pl.BlockSpec((1, nlr, nlc), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        u_traj, v_traj = pl.pallas_call(
+            kern,
+            grid=(steps,),
+            out_shape=(
+                jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+                jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            ),
+            in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
+                      field, stencil_loc],
+            out_specs=(frame, frame),
+            scratch_shapes=base_scratch(dtype),
+            compiler_params=_compiler_params(),
+            interpret=_dist_interp(),
+        )(c_loc[1:], u0_loc, v0_loc, ext(A_u), loc(M), loc(Md), loc(ML),
+          loc(Mbv))
+        u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
+        v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
+        return u_traj, v_traj
+
+    u_loc, v_loc, misu, misv, pT_loc, qT_loc, A_adj, M, Md, ML, Mbq = arrays
+    dtype = pT_loc.dtype
+    kern = functools.partial(
+        _dist2d_schnak_adj_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr,
+        nlc=nlc, nr=nr, nc=nc, dt=dt, gamma=gamma, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h2, warm=warm)
+    rev = pl.BlockSpec((1, nlr, nlc), lambda i: (steps - 1 - i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mis_spec = rev if has_mis else pl.BlockSpec(
+        (1, nlr, nlc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        ),
+        in_specs=[rev, rev, mis_spec, mis_spec, field, field,
+                  stencil_ext, stencil_loc, field, field, stencil_loc],
+        out_specs=(rev, rev),
+        scratch_shapes=base_scratch(dtype),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(u_loc, v_loc, misu, misv, pT_loc, qT_loc, ext(A_adj), loc(M),
+      loc(Md), loc(ML), loc(Mbq))
+    p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
+    q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
+    return p_traj, q_traj
+
+
+def _resolve_mesh2d(mesh, axes, n):
+    if axes is None:
+        axes = mesh.axis_names[:2]
+    ax_r, ax_c = axes
+    nr = mesh.shape[ax_r]
+    nc = mesh.shape[ax_c]
+    if n % nr or n % nc:
+        raise ValueError(f"n={n} not divisible by mesh {nr}x{nc}")
+    return ax_r, ax_c, nr, nc
+
+
+def dist2d_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
+                                Mbase_v, mesh, *, h, dt, gamma, c_b,
+                                rescaling, tol=1e-6, iters=60,
+                                cheb_iters=20, warm=True, axes=None):
+    """Multi-chip Schnakenberg forward sweep over a 2-D device mesh —
+    semantics identical to pallas_dist.dist_schnak_forward_sweep
+    (helpers.py:511-597)."""
+    from jax import shard_map
+
+    n = u0.shape[-1]
+    ax_r, ax_c, nr, nc = _resolve_mesh2d(mesh, axes, n)
+    nlr, nlc = n // nr, n // nc
+    steps = c_traj.shape[0] - 1
+
+    body = functools.partial(
+        _device2d_schnak, False, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr,
+        nlc=nlc, nr=nr, nc=nc, steps=steps, dt=dt, gamma=gamma, c_b=c_b,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        h2=h * h, warm=warm, has_mis=False)
+    spec_t = P(None, ax_r, ax_c)
+    spec_f = P(ax_r, ax_c)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(c_traj, u0, v0, A_u, M, M_diag, ML_diag, Mbase_v)
+
+
+def dist2d_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
+                                ML_diag, Mbase_q, mesh, mis_u=None,
+                                mis_v=None, *, h, dt, gamma, tol=1e-6,
+                                iters=60, cheb_iters=20, warm=True,
+                                axes=None):
+    """Multi-chip Schnakenberg adjoint sweep over a 2-D device mesh —
+    semantics identical to pallas_dist.dist_schnak_adjoint_sweep
+    (helpers.py:599-698)."""
+    from jax import shard_map
+
+    n = pT.shape[-1]
+    ax_r, ax_c, nr, nc = _resolve_mesh2d(mesh, axes, n)
+    nlr, nlc = n // nr, n // nc
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+
+    body = functools.partial(
+        _device2d_schnak, True, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr,
+        nlc=nlc, nr=nr, nc=nc, steps=steps, dt=dt, gamma=gamma, c_b=0.0,
+        inv_r=1.0, tol=tol, iters=iters, cheb_iters=cheb_iters, h2=h * h,
+        warm=warm, has_mis=has_mis)
+    spec_t = P(None, ax_r, ax_c)
+    spec_f = P(ax_r, ax_c)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
+                  rep3, rep3, rep2, rep2, rep3),
+        out_specs=(spec_t, spec_t),
+        check_vma=False,
+    )
+    return fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
+              A_u_adj, M, M_diag, ML_diag, Mbase_q)
+
+
+# ---------------------------------------------------------------------------
+# 2-D distributed drift-control sweep (advection_solidbody_FCT_PDECO_*):
+# per-step Adrift1/Adrift2 assembled in-kernel on the halo-extended block.
+# ---------------------------------------------------------------------------
+
+
+def _dist2d_drift_kernel(
+    frames_ref, x0_ref, Abase_ref, M_ref, Md_ref, ML_ref,
+    out_ref,
+    cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref,
+    sbuf_up, sbuf_dn, rtop, rbot,
+    sbuf_lf, sbuf_rt, rlef, rrig,
+    dot_s, dot_r,
+    hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
+    credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, sign, m, tol, iters,
+    cheb_iters, h2, warm, has_mis, grads,
+):
+    """2-D analogue of pallas_dist._dist_drift_kernel: the control-dependent
+    Adrift pair is assembled each step on the 2-deep halo-extended block,
+    added onto the stationary halo-extended base εK ∓ N_rot."""
+    i = pl.program_id(0)
+    ops = _make_ops2d(
+        ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr, nc=nc, tol=tol,
+        iters=iters, dtype=cur_ref.dtype, hpad_ref=hpad_ref,
+        sbuf_up=sbuf_up, sbuf_dn=sbuf_dn, rtop=rtop, rbot=rbot,
+        sbuf_lf=sbuf_lf, sbuf_rt=sbuf_rt, rlef=rlef, rrig=rrig,
+        dot_s=dot_s, dot_r=dot_r,
+        hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
+        crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
+        credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
+        credit_rt=credit_rt, credit_dot=credit_dot)
+
+    @pl.when(i == 0)
+    def _():
+        cur_ref[:, :] = x0_ref[:, :]
+        prev_ref[:, :] = x0_ref[:, :]
+        ops.init_buffers()
+        ops.init_credits()
+
+    dtype = cur_ref.dtype
+    x_n = cur_ref[:, :]
+    c_i = frames_ref[0, 0, :, :]
+
+    cext2 = ops.exchange2d(c_i, 2)
+    cmask2 = _cell_mask2d(ops.row0 - 2, ops.col0 - 2, nlr + 3, nlc + 3,
+                          n, dtype)
+    Ad = _drift_planes_rect(cext2, ncr=nlr + 3, ncc=nlc + 3, h2=h2, m=m,
+                            grads=grads, cmask=cmask2)
+    for d in range(9):
+        plane = Abase_ref[d, :, :]
+        if Ad[d] is not None:
+            plane = plane + sign * Ad[d]
+        Aext_ref[d, :, :] = plane
+
+    rhs = frames_ref[0, 1, :, :] if has_mis else jnp.zeros_like(x_n)
+    x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
+    x_np1 = _dist_fct_tail_2d(
+        ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
+        x_n, rhs, x0w, n=n, nlr=nlr, nlc=nlc, dt=dt,
+        cheb_iters=cheb_iters, S=None)
+
+    prev_ref[:, :] = x_n
+    cur_ref[:, :] = x_np1
+    out_ref[0, :, :] = x_np1
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ops.drain()
+
+
+def _device2d_drift(frames_loc, x0_loc, Abase_rep, M_rep, Md_rep, ML_rep, *,
+                    ax_r, ax_c, n, nlr, nlc, nr, nc, steps, F, dt, sign, m,
+                    tol, iters, cheb_iters, h2, warm, has_mis, reverse,
+                    grads):
+    me_r = jax.lax.axis_index(ax_r)
+    me_c = jax.lax.axis_index(ax_c)
+    r0 = me_r * nlr
+    c0 = me_c * nlc
+    Ax = _slice_block(Abase_rep, r0, c0, nlr + 4, nlc + 4, pad=2)
+    M_loc = _slice_block(M_rep, r0, c0, nlr, nlc)
+    Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
+    ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
+
+    dtype = x0_loc.dtype
+    kern = functools.partial(
+        _dist2d_drift_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
+        nr=nr, nc=nc, dt=dt, sign=sign, m=m, tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h2, warm=warm, has_mis=has_mis,
+        grads=grads,
+    )
+    field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    stencil_loc = pl.BlockSpec((9, nlr, nlc), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    frame_in, frame_out = _frame_specs2d(steps, F, nlr, nlc, reverse)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
+        out_specs=frame_out,
+        scratch_shapes=[
+            pltpu.VMEM((nlr, nlc), dtype),             # x current
+            pltpu.VMEM((nlr, nlc), dtype),             # x prev (warm start)
+            pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
+            pltpu.VMEM((9, nlr, nlc), dtype),          # D
+            pltpu.VMEM((nlr + 2, nlc + 2), dtype),     # hpad
+        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2),
+        compiler_params=_compiler_params(),
+        interpret=_dist_interp(),
+    )(frames_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
+    return out
+
+
+def dist2d_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
+                           h, dt, sign, drift, tol=1e-6, iters=60,
+                           cheb_iters=20, warm=True, reverse=False,
+                           has_mis=False, axes=None):
+    """Multi-chip drift-control FCT sweep over a 2-D device mesh —
+    semantics identical to pallas_dist.dist_drift_fct_sweep (per-step
+    in-kernel Adrift assembly; sign=-1 state / +1 adjoint)."""
+    from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops.assembly import _basis_gradients
+
+    n = x0.shape[-1]
+    ax_r, ax_c, nr, nc = _resolve_mesh2d(mesh, axes, n)
+    nlr, nlc = n // nr, n // nc
+    steps = frames.shape[0]
+    F = frames.shape[1]
+    grads = _basis_gradients(h)
+
+    body = functools.partial(
+        _device2d_drift, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
+        nr=nr, nc=nc, steps=steps, F=F, dt=dt, sign=float(sign),
+        m=tuple(float(v) for v in drift), tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h * h, warm=warm, has_mis=has_mis,
+        reverse=reverse, grads=grads,
+    )
+    spec_l = P(None, None, ax_r, ax_c)
+    spec_t = P(None, ax_r, ax_c)
+    spec_f = P(ax_r, ax_c)
+    rep3 = P(None, None, None)
+    rep2 = P(None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
+        out_specs=spec_t,
+        check_vma=False,
+    )
+    return fn(frames, x0, A_base, M, M_diag, ML_diag)

@@ -56,6 +56,38 @@ def test_checkpointed_adjoint_nonlinear(optim):
                                rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.parametrize("optim,with_g", [
+    ("finaltime", False),
+    ("alltime", False),
+    ("finaltime", True),  # MMS-exact configuration: source f + reaction g
+])
+def test_checkpointed_adjoint_advection(optim, with_g):
+    """AdvectionModel.adjoint_checkpointed matches adjoint(forward(...)),
+    including the source/reaction trajectories of the MMS-exact drivers."""
+    from fem_fct_pdeco_tpu.models.advection import AdvectionModel, vortex_wind
+
+    g = Grid(0.0, 1.0, 17)
+    model = AdvectionModel(g, 1e-3, vortex_wind(1.0),
+                           solver_opts=SolverOpts(tol=1e-13))
+    X, Y = g.xy
+    u0 = jnp.asarray(np.exp(-20.0 * ((X - 0.5) ** 2 + (Y - 0.5) ** 2)))
+    dt, steps = 1e-3, 12
+    rng = np.random.RandomState(3)
+    c = jnp.asarray(rng.rand(steps + 1, g.n, g.n))
+    kw = {}
+    if with_g:
+        kw = dict(source_traj=jnp.asarray(rng.rand(steps + 1, g.n, g.n)),
+                  reaction_traj=jnp.asarray(0.5 * rng.rand(steps + 1, g.n, g.n)))
+    u = model.forward(c, u0, dt, **kw)
+    uhat = 1.01 * u[-1] if optim == "finaltime" else 1.01 * u
+    p_full = model.adjoint(u, uhat, dt, optim,
+                           reaction_traj=kw.get("reaction_traj"))
+    p_ck = model.adjoint_checkpointed(c, u0, uhat, dt, optim, num_segments=3,
+                                      **kw)
+    np.testing.assert_allclose(np.asarray(p_ck), np.asarray(p_full),
+                               rtol=1e-9, atol=1e-12)
+
+
 @pytest.mark.parametrize("optim", ["finaltime", "alltime"])
 def test_checkpointed_adjoint_schnakenberg(optim):
     from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel

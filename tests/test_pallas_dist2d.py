@@ -95,3 +95,171 @@ def test_dist2d_adjoint_matches_single_device(optim):
         rescaling=m.rescaling, tol=1e-12, iters=200)
     assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
     assert np.abs(np.asarray(q_d) - np.asarray(q_ref)).max() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# The remaining families run through the MODEL backend: a 2-D mesh passed
+# as backend="pallas_dist" auto-routes to the dist2d kernels
+# (pallas_dist.mesh_is_2d delegation).
+# ---------------------------------------------------------------------------
+
+_SOLVE = dict(dtype=jnp.float64,
+              solver_opts=SolverOpts(tol=1e-12, maxiter=200))
+
+
+def _shards(mesh):
+    return (NamedSharding(mesh, P(None, "x", "y")),
+            NamedSharding(mesh, P("x", "y")))
+
+
+def test_dist2d_model_backend_routes():
+    """ChemotaxisModel with a 2-D mesh runs the dist2d kernels end-to-end
+    through backend='pallas_dist'."""
+    g, m, c, u0, v0 = _setup()
+    u_ref, v_ref = m.forward(c, u0, v0, DT)
+    mesh = _mesh2d(2, 2)
+    md = ChemotaxisModel(g, rescaling=1.0, backend="pallas_dist",
+                         mesh=mesh, **_SOLVE)
+    sh_t, sh_f = _shards(mesh)
+    u_d, v_d = md.forward(jax.device_put(c, sh_t),
+                          jax.device_put(u0, sh_f),
+                          jax.device_put(v0, sh_f), DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+    assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
+
+
+def test_dist2d_scalar_nonlinear():
+    """Nonlinear state+adjoint on the 2-D distributed scalar sweep (IMEX
+    non-flux weighted mass from the carried/stored state)."""
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+
+    g = Grid(0.0, 1.0, N)
+    m = NonlinearModel(g, backend="xla", **_SOLVE)
+    u0 = jnp.asarray(m.ic(), jnp.float64)
+    c = jnp.full((STEPS + 1, N, N), 1.0, jnp.float64)
+    (u_ref,) = m.forward(c, u0, DT)
+    uhat = 1.01 * u_ref[-1]
+    (p_ref,) = m.adjoint(u_ref, uhat, DT, "finaltime")
+
+    mesh = _mesh2d(2, 2)
+    md = NonlinearModel(g, backend="pallas_dist", mesh=mesh, **_SOLVE)
+    sh_t, sh_f = _shards(mesh)
+    (u_d,) = md.forward(jax.device_put(c, sh_t), jax.device_put(u0, sh_f),
+                        DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+    (p_d,) = md.adjoint(jax.device_put(u_ref, sh_t),
+                        jax.device_put(uhat, sh_f), DT, "finaltime")
+    assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
+
+
+@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
+def test_dist2d_schnakenberg(optim):
+    """Schnakenberg forward+adjoint on the 2-D RDMA path (per-step
+    u²-weighted masses assembled in-kernel on the 2-D halo-extended
+    block)."""
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+
+    g = Grid(0.0, 1.0, N)
+    m = SchnakenbergModel(g, backend="xla", **_SOLVE)
+    u0np, v0np = m.ic()
+    u0 = jnp.asarray(u0np); v0 = jnp.asarray(v0np)
+    c = jnp.full((STEPS + 1, N, N), m.params.c_a, jnp.float64)
+    u_ref, v_ref = m.forward(c, u0, v0, DT)
+    if optim == "finaltime":
+        uhat, vhat = 1.01 * u_ref[-1], 1.02 * v_ref[-1]
+    else:
+        uhat, vhat = 1.01 * u_ref, 1.02 * v_ref
+    p_ref, q_ref = m.adjoint(u_ref, v_ref, uhat, vhat, DT, optim)
+
+    mesh = _mesh2d(2, 2)
+    md = SchnakenbergModel(g, backend="pallas_dist", mesh=mesh, **_SOLVE)
+    sh_t, sh_f = _shards(mesh)
+    u_d, v_d = md.forward(jax.device_put(c, sh_t),
+                          jax.device_put(u0, sh_f),
+                          jax.device_put(v0, sh_f), DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+    assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
+    p_d, q_d = md.adjoint(jax.device_put(u_ref, sh_t),
+                          jax.device_put(v_ref, sh_t), uhat, vhat, DT,
+                          optim)
+    assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
+    assert np.abs(np.asarray(q_d) - np.asarray(q_ref)).max() < 1e-9
+
+
+def test_dist2d_mimura():
+    """Mimura (chemotaxis + m²(1-m) reaction) forward on the 2-D path:
+    explicit reaction load and the IMEX non-flux linearization ride the
+    dist2d chemotaxis kernels."""
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+
+    g = Grid(0.0, 1.0, N)
+    m = MimuraModel(g, backend="xla", **_SOLVE)
+    u0np, v0np = m.ic()
+    u0 = jnp.asarray(u0np); v0 = jnp.asarray(v0np)
+    c = jnp.full((STEPS + 1, N, N), 1.0, jnp.float64)
+    u_ref, v_ref = m.forward(c, u0, v0, DT)
+    uhat, vhat = 1.01 * u_ref[-1], 1.02 * v_ref[-1]
+    p_ref, q_ref = m.adjoint(u_ref, v_ref, uhat, vhat, c, DT, "finaltime")
+
+    mesh = _mesh2d(2, 2)
+    md = MimuraModel(g, backend="pallas_dist", mesh=mesh, **_SOLVE)
+    sh_t, sh_f = _shards(mesh)
+    u_d, v_d = md.forward(jax.device_put(c, sh_t),
+                          jax.device_put(u0, sh_f),
+                          jax.device_put(v0, sh_f), DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+    assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
+    p_d, q_d = md.adjoint(jax.device_put(u_ref, sh_t),
+                          jax.device_put(v_ref, sh_t), uhat, vhat,
+                          jax.device_put(c, sh_t), DT, "finaltime")
+    assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
+    assert np.abs(np.asarray(q_d) - np.asarray(q_ref)).max() < 1e-9
+
+
+def test_dist2d_drift():
+    """Drift-control sweep on the 2-D path: per-step Adrift pair assembled
+    in-kernel on the 2-D halo-extended block."""
+    from fem_fct_pdeco_tpu.models.advection import (
+        DriftControlModel, slotted_cylinder_ic)
+
+    g = Grid(-1.0, 1.0, N)
+    kw = dict(eps=0.0, om=np.pi / 40, drift=(1.0, 1.0),
+              solver_opts=SolverOpts(tol=1e-12, maxiter=200))
+    mx = DriftControlModel(g, **kw)
+    mesh = _mesh2d(2, 2)
+    md = DriftControlModel(g, backend="pallas_dist", mesh=mesh, **kw)
+    rng = np.random.RandomState(7)
+    u0 = jnp.asarray(slotted_cylinder_ic(g, 0.05), jnp.float64)
+    c = jnp.asarray(0.5 * rng.rand(STEPS + 1, N, N))
+
+    sh_t, sh_f = _shards(mesh)
+    u_ref = mx.forward(c, u0, DT)
+    u_d = md.forward(jax.device_put(c, sh_t), jax.device_put(u0, sh_f), DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+
+    uhat = 1.1 * u_ref[-1]
+    p_ref = mx.adjoint(u_ref, uhat, c, DT, "finaltime")
+    p_d = md.adjoint(jax.device_put(u_ref, sh_t),
+                     jax.device_put(uhat, sh_f),
+                     jax.device_put(c, sh_t), DT, "finaltime")
+    assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
+
+
+def test_dist2d_advection():
+    """Linear advection state on the 2-D distributed scalar sweep."""
+    from fem_fct_pdeco_tpu.models.advection import (
+        AdvectionModel, vortex_wind)
+
+    g = Grid(0.0, 1.0, N)
+    m = AdvectionModel(g, 1e-3, vortex_wind(1.0), backend="xla", **_SOLVE)
+    u0 = jnp.asarray(np.exp(-20.0 * ((g.xy[0] - 0.5) ** 2
+                                     + (g.xy[1] - 0.5) ** 2)))
+    c = jnp.full((STEPS + 1, N, N), 0.5, jnp.float64)
+    u_ref = m.forward(c, u0, DT)
+
+    mesh = _mesh2d(2, 2)
+    md = AdvectionModel(g, 1e-3, vortex_wind(1.0), backend="pallas_dist",
+                        mesh=mesh, **_SOLVE)
+    sh_t, sh_f = _shards(mesh)
+    u_d = md.forward(jax.device_put(c, sh_t), jax.device_put(u0, sh_f), DT)
+    assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
