@@ -1233,7 +1233,8 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         return d2.dist2d_chemotaxis_forward_sweep(
             c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, mesh, h=h, dt=dt,
             Dm=Dm, chi=chi, eta=eta, rescaling=rescaling, tol=tol,
-            iters=iters, cheb_iters=cheb_iters, warm=warm, reaction=reaction)
+            iters=iters, cheb_iters=cheb_iters, warm=warm, reaction=reaction,
+            precond=precond, Df=Df, delta=delta)
 
     n = u0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1295,7 +1296,8 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
             u_traj, v_traj, c_traj, pT, qT, K, M, M_diag, ML_diag, Mat2,
             mesh, mis_u, mis_v, h=h, dt=dt, Dm=Dm, chi=chi, eta=eta,
             rescaling=rescaling, tol=tol, iters=iters,
-            cheb_iters=cheb_iters, warm=warm, reaction=reaction)
+            cheb_iters=cheb_iters, warm=warm, reaction=reaction,
+            precond=precond, Df=Df, delta=delta)
 
     n = pT.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)

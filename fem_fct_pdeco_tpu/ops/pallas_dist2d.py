@@ -21,9 +21,14 @@ The in-kernel P1 assembly reuses the rectangular masked builders of
 pallas_dist (they are dimension-generic: the cell-validity mask is simply
 the OUTER PRODUCT of the global row and column cell masks here).
 
-Krylov preconditioning is Jacobi on this path (the spectral DCT
-preconditioner needs a distributed transpose across BOTH axes — composed
-on the 1-D path, future work here; see pallas_dist._dct_pinv_dist).
+The chemotaxis-family Krylov solves run the spectral DCT preconditioner
+on this path too (``precond="dct"``, the default): the separable form of
+pallas_dist._dct_pinv_dist — each of the four axis transforms is a LOCAL
+MXU matmul against this device's slice of the DCT matrix, preceded by a
+credit-based block all-gather along the one mesh axis it contracts over
+(``allgather_x``/``allgather_y``), so flops scale 1/(nr*nc) and no full
+(n, n) C matrix is ever VMEM-resident. The remaining sweeps are
+Jacobi-preconditioned, matching the 1-D path's coverage.
 
 Correctness is pinned by tests/test_pallas_dist2d.py on a (2, 4) virtual
 CPU mesh (TPU interpret mode simulates the remote DMAs and semaphores)
@@ -65,11 +70,17 @@ def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
                 dot_s, dot_r,
                 hsend_sem, hrecv_sem, csend_sem, crecv_sem,
                 dsend_sem, drecv_sem,
-                credit_up, credit_dn, credit_lf, credit_rt, credit_dot):
+                credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+                agx_s=None, agx_r=None, agy_s=None, agy_r=None,
+                agx_send_sem=None, agx_recv_sem=None,
+                agy_send_sem=None, agy_recv_sem=None,
+                credit_agx=None, credit_agy=None):
     """2-D analogue of pallas_dist._make_ops. Row buffers are
     (rows_k, nlc+4) (column-extended so corner values can ride in the
     column phase is NOT needed — see exchange2d: rows first, then
-    row-extended columns), column buffers are (nlr+4, cols_k)."""
+    row-extended columns), column buffers are (nlr+4, cols_k). The
+    optional ``ag*`` scratch enables the per-mesh-axis block all-gathers
+    of the 2-D spectral DCT preconditioner (``allgather_x``/``_y``)."""
     import types
 
     me_r = jax.lax.axis_index(ax_r)
@@ -93,6 +104,11 @@ def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
         rbot[:, :] = jnp.zeros_like(rbot)
         rlef[:, :] = jnp.zeros_like(rlef)
         rrig[:, :] = jnp.zeros_like(rrig)
+        if agx_s is not None:
+            agx_s[:, :, :] = jnp.zeros_like(agx_s)
+            agx_r[:, :, :] = jnp.zeros_like(agx_r)
+            agy_s[:, :, :] = jnp.zeros_like(agy_s)
+            agy_r[:, :, :] = jnp.zeros_like(agy_r)
 
     def init_credits():
         @pl.when(has_up)
@@ -126,6 +142,18 @@ def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
                                        device_id=sg,
                                        device_id_type=LOGICAL)
 
+        if credit_agx is not None:
+            for o in range(1, nr):
+                sr = (me_r - o + nr) % nr
+                pltpu.semaphore_signal(credit_agx.at[o - 1], inc=1,
+                                       device_id=gid_of(sr, me_c),
+                                       device_id_type=LOGICAL)
+            for o in range(1, nc):
+                sc = (me_c - o + nc) % nc
+                pltpu.semaphore_signal(credit_agy.at[o - 1], inc=1,
+                                       device_id=gid_of(me_r, sc),
+                                       device_id_type=LOGICAL)
+
     def drain():
         @pl.when(has_up)
         def _():
@@ -146,6 +174,12 @@ def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
         if nd > 1:
             for o in range(1, nd):
                 pltpu.semaphore_wait(credit_dot.at[o - 1], 1)
+
+        if credit_agx is not None:
+            for o in range(1, nr):
+                pltpu.semaphore_wait(credit_agx.at[o - 1], 1)
+            for o in range(1, nc):
+                pltpu.semaphore_wait(credit_agy.at[o - 1], 1)
 
     def exchange_rows(k):
         """Exchange the first k pre-written rows of sbuf_up/sbuf_dn with the
@@ -299,6 +333,58 @@ def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
                                    device_id_type=LOGICAL)
         return tuple(total[0, t] for t in range(len(scalars)))
 
+    def _allgather(x, send, recv, send_sem, recv_sem, credit, na, peer_gid,
+                   me_a):
+        """Credit-based block all-gather along ONE mesh axis: my (nlr, nlc)
+        block lands in slot ``me_a`` of every axis peer's recv buffer
+        (slot-addressed remote copies, same discipline as dist_sums), and
+        the slots concatenate in axis order to the gathered slab."""
+        if na == 1:
+            return x
+        send[0, :, :] = x
+        recv[pl.ds(me_a, 1)] = send[pl.ds(0, 1)]
+        descs = []
+        for o in range(1, na):
+            dst = (me_a + o) % na
+            d_ = pltpu.make_async_remote_copy(
+                src_ref=send.at[pl.ds(0, 1)],
+                dst_ref=recv.at[pl.ds(me_a, 1)],
+                send_sem=send_sem.at[o - 1], recv_sem=recv_sem.at[o - 1],
+                device_id=peer_gid(dst), device_id_type=LOGICAL)
+            pltpu.semaphore_wait(credit.at[o - 1], 1)
+            d_.start()
+            descs.append(d_)
+        for d_ in descs:
+            d_.wait_recv()
+            d_.wait_send()
+        out = jnp.concatenate([recv[s] for s in range(na)], axis=0)
+        for o in range(1, na):
+            src = (me_a - o + na) % na
+            pltpu.semaphore_signal(credit.at[o - 1], inc=1,
+                                   device_id=peer_gid(src),
+                                   device_id_type=LOGICAL)
+        return out
+
+    def allgather_x(x):
+        """(nlr, nlc) block -> the (n, nlc) column slab: gather the row
+        blocks of my mesh COLUMN (over the "x" axis)."""
+        return _allgather(x, agx_s, agx_r, agx_send_sem, agx_recv_sem,
+                          credit_agx, nr, lambda a: gid_of(a, me_c), me_r)
+
+    def allgather_y(x):
+        """(nlr, nlc) block -> the (nlr, n) row slab (gathered along the
+        last axis): gather the column blocks of my mesh ROW (over the "y"
+        axis). Blocks concatenate on axis 0 of the recv slots, so the
+        result is assembled by horizontal concatenation."""
+        if nc == 1:
+            return x
+        slab = _allgather(x, agy_s, agy_r, agy_send_sem, agy_recv_sem,
+                          credit_agy, nc, lambda a: gid_of(me_r, a), me_c)
+        # slab is (nc*nlr, nlc) with source-major blocks; re-lay to
+        # (nlr, nc*nlc)
+        return jnp.concatenate(
+            [slab[s * nlr : (s + 1) * nlr, :] for s in range(nc)], axis=1)
+
     def fill_hpad(ext1):
         """Write a depth-1 extended value into the hpad scratch."""
         hpad_ref[:, :] = ext1
@@ -393,16 +479,58 @@ def _make_ops2d(*, ax_r, ax_c, n, nlr, nlc, nr, nc, tol, iters, dtype,
         me_r=me_r, me_c=me_c, row0=me_r * nlr, col0=me_c * nlc,
         init_buffers=init_buffers, init_credits=init_credits, drain=drain,
         exchange2d=exchange2d, dist_sums=dist_sums,
+        allgather_x=allgather_x, allgather_y=allgather_y,
         fill_hpad=fill_hpad, window=window, plane_sum=plane_sum,
         make_apply=make_apply, dbicgstab=dbicgstab, dcg=dcg)
 
 
-def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k):
+def _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref, ilam_ref, dtype):
+    """2-D-distributed spectral (DCT) preconditioner apply for (nlr, nlc)
+    block fields: r -> C^T ((C r C^T) * invLam) C via 4 LOCAL MXU matmuls
+    + 4 per-mesh-axis block all-gathers (the separable form of
+    pallas_dist._dct_pinv_dist — each spectral axis transform gathers only
+    along the mesh axis it contracts over, so flops scale 1/(nr*nc)).
+
+    The C inputs are this device's slices of the (n, n) DCT-II matrix:
+    ``Cr = C[rows I, :]``, ``Cc = C[rows J, :]``, ``CTr = (C^T)[I, :]``,
+    ``CTc = (C^T)[J, :]`` where I/J are my global row/column ranges;
+    ``ilam_ref`` is my (nlr, nlc) block of the inverse modal eigenvalues."""
+    hi = jax.lax.Precision.DEFAULT
+
+    def pinv(r):
+        # row transform z1 = C r (contract global rows -> gather along x)
+        rg = ops.allgather_x(r)                                # (n, nlc)
+        z1 = jax.lax.dot_general(Cr_ref[:, :], rg,
+                                 (((1,), (0,)), ((), ())), precision=hi,
+                                 preferred_element_type=dtype)  # (nlr, nlc)
+        # column transform z = z1 C^T (contract global cols -> gather y)
+        z1g = ops.allgather_y(z1)                              # (nlr, n)
+        z = jax.lax.dot_general(z1g, Cc_ref[:, :],
+                                (((1,), (1,)), ((), ())), precision=hi,
+                                preferred_element_type=dtype)   # (nlr, nlc)
+        e = z * ilam_ref[:, :]
+        # inverse row transform f = C^T e
+        eg = ops.allgather_x(e)                                # (n, nlc)
+        f = jax.lax.dot_general(CTr_ref[:, :], eg,
+                                (((1,), (0,)), ((), ())), precision=hi,
+                                preferred_element_type=dtype)   # (nlr, nlc)
+        # inverse column transform out = f C = f (C^T)^T
+        fg = ops.allgather_y(f)                                # (nlr, n)
+        return jax.lax.dot_general(fg, CTc_ref[:, :],
+                                   (((1,), (1,)), ((), ())), precision=hi,
+                                   preferred_element_type=dtype)
+
+    return pinv
+
+
+def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k, gather=False):
     """Scratch for the 2-D protocol: row halo buffers (row_k, nlc), column
     halo buffers (nlr + 2*row_k, col_k) (column phase ships row-extended
-    columns), the dot all-to-all block, and the credit semaphores."""
+    columns), the dot all-to-all block, and the credit semaphores.
+    ``gather=True`` appends the per-axis block all-gather buffers of the
+    2-D DCT preconditioner (allgather_x / allgather_y)."""
     nd = nr * nc
-    return [
+    out = [
         pltpu.VMEM((row_k, nlc), dtype),            # row send up
         pltpu.VMEM((row_k, nlc), dtype),            # row send down
         pltpu.VMEM((row_k, nlc), dtype),            # row recv top
@@ -425,11 +553,25 @@ def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k):
         pltpu.SemaphoreType.REGULAR,                # credit right
         pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
     ]
+    if gather:
+        out += [
+            pltpu.VMEM((1, nlr, nlc), dtype),       # allgather-x send stage
+            pltpu.VMEM((nr, nlr, nlc), dtype),      # allgather-x recv slots
+            pltpu.VMEM((1, nlr, nlc), dtype),       # allgather-y send stage
+            pltpu.VMEM((nc, nlr, nlc), dtype),      # allgather-y recv slots
+            pltpu.SemaphoreType.DMA((max(nr - 1, 1),)),  # agx send sems
+            pltpu.SemaphoreType.DMA((max(nr - 1, 1),)),  # agx recv sems
+            pltpu.SemaphoreType.DMA((max(nc - 1, 1),)),  # agy send sems
+            pltpu.SemaphoreType.DMA((max(nc - 1, 1),)),  # agy recv sems
+            pltpu.SemaphoreType.REGULAR((max(nr - 1, 1),)),  # agx credits
+            pltpu.SemaphoreType.REGULAR((max(nc - 1, 1),)),  # agy credits
+        ]
+    return out
 
 
 def _dist_fct_tail_2d(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
                       u_prev, rhs, x0, *, n, nlr, nlc, dt, cheb_iters,
-                      S=None):
+                      S=None, prec=None):
     """2-D analogue of pallas_dist._dist_fct_tail: the assembled flux matrix
     sits in Aext_ref with 2-deep halos in BOTH dimensions (ext index e =
     global - block0 + 2)."""
@@ -465,7 +607,10 @@ def _dist_fct_tail_2d(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
 
     b = ML * u_prev + dt * rhs
     u_low = ops.dbicgstab(
-        apply_low, 1.0 / Aext_ref[CENTER, 2 : nlr + 2, 2 : nlc + 2], b, x0)
+        apply_low,
+        prec if prec is not None
+        else 1.0 / Aext_ref[CENTER, 2 : nlr + 2, 2 : nlc + 2],
+        b, x0)
 
     # Chebyshev du/dt on M du = -A u_low + rhs
     ops.fill_hpad(ops.exchange2d(u_low, 1))
@@ -585,6 +730,7 @@ def _cell_mask2d(row0, col0, ncr, ncc, n, dtype):
 
 def _dist2d_fwd_kernel(
     c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    Cr_ref, Cc_ref, CTr_ref, CTc_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref,
     Aext_ref, D_ref, hpad_ref,
@@ -593,8 +739,11 @@ def _dist2d_fwd_kernel(
     dot_s, dot_r,
     hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
     credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    agx_s, agx_r, agy_s, agy_r,
+    agx_send_sem, agx_recv_sem, agy_send_sem, agy_recv_sem,
+    credit_agx, credit_agy,
     *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, Dm, chi, eta, inv_r, tol,
-    iters, cheb_iters, wts4, bary4, h2, grads, warm, reaction,
+    iters, cheb_iters, wts4, bary4, h2, grads, warm, reaction, precond,
 ):
     """2-D analogue of pallas_dist._dist_fwd_kernel."""
     i = pl.program_id(0)
@@ -607,7 +756,19 @@ def _dist2d_fwd_kernel(
         hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
         crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
         credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
-        credit_rt=credit_rt, credit_dot=credit_dot)
+        credit_rt=credit_rt, credit_dot=credit_dot,
+        agx_s=agx_s, agx_r=agx_r, agy_s=agy_s, agy_r=agy_r,
+        agx_send_sem=agx_send_sem, agx_recv_sem=agx_recv_sem,
+        agy_send_sem=agy_send_sem, agy_recv_sem=agy_recv_sem,
+        credit_agx=credit_agx, credit_agy=credit_agy)
+    if precond == "dct":
+        prec_u = _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref,
+                                  ilamu_ref, ucur_ref.dtype)
+        prec_v = _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref,
+                                  ilamv_ref, ucur_ref.dtype)
+    else:
+        prec_u = None
+        prec_v = None
 
     @pl.when(i == 0)
     def _():
@@ -635,8 +796,10 @@ def _dist2d_fwd_kernel(
     apply_M = ops.make_apply(M_ref)
     b_v = apply_M(v_n) + (dt * inv_r) * load
     x0v = 2.0 * v_n - vprev_ref[:, :] if warm else v_n
-    v_np1 = ops.dcg(ops.make_apply(Mat2_ref),
-                    1.0 / Mat2_ref[CENTER, :, :], b_v, x0v)
+    v_np1 = ops.dcg(
+        ops.make_apply(Mat2_ref),
+        prec_v if prec_v is not None else 1.0 / Mat2_ref[CENTER, :, :],
+        b_v, x0v)
 
     # ---- u half-step: assemble A on the 2-deep-extended block -----------
     uext2 = ops.exchange2d(u_n, 2)
@@ -662,7 +825,7 @@ def _dist2d_fwd_kernel(
     u_np1 = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         u_n, rhs_u, x0u, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters)
+        cheb_iters=cheb_iters, prec=prec_u)
 
     uprev_ref[:, :] = u_n
     vprev_ref[:, :] = v_n
@@ -691,10 +854,36 @@ def _slice_block(x, r0, c0, kr, kc, pad=0):
     return out
 
 
+def _slice_dct2d(C_rep, ilamu_rep, ilamv_rep, r0, c0, nlr, nlc):
+    """This device's DCT-preconditioner slices (see _dct_pinv_dist2d):
+    row/column slices of C and C^T plus the local ilam blocks."""
+    CT_rep = jnp.transpose(C_rep)
+    rows = lambda x, lo, k: jax.lax.dynamic_slice_in_dim(x, lo, k, axis=0)
+    Cr = rows(C_rep, r0, nlr)
+    Cc = rows(C_rep, c0, nlc)
+    CTr = rows(CT_rep, r0, nlr)
+    CTc = rows(CT_rep, c0, nlc)
+    ilamu_loc = _slice_block(ilamu_rep, r0, c0, nlr, nlc)
+    ilamv_loc = _slice_block(ilamv_rep, r0, c0, nlr, nlc)
+    return Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc
+
+
+def _dct2d_specs(nlr, nlc, n):
+    """in_specs for the six DCT-preconditioner kernel inputs."""
+    row_slice = pl.BlockSpec((nlr, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    col_slice = pl.BlockSpec((nlc, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return [row_slice, col_slice, row_slice, col_slice, block, block]
+
+
 def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
-                  Mat2_rep, *, ax_r, ax_c, n, nlr, nlc, nr, nc, steps, dt,
+                  Mat2_rep, C_rep, ilamu_rep, ilamv_rep, *, ax_r, ax_c, n,
+                  nlr, nlc, nr, nc, steps, dt,
                   Dm, chi, eta, inv_r, tol, iters, cheb_iters, wts4, bary4,
-                  h2, grads, warm, reaction):
+                  h2, grads, warm, reaction, precond):
     me_r = jax.lax.axis_index(ax_r)
     me_c = jax.lax.axis_index(ax_c)
     r0 = me_r * nlr
@@ -704,13 +893,15 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
     Mat2_loc = _slice_block(Mat2_rep, r0, c0, nlr, nlc)
     Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
     ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
+    Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc = _slice_dct2d(
+        C_rep, ilamu_rep, ilamv_rep, r0, c0, nlr, nlc)
 
     dtype = u0_loc.dtype
     kern = functools.partial(
         _dist2d_fwd_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
         nr=nr, nc=nc, dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4, h2=h2,
-        grads=grads, warm=warm, reaction=reaction,
+        grads=grads, warm=warm, reaction=reaction, precond=precond,
     )
     field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -728,7 +919,7 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
         ),
         in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
-                  field, stencil_loc],
+                  field, stencil_loc] + _dct2d_specs(nlr, nlc, n),
         out_specs=(frame, frame),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),            # u current
@@ -738,10 +929,12 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
             pltpu.VMEM((9, nlr, nlc), dtype),         # D
             pltpu.VMEM((nlr + 2, nlc + 2), dtype),    # hpad
-        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2),
+        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2,
+                            gather=True),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
-    )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+    )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc,
+      Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc)
     u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
     return u_traj, v_traj
@@ -751,12 +944,17 @@ def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                     Mat2, mesh, *, h, dt, Dm, chi, eta,
                                     rescaling, tol=1e-6, iters=60,
                                     cheb_iters=20, warm=True, reaction=None,
-                                    axes=None):
+                                    axes=None, precond="dct", Df=None,
+                                    delta=None):
     """Multi-chip chemotaxis forward sweep over a 2-D (rows x cols) device
     mesh: each device owns an (n/nr, n/nc) block; halos move over ICI in a
     row phase + a column phase (corners ride the column phase). Semantics
-    identical to the 1-D dist sweep / the single-chip fused sweep."""
+    identical to the 1-D dist sweep / the single-chip fused sweep.
+    ``precond="dct"`` (default, needs Df+delta) runs the 2-D-distributed
+    spectral preconditioner (_dct_pinv_dist2d); otherwise Jacobi."""
     from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix, dct_precond_ilam
 
     n = u0.shape[-1]
     if axes is None:
@@ -770,13 +968,22 @@ def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     steps = c_traj.shape[0] - 1
     wts4, bary4, grads = _quad_consts(4, h)
     wts4 = wts4 * h * h
+    dtype = u0.dtype
+    C = jnp.asarray(dct_matrix(n), dtype)
+    ilam_u = jnp.asarray(dct_precond_ilam(n, h, dt, Dm, 1.0), dtype)
+    ilam_v = jnp.asarray(
+        dct_precond_ilam(n, h, dt, Df if Df is not None else 0.0,
+                         1.0 + dt * delta if delta is not None else 1.0),
+        dtype)
+    if (Df is None or delta is None) and precond == "dct":
+        precond = "jacobi"
 
     body = functools.partial(
         _device2d_fwd, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr,
         nc=nc, steps=steps, dt=dt, Dm=Dm, chi=chi, eta=eta,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts4=wts4, bary4=bary4, h2=h * h, grads=grads, warm=warm,
-        reaction=reaction,
+        reaction=reaction, precond=precond,
     )
     spec_t = P(None, ax_r, ax_c)
     spec_f = P(ax_r, ax_c)
@@ -784,16 +991,18 @@ def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     rep2 = P(None, None)
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
+        in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3,
+                  rep2, rep2, rep2),
         out_specs=(spec_t, spec_t),
         check_vma=False,
     )
-    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2)
+    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, C, ilam_u, ilam_v)
 
 
 def _dist2d_adj_kernel(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
+    Cr_ref, Cc_ref, CTr_ref, CTc_ref, ilamp_ref, ilamq_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref,
     Aext_ref, D_ref, hpad_ref,
@@ -802,8 +1011,12 @@ def _dist2d_adj_kernel(
     dot_s, dot_r,
     hsend_sem, hrecv_sem, csend_sem, crecv_sem, dsend_sem, drecv_sem,
     credit_up, credit_dn, credit_lf, credit_rt, credit_dot,
+    agx_s, agx_r, agy_s, agy_r,
+    agx_send_sem, agx_recv_sem, agy_send_sem, agy_recv_sem,
+    credit_agx, credit_agy,
     *, ax_r, ax_c, n, nlr, nlc, nr, nc, dt, Dm, chi, eta, inv_r, tol,
     iters, cheb_iters, wts5, bary5, wts4, bary4, h2, grads, warm, reaction,
+    precond,
 ):
     """2-D analogue of pallas_dist._dist_adj_kernel: p FCT with the
     transposed-stencil matrix, then the implicit q solve
@@ -818,7 +1031,19 @@ def _dist2d_adj_kernel(
         hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, csend_sem=csend_sem,
         crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
         credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
-        credit_rt=credit_rt, credit_dot=credit_dot)
+        credit_rt=credit_rt, credit_dot=credit_dot,
+        agx_s=agx_s, agx_r=agx_r, agy_s=agy_s, agy_r=agy_r,
+        agx_send_sem=agx_send_sem, agx_recv_sem=agx_recv_sem,
+        agy_send_sem=agy_send_sem, agy_recv_sem=agy_recv_sem,
+        credit_agx=credit_agx, credit_agy=credit_agy)
+    if precond == "dct":
+        prec_p = _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref,
+                                  ilamp_ref, pcur_ref.dtype)
+        prec_q = _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref,
+                                  ilamq_ref, pcur_ref.dtype)
+    else:
+        prec_p = None
+        prec_q = None
 
     @pl.when(i == 0)
     def _():
@@ -873,7 +1098,7 @@ def _dist2d_adj_kernel(
     p_n = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         p_np1, rhs, x0p, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, S=S)
+        cheb_iters=cheb_iters, S=S, prec=prec_p)
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
     pext1 = ops.exchange2d(p_n, 1)
@@ -886,8 +1111,10 @@ def _dist2d_adj_kernel(
     apply_M = ops.make_apply(M_ref)
     b = apply_M(q_np1) + dt * qload
     x0q = 2.0 * q_np1 - qprev_ref[:, :] if warm else q_np1
-    q_n = ops.dcg(ops.make_apply(Mat2_ref),
-                  1.0 / Mat2_ref[CENTER, :, :], b, x0q)
+    q_n = ops.dcg(
+        ops.make_apply(Mat2_ref),
+        prec_q if prec_q is not None else 1.0 / Mat2_ref[CENTER, :, :],
+        b, x0q)
 
     pprev_ref[:, :] = p_np1
     qprev_ref[:, :] = q_np1
@@ -902,10 +1129,11 @@ def _dist2d_adj_kernel(
 
 
 def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
-                  K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, *, ax_r, ax_c, n,
+                  K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, C_rep, ilamp_rep,
+                  ilamq_rep, *, ax_r, ax_c, n,
                   nlr, nlc, nr, nc, steps, dt, Dm, chi, eta, inv_r, tol,
                   iters, cheb_iters, wts5, bary5, wts4, bary4, h2, grads,
-                  warm, has_mis, reaction):
+                  warm, has_mis, reaction, precond):
     me_r = jax.lax.axis_index(ax_r)
     me_c = jax.lax.axis_index(ax_c)
     r0 = me_r * nlr
@@ -915,6 +1143,8 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
     Mat2_loc = _slice_block(Mat2_rep, r0, c0, nlr, nlc)
     Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
     ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
+    Cr, Cc, CTr, CTc, ilamp_loc, ilamq_loc = _slice_dct2d(
+        C_rep, ilamp_rep, ilamq_rep, r0, c0, nlr, nlc)
 
     dtype = pT_loc.dtype
     kern = functools.partial(
@@ -922,7 +1152,7 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
         nr=nr, nc=nc, dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r, tol=tol,
         iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
         wts4=wts4, bary4=bary4, h2=h2, grads=grads, warm=warm,
-        reaction=reaction,
+        reaction=reaction, precond=precond,
     )
     field = pl.BlockSpec((nlr, nlc), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -942,7 +1172,8 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
-                  stencil_ext, stencil_loc, field, field, stencil_loc],
+                  stencil_ext, stencil_loc, field, field, stencil_loc]
+        + _dct2d_specs(nlr, nlc, n),
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),            # p current
@@ -952,11 +1183,13 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
             pltpu.VMEM((9, nlr + 4, nlc + 4), dtype),  # A ext -> Low
             pltpu.VMEM((9, nlr, nlc), dtype),         # D
             pltpu.VMEM((nlr + 2, nlc + 2), dtype),    # hpad
-        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2),
+        ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2,
+                            gather=True),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
-      Kx, M_loc, Md_loc, ML_loc, Mat2_loc)
+      Kx, M_loc, Md_loc, ML_loc, Mat2_loc, Cr, Cc, CTr, CTc,
+      ilamp_loc, ilamq_loc)
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
     return p_traj, q_traj
@@ -967,10 +1200,13 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                     mis_v=None, *, h, dt, Dm, chi, eta,
                                     rescaling, tol=1e-6, iters=60,
                                     cheb_iters=20, warm=True, reaction=None,
-                                    axes=None):
+                                    axes=None, precond="dct", Df=None,
+                                    delta=None):
     """Multi-chip chemotaxis adjoint sweep over a 2-D device mesh (the
     reverse-streamed analogue of dist2d_chemotaxis_forward_sweep)."""
     from jax import shard_map
+
+    from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix, dct_precond_ilam
 
     n = pT.shape[-1]
     if axes is None:
@@ -990,6 +1226,15 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     if not has_mis:
         mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
         mis_v = mis_u
+    dtype = pT.dtype
+    C = jnp.asarray(dct_matrix(n), dtype)
+    ilam_p = jnp.asarray(dct_precond_ilam(n, h, dt, Dm, 1.0), dtype)
+    ilam_q = jnp.asarray(
+        dct_precond_ilam(n, h, dt, Df if Df is not None else 0.0,
+                         1.0 + dt * delta if delta is not None else 1.0),
+        dtype)
+    if (Df is None or delta is None) and precond == "dct":
+        precond = "jacobi"
 
     body = functools.partial(
         _device2d_adj, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc, nr=nr,
@@ -997,6 +1242,7 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts5=wts5, bary5=bary5, wts4=wts4, bary4=bary4, h2=h * h,
         grads=grads, warm=warm, has_mis=has_mis, reaction=reaction,
+        precond=precond,
     )
     spec_t = P(None, ax_r, ax_c)
     spec_f = P(ax_r, ax_c)
@@ -1005,12 +1251,12 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_t, spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
-                  rep3, rep3, rep2, rep2, rep3),
+                  rep3, rep3, rep2, rep2, rep3, rep2, rep2, rep2),
         out_specs=(spec_t, spec_t),
         check_vma=False,
     )
     return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
-              K, M, M_diag, ML_diag, Mat2)
+              K, M, M_diag, ML_diag, Mat2, C, ilam_p, ilam_q)
 
 # ---------------------------------------------------------------------------
 # 2-D distributed single-field FCT sweep (nonlinear equation, linear

@@ -47,24 +47,33 @@ def _put(mesh, c, u0, v0):
             jax.device_put(v0, sh_f))
 
 
-@pytest.mark.parametrize("shape", [(2, 4), (2, 2)])
-def test_dist2d_forward_matches_single_device(shape):
+@pytest.mark.parametrize("shape,precond", [
+    ((2, 4), "jacobi"),
+    ((2, 2), "jacobi"),
+    ((2, 4), "dct"),  # 2-D-distributed spectral preconditioner
+])
+def test_dist2d_forward_matches_single_device(shape, precond):
     g, m, c, u0, v0 = _setup()
     u_ref, v_ref = m.forward(c, u0, v0, DT)
     mesh = _mesh2d(*shape)
     p = m.params
     Mat2 = m.M * (1.0 + DT * p.delta) + (DT * p.Df) * m.K
     c_s, u0_s, v0_s = _put(mesh, c, u0, v0)
+    kw = dict(Df=p.Df, delta=p.delta) if precond == "dct" else {}
     u_d, v_d = dist2d_chemotaxis_forward_sweep(
         c_s, u0_s, v0_s, m.K, m.M, m.M_diag, m.ML_diag, Mat2, mesh,
         h=g.h, dt=DT, Dm=p.Dm, chi=p.chi, eta=p.eta, rescaling=m.rescaling,
-        tol=1e-12, iters=200)
+        tol=1e-12, iters=200, precond=precond, **kw)
     assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
     assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
 
 
-@pytest.mark.parametrize("optim", ["finaltime", "alltime"])
-def test_dist2d_adjoint_matches_single_device(optim):
+@pytest.mark.parametrize("optim,precond", [
+    ("finaltime", "jacobi"),
+    ("alltime", "jacobi"),
+    ("finaltime", "dct"),
+])
+def test_dist2d_adjoint_matches_single_device(optim, precond):
     g, m, c, u0, v0 = _setup()
     u_ref, v_ref = m.forward(c, u0, v0, DT)
     if optim == "finaltime":
@@ -87,12 +96,13 @@ def test_dist2d_adjoint_matches_single_device(optim):
         qT = jnp.zeros_like(pT)
         mis_u = jax.device_put(uhat[:-1] - u_ref[:-1], sh_t)
         mis_v = jax.device_put(vhat[:-1] - v_ref[:-1], sh_t)
+    kw = dict(Df=pp.Df, delta=pp.delta) if precond == "dct" else {}
     p_d, q_d = dist2d_chemotaxis_adjoint_sweep(
         jax.device_put(u_ref, sh_t), jax.device_put(v_ref, sh_t),
         jax.device_put(c, sh_t), jax.device_put(pT, sh_f),
         jax.device_put(qT, sh_f), m.K, m.M, m.M_diag, m.ML_diag, Mat2,
         mesh, mis_u, mis_v, h=g.h, dt=DT, Dm=pp.Dm, chi=pp.chi, eta=pp.eta,
-        rescaling=m.rescaling, tol=1e-12, iters=200)
+        rescaling=m.rescaling, tol=1e-12, iters=200, precond=precond, **kw)
     assert np.abs(np.asarray(p_d) - np.asarray(p_ref)).max() < 1e-9
     assert np.abs(np.asarray(q_d) - np.asarray(q_ref)).max() < 1e-9
 
