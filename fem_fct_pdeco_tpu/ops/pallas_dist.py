@@ -645,19 +645,27 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
     apply_M = ops.make_apply(M_ref)
     lmin, lmax = 0.5, 2.0
     rho_c = (lmax - lmin) / (lmax + lmin)
+    rc2 = rho_c * rho_c
+    om2 = 1.0 / (1.0 - rc2 / 2.0)
     Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
-    yold = jnp.zeros_like(rdot)
-    ymid = jnp.zeros_like(rdot)
-    om = 1.0
-    for k in range(1, cheb_iters + 1):
-        if k == 2:
-            om = 1.0 / (1.0 - rho_c**2 / 2.0)
-        elif k > 2:
-            om = 1.0 / (1.0 - om * rho_c**2 / 4.0)
-        rr_ = rdot - apply_M(ymid)
-        ynew = om * (rr_ * Mdinv + ymid - yold) + yold
-        yold, ymid = ymid, ynew
-    du = ymid
+    # iterations 1-2 peeled, 3.. as a fori_loop (same rationale and same
+    # peeled form as pallas_fused._fct_core: collapses the dominant Mosaic
+    # compile cost; concrete-layout carries)
+    du = rdot * Mdinv
+    if cheb_iters >= 2:
+        rr_ = rdot - apply_M(du)
+        du2 = om2 * (rr_ * Mdinv + du)
+
+        def cheb_body(k, carry):
+            yold, ymid, om, rdot_c, Mdinv_c = carry
+            om = 1.0 / (1.0 - om * rc2 / 4.0)
+            rr_ = rdot_c - apply_M(ymid)
+            ynew = om * (rr_ * Mdinv_c + ymid - yold) + yold
+            return ymid, ynew, om, rdot_c, Mdinv_c
+
+        _, du, _, _, _ = jax.lax.fori_loop(
+            2, cheb_iters, cheb_body,
+            (du, du2, jnp.asarray(om2, rdot.dtype), rdot, Mdinv))
 
     # fluxes + Zalesak limiter (global-row-masked)
     ops.sbuf_up[0:1, :] = u_low[0:1, :]

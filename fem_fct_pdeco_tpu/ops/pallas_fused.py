@@ -23,6 +23,7 @@ four stencils (K, M, A/Low, D) are ever resident.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -186,21 +187,24 @@ def _corners(val, nc):
 
 def _assemble_forward_A(u, v, K_ref, A_ref, *, nc, Dm, chi, eta, wts, bary, grads):
     """Write A = Dm*K - χ (e^{-ηu} ∇v_h·∇φ_a, φ_b) into A_ref
-    (helpers.py:1350-1352). ``u``, ``v`` are (n, n) values; plane
-    contributions are accumulated as functional values (jnp.pad placement)
-    and each plane is stored once."""
-    planes = [None] * 9
-    uc2, vc2 = _corners(u, nc), _corners(v, nc)
+    (helpers.py:1350-1352). ``u``, ``v`` are (n, n) values. Streams each
+    contribution into A_ref as soon as it is computed (read-modify-write
+    on the plane) instead of accumulating 9 plane + 12 corner VALUES —
+    the liveness fix that keeps 1024² inside the register-spill budget
+    (docs/roadmap.md large-grid notes)."""
+    for d in range(9):
+        A_ref[d, :, :] = Dm * K_ref[d, :, :]
     for t in range(2):
         corners = TRI_CORNERS[t]
-        uc, vc = uc2[t], vc2[t]
         # per-element gradient of v_h: sum_a v_a grad(lambda_a)
-        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
-        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        gvx = sum(_corner_win(v, t, a, nc) * grads[t, a, 0] for a in range(3))
+        gvy = sum(_corner_win(v, t, a, nc) * grads[t, a, 1] for a in range(3))
         # Vb[b] = sum_q w_q e^{-eta u(q)} lambda_b(q)   (detJ folded into wts)
         Vb = [None] * 3
         for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            uq = (bary[q, 0] * _corner_win(u, t, 0, nc)
+                  + bary[q, 1] * _corner_win(u, t, 1, nc)
+                  + bary[q, 2] * _corner_win(u, t, 2, nc))
             e = wts[q] * jnp.exp(-eta * uq)
             for b in range(3):
                 contrib = bary[q, b] * e
@@ -211,10 +215,7 @@ def _assemble_forward_A(u, v, K_ref, A_ref, *, nc, Dm, chi, eta, wts, bary, grad
             for b, (bi, bj) in enumerate(corners):
                 d = _offset_index(bi - ai, bj - aj)
                 placed = jnp.pad(ga * Vb[b], ((ai, 1 - ai), (aj, 1 - aj)))
-                planes[d] = placed if planes[d] is None else planes[d] + placed
-    for d in range(9):
-        base = Dm * K_ref[d, :, :]
-        A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
+                A_ref[d, :, :] = A_ref[d, :, :] + placed
 
 
 def _v_load(c, u, *, nc, h2):
@@ -240,7 +241,7 @@ def _fused_u_kernel(
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
               *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None,
-              m_swap=None, S_at=None, A_direct=None):
+              m_swap=None, S_at=None, A_direct=None, xpads=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
@@ -261,9 +262,18 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     ``A_direct``: optional apply for the raw flux matrix; when given, the
     du/dt right-hand side uses it instead of reconstructing
     A = (Low - ML)/dt + D - S (synth kernels re-synthesize A cheaper than
-    keeping the pieces alive)."""
+    keeping the pieces alive).
+    ``xpads``: optional tuple of THREE extra (n+2, n+2) pad scratch refs;
+    when given, the flux/Zalesak stage reads every shifted operand lazily
+    through pad windows instead of materializing ~40 (n, n) values — the
+    register-spill fix that lets the synth kernels fit 1024² in VMEM."""
     if S_at is not None:
         assert S is None
+    # VMEM-pressure stage probe (debug): FEMFCT_STAGE_PROBE={pre,low,cheb}
+    # truncates the step after the named stage so the register-allocator
+    # spill report of a deliberately under-limited compile attributes the
+    # pressure to a stage (see docs/roadmap.md large-grid notes)
+    probe = os.environ.get("FEMFCT_STAGE_PROBE", "")
     # compact-layout stencils (the synth kernels) declare their structurally
     # zero planes; skip the dead work for them
     zero_planes = getattr(type(A_ref), "zero_planes", ())
@@ -323,8 +333,12 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
 
     # ---- 4. low-order solve (BiCGStab, in-kernel while loop) ------------
     b = ML * u_prev + dt * rhs
+    if probe == "pre":
+        return b
     u_low = _bicgstab(apply_low, 1.0 / A_ref[CENTER] if prec is None else prec,
                       b, u_prev if x0 is None else x0, tol, iters)
+    if probe == "low":
+        return u_low
 
     # ---- 5. Chebyshev du/dt on M du = -A u_low + rhs --------------------
     rdot = -apply_A(u_low) + rhs
@@ -334,21 +348,107 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
                           skip_planes=ANTI_DIAGONAL_IDS)
     lmin, lmax = 0.5, 2.0
     rho_c = (lmax - lmin) / (lmax + lmin)
+    rc2 = rho_c * rho_c
+    om2 = 1.0 / (1.0 - rc2 / 2.0)
     Mdinv = 1.0 / (((lmin + lmax) / 2.0) * Md_ref[:, :])
-    yold = jnp.zeros_like(rdot)
-    ymid = jnp.zeros_like(rdot)
-    om = 1.0
-    for k in range(1, cheb_iters + 1):
-        if k == 2:
-            om = 1.0 / (1.0 - rho_c**2 / 2.0)
-        elif k > 2:
-            om = 1.0 / (1.0 - om * rho_c**2 / 4.0)
-        rr = rdot - apply_M(ymid)
-        ynew = om * (rr * Mdinv + ymid - yold) + yold
-        yold, ymid = ymid, ynew
-    du = ymid
+    # Iterations 3..cheb_iters run as a fori_loop, not an unrolled Python
+    # loop: the unrolled Chebyshev stage dominated Mosaic compile time of
+    # the whole-sweep kernels (measured 512² synth: 225 s unrolled vs ~90 s
+    # with the stage collapsed). The (n, n) operands ride the CARRY (like
+    # the Krylov loops' states) so no synthesized value is closed over by
+    # the loop body, and iterations 1-2 are peeled so every carried value
+    # enters with a concrete vector layout (Mosaic rejects a relayout of
+    # splat-zero inits against the loop body's layouts) — peeling also
+    # removes the om-recurrence special cases from the body.
+    #   iter 1 (om=1, yold=ymid=0):  ymid_1 = rdot * Mdinv
+    du = rdot * Mdinv
+    if cheb_iters >= 2:
+        #   iter 2 (om=om2, yold_2=0): ynew_2 = om2 (rr Mdinv + ymid_1)
+        rr = rdot - apply_M(du)
+        du2 = om2 * (rr * Mdinv + du)
+
+        def cheb_body(k, carry):
+            yold, ymid, om, rdot_c, Mdinv_c = carry
+            om = 1.0 / (1.0 - om * rc2 / 4.0)
+            rr = rdot_c - apply_M(ymid)
+            ynew = om * (rr * Mdinv_c + ymid - yold) + yold
+            return ymid, ynew, om, rdot_c, Mdinv_c
+
+        _, du, _, _, _ = jax.lax.fori_loop(
+            2, cheb_iters, cheb_body,
+            (du, du2, jnp.asarray(om2, rdot.dtype), rdot, Mdinv))
+    if probe == "cheb":
+        return du
 
     # ---- 6/7. fluxes + Zalesak + correction -----------------------------
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+
+    if xpads is not None:
+        # Low-liveness limiter for the large-grid (synth) kernels: with only
+        # ONE pad scratch the limiter must materialize every shifted plane
+        # as a VALUE (4 dicts of 8 + the flux dict ≈ 40 live (n, n) arrays),
+        # which at 1024² costs ~195 MB of register-allocator SPILL SLOTS and
+        # blows the 128 MB VMEM budget outright. With three extra pad
+        # scratches, every shifted operand is a lazy window read fused into
+        # its consumer and the fluxes are recomputed in the second loop
+        # (16 extra cheap VPU multiplies), so peak liveness is a handful of
+        # accumulators.
+        pad_u, pad_du, pad_rp = xpads
+        pad_u[:, :] = jnp.zeros_like(pad_u)
+        pad_u[1 : n + 1, 1 : n + 1] = u_low
+        pad_du[:, :] = jnp.zeros_like(pad_du)
+        pad_du[1 : n + 1, 1 : n + 1] = du
+
+        p_pos = jnp.zeros_like(u_low)
+        p_neg = jnp.zeros_like(u_low)
+        u_max = u_low
+        u_min = u_low
+        for d in EDGE_NEIGHBOR_IDS:
+            di, dj = OFFSETS[d]
+            F = (M_ref[d] * (du - _shifted(pad_du, d, n))
+                 + D_ref[d] * (u_low - _shifted(pad_u, d, n)))
+            p_pos += jnp.maximum(F, 0.0)
+            p_neg += jnp.minimum(F, 0.0)
+            ok = ((row + di >= 0) & (row + di < n)
+                  & (col + dj >= 0) & (col + dj < n))
+            nbr = jnp.where(ok, _shifted(pad_u, d, n), u_low)
+            u_max = jnp.maximum(u_max, nbr)
+            u_min = jnp.minimum(u_min, nbr)
+
+        q_pos = u_max - u_low
+        q_neg = u_min - u_low
+        den_pos = dt * p_pos  # branch on the PRODUCT (f32 underflow; fct.py)
+        r_pos = jnp.where(
+            den_pos > 0.0,
+            jnp.minimum(1.0, ML * q_pos
+                        / jnp.where(den_pos > 0.0, den_pos, 1.0)),
+            1.0,
+        )
+        den_neg = dt * p_neg
+        r_neg = jnp.where(
+            den_neg < 0.0,
+            jnp.minimum(1.0, ML * q_neg
+                        / jnp.where(den_neg < 0.0, den_neg, 1.0)),
+            1.0,
+        )
+
+        pad_rp[:, :] = jnp.ones_like(pad_rp)
+        pad_rp[1 : n + 1, 1 : n + 1] = r_pos
+        pad_ref[:, :] = jnp.ones_like(pad_ref)
+        pad_ref[1 : n + 1, 1 : n + 1] = r_neg
+
+        fbar = jnp.zeros_like(u_low)
+        for d in EDGE_NEIGHBOR_IDS:
+            F = (M_ref[d] * (du - _shifted(pad_du, d, n))
+                 + D_ref[d] * (u_low - _shifted(pad_u, d, n)))
+            lim_p = jnp.minimum(r_pos, _shifted(pad_ref, d, n))
+            lim_n = jnp.minimum(r_neg, _shifted(pad_rp, d, n))
+            fbar += jnp.where(F > 0.0, lim_p * F,
+                              jnp.where(F < 0.0, lim_n * F, 0.0))
+
+        return u_low + dt * fbar / ML
+
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     pad_ref[1 : n + 1, 1 : n + 1] = u_low
     ul_sh = {d: _shifted(pad_ref, d, n) + 0.0 for d in EDGE_NEIGHBOR_IDS}
@@ -357,9 +457,6 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     pad_ref[1 : n + 1, 1 : n + 1] = du
     du_sh = {d: _shifted(pad_ref, d, n) + 0.0 for d in EDGE_NEIGHBOR_IDS}
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
 
     fluxes = {}
     p_pos = jnp.zeros_like(u_low)
@@ -490,51 +587,50 @@ def _assemble_adjoint_A_and_load(q_np1, u, v, c, K_ref, A_ref,
     A_ref, and return the load (c_h q_np1_h / r, φ_a) (helpers.py:1505).
     The load is cubic -> evaluated by the exact closed-form moments; the
     exp coefficient keeps the reference's quadrature rule."""
-    planes = [None] * 9
-    uc2, vc2 = _corners(u, nc), _corners(v, nc)
+    for d in range(9):
+        A_ref[d, :, :] = Dm * K_ref[d, :, :]
     for t in range(2):
         corners = TRI_CORNERS[t]
-        uc, vc = uc2[t], vc2[t]
-        gvx = sum(vc[a] * grads[t, a, 0] for a in range(3))
-        gvy = sum(vc[a] * grads[t, a, 1] for a in range(3))
+        gvx = sum(_corner_win(v, t, a, nc) * grads[t, a, 0] for a in range(3))
+        gvy = sum(_corner_win(v, t, a, nc) * grads[t, a, 1] for a in range(3))
         # Va[a] = Σ_q w_q (1-ηu(q)) e^{-ηu(q)} λ_a(q)  (detJ folded into wts)
         Va = [None] * 3
         for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            uq = (bary[q, 0] * _corner_win(u, t, 0, nc)
+                  + bary[q, 1] * _corner_win(u, t, 1, nc)
+                  + bary[q, 2] * _corner_win(u, t, 2, nc))
             e = wts[q] * (1.0 - eta * uq) * jnp.exp(-eta * uq)
             for a in range(3):
                 Va[a] = bary[q, a] * e if Va[a] is None else Va[a] + bary[q, a] * e
-        # gradient on the TRIAL function b -> transposed pairing; the -chi
-        # scale is folded into the trial-gradient factor once per b
-        gb3 = [
-            (-chi * grads[t, b, 0]) * gvx + (-chi * grads[t, b, 1]) * gvy
-            for b in range(3)
-        ]
         for a, (ai, aj) in enumerate(corners):
             for b, (bi, bj) in enumerate(corners):
+                # gradient on the TRIAL function b -> transposed pairing;
+                # -chi folded into the trial-gradient factor (transient per
+                # pair: liveness over the cached gb3 list)
+                gb = ((-chi * grads[t, b, 0]) * gvx
+                      + (-chi * grads[t, b, 1]) * gvy)
                 d = _offset_index(bi - ai, bj - aj)
-                placed = jnp.pad(gb3[b] * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
-                planes[d] = placed if planes[d] is None else planes[d] + placed
-    for d in range(9):
-        base = Dm * K_ref[d, :, :]
-        A_ref[d, :, :] = base if planes[d] is None else base + planes[d]
+                placed = jnp.pad(gb * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
+                A_ref[d, :, :] = A_ref[d, :, :] + placed
     return _lf_prod([c, q_np1], nc=nc, h2=h2, scale=inv_r)
 
 
 def _q_load(p_n, u, *, nc, chi, eta, wts, bary, grads):
     """Load (χ u_h e^{-ηu_h} ∇p_h·∇φ_a) as an (n, n) value
     (helpers.py:1531-1532)."""
-    uc2, pc2 = _corners(u, nc), _corners(p_n, nc)
     load = None
     for t in range(2):
         corners = TRI_CORNERS[t]
-        uc, pc = uc2[t], pc2[t]
-        gpx = sum(pc[a] * grads[t, a, 0] for a in range(3))
-        gpy = sum(pc[a] * grads[t, a, 1] for a in range(3))
+        gpx = sum(_corner_win(p_n, t, a, nc) * grads[t, a, 0]
+                  for a in range(3))
+        gpy = sum(_corner_win(p_n, t, a, nc) * grads[t, a, 1]
+                  for a in range(3))
         # g(q) = χ u(q) e^{-ηu(q)}; b[a] = Σ_q w_q g(q) (∇p_h·∇λ_a)
         gsum = None
         for q in range(len(wts)):
-            uq = bary[q, 0] * uc[0] + bary[q, 1] * uc[1] + bary[q, 2] * uc[2]
+            uq = (bary[q, 0] * _corner_win(u, t, 0, nc)
+                  + bary[q, 1] * _corner_win(u, t, 1, nc)
+                  + bary[q, 2] * _corner_win(u, t, 2, nc))
             g = wts[q] * chi * uq * jnp.exp(-eta * uq)
             gsum = g if gsum is None else gsum + g
         for a, (ai, aj) in enumerate(corners):
@@ -981,18 +1077,36 @@ def _corner_products(cs, t):
     return prods
 
 
+def _corner_win(f, t, i, nc):
+    """Corner window i of triangle type ``t`` of an (n, n) field, sliced AT
+    USE (a transient relayout) instead of cached — caching all 3^k corner
+    arrays is what blew the register-allocator spill budget at 1024²
+    (docs/roadmap.md large-grid notes)."""
+    ai, aj = TRI_CORNERS[t][i]
+    return f[ai : ai + nc, aj : aj + nc]
+
+
+def _prod_at(fields, t, idx, nc):
+    """Π_k f_k[corner idx_k] with the same left-to-right multiply order as
+    the old cached _corner_products, computed transiently per use."""
+    p = _corner_win(fields[0], t, idx[0], nc)
+    for m in range(1, len(fields)):
+        p = p * _corner_win(fields[m], t, idx[m], nc)
+    return p
+
+
 def _lf_prod(fields, *, nc, h2, scale=1.0):
     """Exact load value (n, n) of scale·∫ (Π_k f_k,h) φ_a dx for P1 fields
-    (closed-form barycentric moments; see _moments)."""
+    (closed-form barycentric moments; see _moments). Accumulation order
+    matches the historical cached-products version bitwise; only the
+    corner products are now transient (liveness, not math)."""
     k = len(fields)
     T = _moments(k + 1) * h2
-    cs = [_corners(f, nc) for f in fields]
     out = None
     for t in range(2):
-        prods = _corner_products(cs, t)
         contribs = [None, None, None]
-        for flat, idx in enumerate(np.ndindex(*((3,) * k))):
-            p = prods[flat]
+        for idx in np.ndindex(*((3,) * k)):
+            p = _prod_at(fields, t, idx, nc)
             for a in range(3):
                 w = scale * float(T[idx + (a,)])
                 add = w * p
@@ -1005,20 +1119,20 @@ def _lf_prod(fields, *, nc, h2, scale=1.0):
 
 def _wm_prod(fields, *, nc, h2, scale=1.0):
     """Exact stencil planes (9-list, None where structurally zero) of
-    scale·∫ (Π_k f_k,h) φ_a φ_b dx (closed-form; see _moments)."""
+    scale·∫ (Π_k f_k,h) φ_a φ_b dx (closed-form; see _moments). Same
+    transient-products restructuring as _lf_prod (identical accumulation
+    order per (a, b))."""
     k = len(fields)
     T = _moments(k + 2) * h2
-    cs = [_corners(f, nc) for f in fields]
     planes = [None] * 9
     for t in range(2):
         corners = TRI_CORNERS[t]
-        prods = _corner_products(cs, t)
         for a, (ai, aj) in enumerate(corners):
             for b, (bi, bj) in enumerate(corners):
                 vab = None
-                for flat, idx in enumerate(np.ndindex(*((3,) * k))):
+                for idx in np.ndindex(*((3,) * k)):
                     w = scale * float(T[idx + (a, b)])
-                    add = w * prods[flat]
+                    add = w * _prod_at(fields, t, idx, nc)
                     vab = add if vab is None else vab + add
                 d = _offset_index(bi - ai, bj - aj)
                 placed = jnp.pad(vab, ((ai, 1 - ai), (aj, 1 - aj)))
@@ -1664,6 +1778,7 @@ def _fwd_sweep_kernel_synth(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
     wts4, bary4, grads, warm, reaction, precond,
 ):
@@ -1743,6 +1858,7 @@ def _fwd_sweep_kernel_synth(
         A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
     )
 
     uprev_ref[:, :] = u_n
@@ -1793,6 +1909,9 @@ def fused_chemotaxis_forward_sweep_synth(
             pltpu.VMEM((7, n, n), u0.dtype),   # A -> Low (compact)
             pltpu.VMEM((7, n, n), u0.dtype),   # D (compact)
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # limiter xpads (liveness
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # fix — see _fct_core
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # xpads docstring)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
@@ -1808,6 +1927,7 @@ def _adj_sweep_kernel_synth(
     ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
     wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
 ):
@@ -1865,6 +1985,7 @@ def _adj_sweep_kernel_synth(
         A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
         prec=prec_p, m_swap=m_swap,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
@@ -1943,6 +2064,9 @@ def fused_chemotaxis_adjoint_sweep_synth(
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads (liveness
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # fix — see _fct_core
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # xpads docstring)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
@@ -2441,6 +2565,7 @@ def _schnak_fwd_kernel_synth(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol,
     iters, cheb_iters, warm, precond, wind_fn, pts, wts, bary, grads,
 ):
@@ -2520,6 +2645,7 @@ def _schnak_fwd_kernel_synth(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
         S_at=lambda d: gamma * plane(d, 1.0, 0.0), A_direct=A_direct,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
     )
 
     # ---- v implicit with the NEW u (helpers.py:590-596) -----------------
@@ -2596,6 +2722,9 @@ def fused_schnak_forward_sweep_synth(
             pltpu.VMEM((7, n, n), u0.dtype),
             pltpu.VMEM((7, n, n), u0.dtype),
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # limiter xpads (liveness
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # fix — see _fct_core
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # xpads docstring)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
@@ -2611,6 +2740,7 @@ def _schnak_adj_kernel_synth(
     dct_ref, ilamu_ref, ilamv_ref,
     pout_ref, qout_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, tol, iters,
     cheb_iters, has_mis, precond, wind_fn, pts, wts, bary, grads,
 ):
@@ -2716,6 +2846,7 @@ def _schnak_adj_kernel_synth(
         A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs_p,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
         prec=prec_p, m_swap=m_swap, S_at=S_at, A_direct=A_direct,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
     )
 
     pcur_ref[:, :] = p_n
@@ -2774,6 +2905,9 @@ def fused_schnak_adjoint_sweep_synth(
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((7, n, n), pT.dtype),
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads (liveness
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # fix — see _fct_core
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # xpads docstring)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
