@@ -94,13 +94,16 @@ class ModelBase:
             backend = "xla"
         if backend in ("pallas", "pallas_fused"):
             from fem_fct_pdeco_tpu.ops.pallas_kernels import (
-                fits_vmem, fits_vmem_synth)
+                fits_vmem, fits_vmem_lean, fits_vmem_synth)
 
             # models with synth whole-sweep kernels (in-kernel synthesized
             # stationary operators, pallas_fused.py) keep the fused path up
-            # to the larger synth budget
+            # to the larger synth budget — and, for families that also have
+            # the lean kernels (HBM-parked raw A), up to the lean budget
             synth_ok = (backend == "pallas_fused" and self._synth_capable
-                        and fits_vmem_synth(grid.n, dtype))
+                        and (fits_vmem_synth(grid.n, dtype)
+                             or (getattr(self, "_lean_capable", False)
+                                 and fits_vmem_lean(grid.n, dtype))))
             if not fits_vmem(grid.n, dtype) and not synth_ok:
                 import warnings
 

@@ -206,17 +206,33 @@ class ChemotaxisModel(ModelBase):
     # pallas_fused.py) cover this family.
     _synth_capable = True
 
-    # test hook: force the synth kernels at any size
+    # chemotaxis-family lean kernels exist (ONE 7-plane buffer + HBM-parked
+    # raw A, pallas_fused.py) for grids past the synth budget
+    _lean_capable = True
+
+    # test hooks: force the synth / lean kernels at any size
     force_synth = False
+    force_lean = False
 
     def _use_synth_sweep(self):
         """Pick the synth whole-sweep kernels when the resident ones exceed
         VMEM (the resident variants are slightly faster at small n)."""
-        if self.force_synth:
+        if self.force_synth or self.force_lean:
             return True
         from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
 
         return not fits_vmem(self.grid.n, self.dtype)
+
+    def _use_lean_sweep(self):
+        """Pick the lean whole-sweep kernels when even the synth ones exceed
+        VMEM (the synth variants are faster: resident D + mass)."""
+        if self.force_lean:
+            return True
+        if self.force_synth:
+            return False
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
+
+        return not fits_vmem_synth(self.grid.n, self.dtype)
 
     def _uses_dist_sweep(self):
         if self.backend != "pallas_dist":
@@ -249,11 +265,17 @@ class ChemotaxisModel(ModelBase):
         if self._uses_fused_sweep():
             p = self.params
             if self._use_synth_sweep():
-                from fem_fct_pdeco_tpu.ops.pallas_fused import (
-                    fused_chemotaxis_forward_sweep_synth)
+                if self._use_lean_sweep():
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_chemotaxis_forward_sweep_lean)
+                    sweep_fn = fused_chemotaxis_forward_sweep_lean
+                else:
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_chemotaxis_forward_sweep_synth)
+                    sweep_fn = fused_chemotaxis_forward_sweep_synth
 
                 def run_synth(control_traj, u0, v0):
-                    return fused_chemotaxis_forward_sweep_synth(
+                    return sweep_fn(
                         control_traj, u0, v0, h=self.grid.h, dt=dt, Dm=p.Dm,
                         Df=p.Df, delta=p.delta, chi=p.chi, eta=p.eta,
                         rescaling=self.rescaling, tol=self.solver_opts.tol,
@@ -434,12 +456,18 @@ class ChemotaxisModel(ModelBase):
                 return pT, jnp.zeros_like(pT), mis_u, mis_v
 
             if self._use_synth_sweep():
-                from fem_fct_pdeco_tpu.ops.pallas_fused import (
-                    fused_chemotaxis_adjoint_sweep_synth)
+                if self._use_lean_sweep():
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_chemotaxis_adjoint_sweep_lean)
+                    sweep_fn = fused_chemotaxis_adjoint_sweep_lean
+                else:
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_chemotaxis_adjoint_sweep_synth)
+                    sweep_fn = fused_chemotaxis_adjoint_sweep_synth
 
                 def run_synth(u_traj, v_traj, uhat, vhat, control_traj):
                     pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
-                    return fused_chemotaxis_adjoint_sweep_synth(
+                    return sweep_fn(
                         u_traj, v_traj, control_traj, pT, qT, mis_u, mis_v,
                         h=self.grid.h, dt=dt, Dm=p.Dm, Df=p.Df, delta=p.delta,
                         chi=p.chi, eta=p.eta, rescaling=self.rescaling,

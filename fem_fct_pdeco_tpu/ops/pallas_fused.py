@@ -241,7 +241,7 @@ def _fused_u_kernel(
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
               *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None,
-              m_swap=None, S_at=None, A_direct=None, xpads=None):
+              m_swap=None, S_at=None, A_direct=None, xpads=None, park=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
@@ -266,9 +266,21 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     ``xpads``: optional tuple of THREE extra (n+2, n+2) pad scratch refs;
     when given, the flux/Zalesak stage reads every shifted operand lazily
     through pad windows instead of materializing ~40 (n, n) values — the
-    register-spill fix that lets the synth kernels fit 1024² in VMEM."""
+    register-spill fix that lets the synth kernels fit 1024² in VMEM.
+    ``park``: optional tuple ``(rawA7_ref, ahbm_ref, sem, xpad4)`` enabling
+    the ONE-7-plane-buffer mode of the lean (≥1024²) kernels: the raw flux
+    matrix is parked in an HBM scratch while its VMEM buffer holds the
+    low-order matrix for the Krylov solve, then restored for the du/dt
+    right-hand side; the artificial diffusion D is never materialized as a
+    stencil (transient plane pairs during the Low transform, recomputed
+    per edge through ``xpad4`` in the flux stage), and the consistent mass
+    is synthesized at use (``M_ref`` must be a _SynthPlanes; ``m_swap``
+    must be None). Requires ``xpads``."""
     if S_at is not None:
         assert S is None
+    if park is not None:
+        assert m_swap is not None and A_direct is None and xpads is not None
+        rawA7_ref, ahbm_ref, park_sem, xpad4 = park
     # VMEM-pressure stage probe (debug): FEMFCT_STAGE_PROBE={pre,low,cheb}
     # truncates the step after the named stage so the register-allocator
     # spill report of a deliberately under-limited compile attributes the
@@ -278,32 +290,77 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     # zero planes; skip the dead work for them
     zero_planes = getattr(type(A_ref), "zero_planes", ())
 
-    # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) -------
-    pad_ref[:, :] = jnp.zeros_like(pad_ref)
-    offsum = None
-    for d in range(9):
-        if d == CENTER or d in zero_planes:
-            continue
-        pad_ref[1 : n + 1, 1 : n + 1] = A_ref[opposite(d)]
-        Atr = _shifted(pad_ref, d, n)
-        Dd = jnp.maximum(0.0, jnp.maximum(A_ref[d, :, :], Atr))
-        D_ref[d, :, :] = Dd
-        offsum = Dd if offsum is None else offsum + Dd
-    D_ref[CENTER, :, :] = -offsum
-
-    # ---- 3. transform A -> Low in place: Low = diag(ML) + dt (A - D + S) -
-    for d in range(9):
-        if d in zero_planes:
-            continue
-        plane = A_ref[d, :, :] - D_ref[d, :, :]
-        if S is not None and S[d] is not None:
-            plane = plane + S[d]
+    def s_plane(d):
+        if S is not None:
+            return S[d]
         if S_at is not None:
-            plane = plane + S_at(d)
-        plane = dt * plane
-        if d == CENTER:
-            plane = plane + ML
-        A_ref[d, :, :] = plane
+            return S_at(d)
+        return None
+
+    if park is not None:
+        # ---- 2+3 fused (lean): park raw A in HBM, then transform A -> Low
+        # in place PAIRWISE with transient artificial-diffusion planes.
+        # D is symmetric, so D_od = shift_od(D_d); max(0, ...) makes the
+        # padded zeros shifted in at the boundary agree with the
+        # masked-assembly zeros of a directly-computed plane.
+        cp = pltpu.make_async_copy(rawA7_ref, ahbm_ref, park_sem)
+        cp.start()
+        b = ML * u_prev + dt * rhs  # overlaps the park DMA (A7 untouched)
+        cp.wait()
+        offsum = None
+        pad_ref[:, :] = jnp.zeros_like(pad_ref)
+        xpad4[:, :] = jnp.zeros_like(xpad4)
+        for d in range(9):
+            od = opposite(d)
+            if d >= od or d in zero_planes:
+                continue
+            pad_ref[1 : n + 1, 1 : n + 1] = A_ref[od]
+            Dd = jnp.maximum(0.0, jnp.maximum(A_ref[d, :, :],
+                                              _shifted(pad_ref, d, n)))
+            xpad4[1 : n + 1, 1 : n + 1] = Dd
+            Dod = _shifted(xpad4, od, n)
+            pl_d = A_ref[d, :, :] - Dd
+            pl_od = A_ref[od, :, :] - Dod
+            sd, sod = s_plane(d), s_plane(od)
+            if sd is not None:
+                pl_d = pl_d + sd
+            if sod is not None:
+                pl_od = pl_od + sod
+            A_ref[d, :, :] = dt * pl_d
+            A_ref[od, :, :] = dt * pl_od
+            acc = Dd + Dod
+            offsum = acc if offsum is None else offsum + acc
+        cd = A_ref[CENTER, :, :] + offsum  # A_c - D_c with D_c = -offsum
+        sc = s_plane(CENTER)
+        if sc is not None:
+            cd = cd + sc
+        A_ref[CENTER, :, :] = ML + dt * cd
+    else:
+        # ---- 2. artificial diffusion D (helpers.py:206-242 semantics) ---
+        pad_ref[:, :] = jnp.zeros_like(pad_ref)
+        offsum = None
+        for d in range(9):
+            if d == CENTER or d in zero_planes:
+                continue
+            pad_ref[1 : n + 1, 1 : n + 1] = A_ref[opposite(d)]
+            Atr = _shifted(pad_ref, d, n)
+            Dd = jnp.maximum(0.0, jnp.maximum(A_ref[d, :, :], Atr))
+            D_ref[d, :, :] = Dd
+            offsum = Dd if offsum is None else offsum + Dd
+        D_ref[CENTER, :, :] = -offsum
+
+        # ---- 3. transform A -> Low: Low = diag(ML) + dt (A - D + S) -----
+        for d in range(9):
+            if d in zero_planes:
+                continue
+            plane = A_ref[d, :, :] - D_ref[d, :, :]
+            sd = s_plane(d)
+            if sd is not None:
+                plane = plane + sd
+            plane = dt * plane
+            if d == CENTER:
+                plane = plane + ML
+            A_ref[d, :, :] = plane
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -332,7 +389,8 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         return out
 
     # ---- 4. low-order solve (BiCGStab, in-kernel while loop) ------------
-    b = ML * u_prev + dt * rhs
+    if park is None:
+        b = ML * u_prev + dt * rhs
     if probe == "pre":
         return b
     u_low = _bicgstab(apply_low, 1.0 / A_ref[CENTER] if prec is None else prec,
@@ -341,10 +399,28 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         return u_low
 
     # ---- 5. Chebyshev du/dt on M du = -A u_low + rhs --------------------
-    rdot = -apply_A(u_low) + rhs
-    if m_swap is not None:
-        M_ref = m_swap()  # Low is dead: A_ref now holds the consistent mass
-    apply_M = _make_apply(M_ref, pad_ref, n, prezeroed=True,
+    if park is not None:
+        # Low is dead after this apply's restore: bring the raw flux matrix
+        # back from HBM and drive the du/dt right-hand side with it directly
+        # (one stencil apply instead of Low + D + S reconstruction)
+        cp = pltpu.make_async_copy(ahbm_ref, rawA7_ref, park_sem)
+        cp.start()
+        cp.wait()
+        apply_Araw = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                                 skip_planes=ANTI_DIAGONAL_IDS)
+        rdot = -apply_Araw(u_low) + rhs
+        # the Chebyshev fori_loop must read the consistent mass from a VMEM
+        # REF (a synthesized plane read inside a lax loop body sends Mosaic
+        # layout analysis from seconds to tens of minutes — CLAUDE.md): the
+        # m_swap hook materializes M into the A buffer (the HBM copy of
+        # raw A survives; it is restored a second time for the flux stage)
+        M_cheb = m_swap()
+    else:
+        rdot = -apply_A(u_low) + rhs
+        if m_swap is not None:
+            M_ref = m_swap()  # Low dead: A_ref now holds the consistent mass
+        M_cheb = M_ref
+    apply_M = _make_apply(M_cheb, pad_ref, n, prezeroed=True,
                           skip_planes=ANTI_DIAGONAL_IDS)
     lmin, lmax = 0.5, 2.0
     rho_c = (lmax - lmin) / (lmax + lmin)
@@ -377,6 +453,13 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         _, du, _, _, _ = jax.lax.fori_loop(
             2, cheb_iters, cheb_body,
             (du, du2, jnp.asarray(om2, rdot.dtype), rdot, Mdinv))
+    if park is not None:
+        # second restore: the flux stage recomputes D per edge from raw A
+        # (M was materialized over it for the Chebyshev loop; the flux
+        # loops are UNROLLED, so their M reads synthesize at use)
+        cp = pltpu.make_async_copy(ahbm_ref, rawA7_ref, park_sem)
+        cp.start()
+        cp.wait()
     if probe == "cheb":
         return du
 
@@ -400,6 +483,18 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         pad_du[:, :] = jnp.zeros_like(pad_du)
         pad_du[1 : n + 1, 1 : n + 1] = du
 
+        if park is not None:
+            # D was never materialized: recompute each edge plane from the
+            # restored raw A through the fourth pad (D_d = max(0, A_d,
+            # shift_d(A_od)); padded zeros match masked-assembly zeros)
+            def D_at(d):
+                xpad4[1 : n + 1, 1 : n + 1] = A_ref[opposite(d)]
+                return jnp.maximum(0.0, jnp.maximum(A_ref[d, :, :],
+                                                    _shifted(xpad4, d, n)))
+        else:
+            def D_at(d):
+                return D_ref[d]
+
         p_pos = jnp.zeros_like(u_low)
         p_neg = jnp.zeros_like(u_low)
         u_max = u_low
@@ -407,7 +502,7 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         for d in EDGE_NEIGHBOR_IDS:
             di, dj = OFFSETS[d]
             F = (M_ref[d] * (du - _shifted(pad_du, d, n))
-                 + D_ref[d] * (u_low - _shifted(pad_u, d, n)))
+                 + D_at(d) * (u_low - _shifted(pad_u, d, n)))
             p_pos += jnp.maximum(F, 0.0)
             p_neg += jnp.minimum(F, 0.0)
             ok = ((row + di >= 0) & (row + di < n)
@@ -441,7 +536,7 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         fbar = jnp.zeros_like(u_low)
         for d in EDGE_NEIGHBOR_IDS:
             F = (M_ref[d] * (du - _shifted(pad_du, d, n))
-                 + D_ref[d] * (u_low - _shifted(pad_u, d, n)))
+                 + D_at(d) * (u_low - _shifted(pad_u, d, n)))
             lim_p = jnp.minimum(r_pos, _shifted(pad_ref, d, n))
             lim_n = jnp.minimum(r_neg, _shifted(pad_rp, d, n))
             fbar += jnp.where(F > 0.0, lim_p * F,
@@ -1922,6 +2017,157 @@ def fused_chemotaxis_forward_sweep_synth(
             jnp.concatenate([v0[None], v_traj], axis=0))
 
 
+def _fwd_sweep_kernel_lean(
+    c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, A7_ref, ahbm_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
+    *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
+    wts4, bary4, grads, reaction, precond,
+):
+    """ONE-7-plane-buffer chemotaxis forward step (the ≥1024² variant of
+    _fwd_sweep_kernel_synth; identical math, helpers.py:1321-1385). VMEM
+    diet relative to the synth kernel: no D stencil (raw A parked in an
+    HBM scratch around the low-order solve, D recomputed transiently —
+    _fct_core ``park``), no warm-start scratches (x0 = previous state), no
+    consistent-mass materialization (synthesized at use, incl. inside the
+    Chebyshev fori_loop — loop-LOCAL iota masks are compile-safe, unlike
+    loop-CARRIED planes), initial state DMA'd from HBM at step 0, and
+    trajectory frames DMA'd out to HBM outputs instead of windowed."""
+    dtype = ucur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    K_ref = _SynthPlanes(plane, 0.0, 1.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(u0_ref, ucur_ref, sem_io)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(v0_ref, vcur_ref, sem_io)
+        cp.start()
+        cp.wait()
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+    if precond == "dct":
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_u = None
+        prec_v = None
+
+    # ---- v half-step (helpers.py:1339-1342) -----------------------------
+    for k7, d in enumerate(P7):
+        A7_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    apply_M = _make_apply(M_syn, pad_ref, n, prezeroed=True,
+                          skip_planes=ANTI_DIAGONAL_IDS)
+    load = _v_load(c_i, u_n, nc=n - 1, h2=h2)
+    b = apply_M(v_n) + (dt * inv_r) * load
+    v_np1 = _cg(apply_mat,
+                prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
+                b, v_n, tol, iters)
+
+    # ---- u half-step (helpers.py:1350-1356) -----------------------------
+    _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
+                        eta=eta, wts=wts4, bary=bary4, grads=grads)
+    if reaction == "mimura":
+        rhs_u = (_lf_prod([u_n, u_n], nc=n - 1, h2=h2)
+                 + _lf_prod([u_n, u_n, u_n], nc=n - 1, h2=h2, scale=-1.0))
+    else:
+        rhs_u = jnp.zeros_like(u_n)
+
+    def m_swap():
+        # Chebyshev-stage mass materialization (the raw A parked in HBM
+        # survives this overwrite and is restored for the flux stage)
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    u_np1 = _fct_core(
+        A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        prec=prec_u, m_swap=m_swap,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+    )
+
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    cpu = pltpu.make_async_copy(ucur_ref, uout_ref.at[i], sem_io)
+    cpu.start()
+    cpu.wait()
+    cpv = pltpu.make_async_copy(vcur_ref, vout_ref.at[i], sem_io)
+    cpv.start()
+    cpv.wait()
+
+
+def fused_chemotaxis_forward_sweep_lean(
+        c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
+        tol=1e-6, iters=60, cheb_iters=20, reaction=None,
+        precond="dct", vmem_limit_mb=127):
+    """≥1024²-capable chemotaxis forward sweep: ONE pallas_call, ONE
+    resident 7-plane stencil buffer (raw A parked in an HBM scratch around
+    the Krylov solve), artificial diffusion and consistent mass never
+    materialized. Mathematically identical to
+    fused_chemotaxis_forward_sweep_synth, which needs two 7-plane buffers
+    and tops out near 896² f32 (VMEM); this variant fits 1024² f32."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    wts4, bary4, grads = _quad_consts(4, h)
+    wts4 = wts4 * h * h
+    kern = functools.partial(
+        _fwd_sweep_kernel_lean, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,
+        delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
+        grads=grads, reaction=reaction, precond=precond,
+    )
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame, hbm, hbm, field, field, field],
+        out_specs=(hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),      # u current
+            pltpu.VMEM((n, n), u0.dtype),      # v current
+            pltpu.VMEM((7, n, n), u0.dtype),   # Mat2 -> A -> Low -> A
+            pltpu.HBM((7, n, n), u0.dtype),    # raw-A parking (HBM)
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # shift pad
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # limiter xpads
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # park/flux D pad
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
+    return (jnp.concatenate([u0[None], u_traj], axis=0),
+            jnp.concatenate([v0[None], v_traj], axis=0))
+
+
 def _adj_sweep_kernel_synth(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
     ilamu_ref, ilamv_ref,
@@ -2067,6 +2313,185 @@ def fused_chemotaxis_adjoint_sweep_synth(
             pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads (liveness
             pltpu.VMEM((n + 2, n + 2), pT.dtype),  # fix — see _fct_core
             pltpu.VMEM((n + 2, n + 2), pT.dtype),  # xpads docstring)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
+      dct_C, ilam_p, ilam_q)
+    return (jnp.concatenate([p_traj, pT[None]], axis=0),
+            jnp.concatenate([q_traj, qT[None]], axis=0))
+
+
+def _adj_sweep_kernel_lean(
+    u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
+    ilamu_ref, ilamv_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, ustg_ref, vstg_ref, cstg_ref, A7_ref, ahbm_ref,
+    pad_ref, xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
+    *, n, steps, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
+    cheb_iters, wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
+):
+    """ONE-7-plane-buffer chemotaxis adjoint step (the ≥1024² variant of
+    _adj_sweep_kernel_synth; identical math, helpers.py:1387-1581). Same
+    VMEM diet as _fwd_sweep_kernel_lean, plus: the forward-state /
+    control / misfit trajectories are HBM inputs DMA'd into (n, n)
+    staging scratches per step (three windowed frame inputs would cost
+    24 MB of double-buffered windows at 1024²)."""
+    dtype = pcur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    K_ref = _SynthPlanes(plane, 0.0, 1.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+
+    i = pl.program_id(0)
+    ridx = steps - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(pT_ref, pcur_ref, sem_io)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(qT_ref, qcur_ref, sem_io)
+        cp.start()
+        cp.wait()
+
+    for src, dst in ((u_ref, ustg_ref), (v_ref, vstg_ref), (c_ref, cstg_ref)):
+        cp = pltpu.make_async_copy(src.at[ridx], dst, sem_io)
+        cp.start()
+        cp.wait()
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = ustg_ref[:, :]
+    v_n = vstg_ref[:, :]
+    c_n = cstg_ref[:, :]
+    if precond == "dct":
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_p = None
+        prec_q = None
+
+    # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
+    load = _assemble_adjoint_A_and_load(
+        q_np1, u_n, v_n, c_n, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
+        eta=eta, inv_r=inv_r, wts=wts5, bary=bary5, grads=grads, h2=h2,
+    )
+    if has_mis:
+        cp = pltpu.make_async_copy(
+            misu_ref.at[ridx], xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+        cp.start()
+        cp.wait()
+        rhs = load + xpad1_ref[1 : n + 1, 1 : n + 1]
+    else:
+        rhs = load
+    if reaction == "mimura":
+        S = _add_planes(_wm_prod([u_n], nc=n - 1, h2=h2, scale=-2.0),
+                        _wm_prod([u_n, u_n], nc=n - 1, h2=h2), s2=3.0)
+    else:
+        S = None
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    p_n = _fct_core(
+        A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
+        prec=prec_p, m_swap=m_swap,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+    )
+
+    # ---- q implicit half-step (helpers.py:1531-1538) --------------------
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_Msc = _make_apply(M_syn, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    qload = _q_load(p_n, u_n, nc=n - 1, chi=chi, eta=eta,
+                    wts=wts4, bary=bary4, grads=grads)
+    if has_mis:
+        cp = pltpu.make_async_copy(
+            misv_ref.at[ridx], xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+        cp.start()
+        cp.wait()
+        qload = qload + xpad1_ref[1 : n + 1, 1 : n + 1]
+    b = apply_Msc(q_np1) + dt * qload
+    for k7, d in enumerate(P7):
+        A7_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    q_n = _cg(apply_mat,
+              prec_q if prec_q is not None else 1.0 / A_ref[CENTER],
+              b, q_np1, tol, iters)
+
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    cpp = pltpu.make_async_copy(pcur_ref, pout_ref.at[ridx], sem_io)
+    cpp.start()
+    cpp.wait()
+    cpq = pltpu.make_async_copy(qcur_ref, qout_ref.at[ridx], sem_io)
+    cpq.start()
+    cpq.wait()
+
+
+def fused_chemotaxis_adjoint_sweep_lean(
+        u_traj, v_traj, c_traj, pT, qT, mis_u=None, mis_v=None, *,
+        h, dt, Dm, Df, delta, chi, eta, rescaling, tol=1e-6, iters=60,
+        cheb_iters=20, reaction=None, precond="dct", vmem_limit_mb=127):
+    """≥1024²-capable chemotaxis adjoint sweep: the lean analogue of
+    fused_chemotaxis_adjoint_sweep_synth (ONE resident 7-plane buffer,
+    HBM-staged trajectory frames; see _adj_sweep_kernel_lean)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    wts5, bary5, grads = _quad_consts(5, h)
+    wts4, bary4, _ = _quad_consts(4, h)
+    wts5 = wts5 * h * h
+    wts4 = wts4 * h * h
+    kern = functools.partial(
+        _adj_sweep_kernel_lean, n=n, steps=steps, h2=h * h, dt=dt, Dm=Dm,
+        Df=Df, delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
+        wts4=wts4, bary4=bary4, grads=grads, has_mis=has_mis,
+        reaction=reaction, precond=precond,
+    )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[hbm, hbm, hbm, hbm, hbm, hbm, hbm, field, field, field],
+        out_specs=(hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),      # p current
+            pltpu.VMEM((n, n), pT.dtype),      # q current
+            pltpu.VMEM((n, n), pT.dtype),      # u staging
+            pltpu.VMEM((n, n), pT.dtype),      # v staging
+            pltpu.VMEM((n, n), pT.dtype),      # c staging
+            pltpu.VMEM((7, n, n), pT.dtype),   # A -> Low -> A -> Mat2
+            pltpu.HBM((7, n, n), pT.dtype),    # raw-A parking (HBM)
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # shift pad
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # park/flux D pad
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,

@@ -46,11 +46,26 @@ def fits_vmem_synth(n: int, dtype=jnp.float32,
                     budget_bytes: int = 120 * 2**20) -> bool:
     """VMEM feasibility of the SYNTH whole-sweep kernels
     (pallas_fused.py: stationary operators synthesized in-kernel, compact
-    7-plane per-step stencils): ~2x7 plane scratches + state + streamed
-    block buffers ≈ 30 field-sized arrays. 1024² f32 measured working on
-    TPU v5e (~117 MB); 2048² falls back to XLA."""
+    7-plane per-step stencils): 2x7 plane scratches + pads + state +
+    windows ≈ 34 field-sized arrays FIXED, plus ~8 arrays of live solver
+    state (measured: 512² f32 compiles at ~34 MB fixed; 1024² f32 OOMs at
+    134 MB fixed before any spill). Grids past this budget route to the
+    LEAN kernels (fits_vmem_lean) and only then fall back to XLA."""
     itemsize = jnp.dtype(dtype).itemsize
-    need = 30 * n * n * itemsize
+    need = 42 * n * n * itemsize
+    return need <= budget_bytes
+
+
+def fits_vmem_lean(n: int, dtype=jnp.float32,
+                   budget_bytes: int = 122 * 2**20) -> bool:
+    """VMEM feasibility of the LEAN whole-sweep kernels (pallas_fused.py:
+    ONE resident 7-plane stencil buffer with the raw flux matrix parked in
+    an HBM scratch around the Krylov solve, artificial diffusion and
+    consistent mass never materialized, HBM-staged trajectory frames):
+    ~21 field-sized arrays fixed + ~8 live solver arrays. Sized so 1024²
+    f32 runs fused; past this the models fall back to XLA."""
+    itemsize = jnp.dtype(dtype).itemsize
+    need = 29 * n * n * itemsize
     return need <= budget_bytes
 
 

@@ -514,3 +514,93 @@ def test_synth_sweeps_match_xla_schnakenberg():
         ps, qs = ms.adjoint(ux, vx, uhat, vhat, dt, optim)
         assert float(jnp.abs(ps - px).max()) < 1e-9, optim
         assert float(jnp.abs(qs - qx).max()) < 1e-9, optim
+
+
+def test_lean_sweeps_match_xla_chemotaxis():
+    """LEAN whole-sweep kernels (ONE resident 7-plane buffer, raw A parked
+    in an HBM scratch around the Krylov solve, HBM-staged adjoint frames —
+    the ≥1024² variant) match the XLA path at solver tolerance: forward
+    and adjoint, finaltime and alltime."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 33, 6, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    ml = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                         backend="pallas_fused")
+    ml.force_lean = True
+    assert ml._use_synth_sweep() and ml._use_lean_sweep()
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), mx.params.gamma)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    ul, vl = ml.forward(c, u0, v0, dt)
+    assert float(jnp.abs(ul - ux).max()) < 1e-9
+    assert float(jnp.abs(vl - vx).max()) < 1e-9
+
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, optim)
+        pl_, ql = ml.adjoint(ux, vx, uhat, vhat, c, dt, optim)
+        assert float(jnp.abs(pl_ - px).max()) < 1e-9, optim
+        assert float(jnp.abs(ql - qx).max()) < 1e-9, optim
+
+
+def test_lean_sweeps_match_xla_mimura():
+    """Lean kernels with the Mimura m²(1-m) reaction (S enters the pairwise
+    transient Low transform)."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 17, 4, 1e-2
+    g = Grid(0.0, 2.0, n)
+    mx = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13))
+    ml = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13),
+                     backend="pallas_fused")
+    ml.force_lean = True
+    m0np, f0np = mx.ic()
+    m0, f0 = jnp.asarray(m0np), jnp.asarray(f0np)
+    c = jnp.ones((steps + 1, n, n))
+
+    ux, vx = mx.forward(c, m0, f0, dt)
+    ul, vl = ml.forward(c, m0, f0, dt)
+    assert float(jnp.abs(ul - ux).max()) < 1e-9
+    assert float(jnp.abs(vl - vx).max()) < 1e-9
+
+    uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+    px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
+    pl_, ql = ml.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
+    assert float(jnp.abs(pl_ - px).max()) < 1e-9
+    assert float(jnp.abs(ql - qx).max()) < 1e-9
+
+
+def test_lean_routing_and_vmem_budgets():
+    """1024² f32 keeps backend='pallas_fused' and routes to the lean
+    kernels; the synth budget now reflects the measured 1024² OOM."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+        fits_vmem_lean, fits_vmem_synth)
+
+    assert fits_vmem_synth(512, jnp.float32)
+    assert not fits_vmem_synth(1024, jnp.float32)
+    assert fits_vmem_lean(1024, jnp.float32)
+    assert not fits_vmem_lean(2048, jnp.float32)
+
+    model = ChemotaxisModel(Grid(0.0, 1.0, 1024), backend="pallas_fused",
+                            dtype=jnp.float32)
+    assert model.backend == "pallas_fused"
+    assert model._use_synth_sweep() and model._use_lean_sweep()
