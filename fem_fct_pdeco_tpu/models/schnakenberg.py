@@ -52,18 +52,34 @@ class SchnakenbergModel(ModelBase):
         "N", "A_u", "B_v", "A_u_adj", "B_v_adj")
 
     # stationary-wind Schnakenberg has large-grid synth kernels (M/K from
-    # iota masks + in-kernel wind assembly, pallas_fused.py)
+    # iota masks + in-kernel wind assembly, pallas_fused.py) and, past the
+    # synth VMEM budget, the lean kernels (HBM-parked raw A)
     _synth_capable = True
-    force_synth = False  # test hook
+    force_synth = False  # test hooks
+    force_lean = False
 
     def _use_synth_sweep(self):
         if self.td_wind_fn is not None:
             return False  # td kernels carry their own in-kernel assembly
-        if self.force_synth:
+        if self.force_synth or self.force_lean:
             return True
         from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
 
         return not fits_vmem(self.grid.n, self.dtype)
+
+    def _use_lean_sweep(self):
+        if self.force_lean:
+            return True
+        if self.force_synth:
+            return False
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
+
+        return not fits_vmem_synth(self.grid.n, self.dtype)
+
+    # the td-wind variant has no synth/lean kernels, but that case is
+    # handled by the dedicated resident-only fallback in __init__ (which
+    # runs after the base guard)
+    _lean_capable = True
 
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
@@ -225,11 +241,17 @@ class SchnakenbergModel(ModelBase):
                 if self._use_synth_sweep():
                     from fem_fct_pdeco_tpu.models.schnakenberg import (
                         schnak_wind as _w)
-                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
-                        fused_schnak_forward_sweep_synth)
+                    if self._use_lean_sweep():
+                        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                            fused_schnak_forward_sweep_lean)
+                        sweep_fn = fused_schnak_forward_sweep_lean
+                    else:
+                        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                            fused_schnak_forward_sweep_synth)
+                        sweep_fn = fused_schnak_forward_sweep_synth
 
                     def run_synth(c, u0, v0):
-                        return fused_schnak_forward_sweep_synth(
+                        return sweep_fn(
                             c, u0, v0, wind_fn=_w, h=self.grid.h,
                             a1=self.grid.a1, dt=dt, Du=p.Du, Dv=p.Dv,
                             omega1=p.omega1, omega2=p.omega2,
@@ -333,13 +355,19 @@ class SchnakenbergModel(ModelBase):
                 if self._use_synth_sweep():
                     from fem_fct_pdeco_tpu.models.schnakenberg import (
                         schnak_wind as _w)
-                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
-                        fused_schnak_adjoint_sweep_synth)
+                    if self._use_lean_sweep():
+                        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                            fused_schnak_adjoint_sweep_lean)
+                        sweep_fn = fused_schnak_adjoint_sweep_lean
+                    else:
+                        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                            fused_schnak_adjoint_sweep_synth)
+                        sweep_fn = fused_schnak_adjoint_sweep_synth
 
                     def run_synth(u_traj, v_traj, uhat, vhat):
                         pT, qT, mis_u, mis_v = _terminal(
                             u_traj, v_traj, uhat, vhat)
-                        return fused_schnak_adjoint_sweep_synth(
+                        return sweep_fn(
                             u_traj, v_traj, pT, qT, mis_u, mis_v,
                             wind_fn=_w, h=self.grid.h, a1=self.grid.a1,
                             dt=dt, Du=p.Du, Dv=p.Dv, omega1=p.omega1,

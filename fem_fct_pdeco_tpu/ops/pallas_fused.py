@@ -3342,3 +3342,356 @@ def fused_schnak_adjoint_sweep_synth(
       dct_C, ilam_p, ilam_q)
     return (jnp.concatenate([p_traj, pT[None]], axis=0),
             jnp.concatenate([q_traj, qT[None]], axis=0))
+
+
+def _schnak_fwd_kernel_lean(
+    c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
+    uout_ref, vout_ref,
+    ucur_ref, vcur_ref, A7_ref, ahbm_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
+    *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol,
+    iters, cheb_iters, precond, wind_fn, pts, wts, bary, grads,
+):
+    """ONE-7-plane-buffer Schnakenberg forward step (the ≥1024² variant of
+    _schnak_fwd_kernel_synth; identical math, helpers.py:562-596). Same
+    VMEM diet as _fwd_sweep_kernel_lean (HBM-parked raw A, transient D,
+    no warm-start scratch, HBM-DMA'd state/outputs)."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = ucur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+    nc = n - 1
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(u0_ref, ucur_ref, sem_io)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(v0_ref, vcur_ref, sem_io)
+        cp.start()
+        cp.wait()
+
+    u_n = ucur_ref[:, :]
+    v_n = vcur_ref[:, :]
+    c_i = c_ref[0, :, :]
+    if precond == "dct":
+        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_u = None
+        prec_v = None
+
+    t0 = jnp.asarray(0.0, dtype)  # stationary wind: t unused
+
+    def conv(transpose=False):
+        return _conv_planes_td(wind_fn, t0, nc=nc, h=h, a1=a1, pts=pts,
+                               wts=wts, bary=bary, grads=grads, dtype=dtype,
+                               transpose=transpose)
+
+    # ---- u FCT (helpers.py:581-588): A_u = Du K - ω₁ N ------------------
+    N = conv()
+    for k7, d in enumerate(P7):
+        p_ = Du * plane(d, 0.0, 1.0)
+        if N[d] is not None:
+            p_ = p_ - omega1 * N[d]
+        A7_ref[k7] = p_
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_M0 = _make_apply(M_syn, pad_ref, n, prezeroed=True,
+                           skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_u = ((gamma * inv_r) * apply_M0(c_i)
+             + _lf_prod([u_n, u_n, v_n], nc=nc, h2=h2, scale=gamma))
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    u_np1 = _fct_core(
+        A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        prec=prec_u, m_swap=m_swap,
+        S_at=lambda d: gamma * plane(d, 1.0, 0.0),
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+    )
+
+    # ---- v implicit with the NEW u (helpers.py:590-596) -----------------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    b = apply_M0(v_n) + dt * ((gamma * c_b) * ml_diag())
+    # rededicate the scratch to Mat_v = M + dt(Dv K - ω₂N + γ M_{u²})
+    N2 = conv()
+    Mu2 = _wm_prod([u_np1, u_np1], nc=nc, h2=h2)
+    for k7, d in enumerate(P7):
+        p_ = plane(d, 1.0, dt * Dv)
+        if N2[d] is not None:
+            p_ = p_ - (dt * omega2) * N2[d]
+        if Mu2[d] is not None:
+            p_ = p_ + (dt * gamma) * Mu2[d]
+        A7_ref[k7] = p_
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    v_np1 = _cg(apply_mat,
+                prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
+                b, v_n, tol, iters)
+
+    ucur_ref[:, :] = u_np1
+    vcur_ref[:, :] = v_np1
+    cpu_ = pltpu.make_async_copy(ucur_ref, uout_ref.at[i], sem_io)
+    cpu_.start()
+    cpu_.wait()
+    cpv_ = pltpu.make_async_copy(vcur_ref, vout_ref.at[i], sem_io)
+    cpv_.start()
+    cpv_.wait()
+
+
+def fused_schnak_forward_sweep_lean(
+        c_traj, u0, v0, *, wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
+        gamma, c_b, rescaling, tol=1e-6, iters=60, cheb_iters=20,
+        precond="dct", conv_degree=5, vmem_limit_mb=127):
+    """≥1024²-capable Schnakenberg forward sweep (lean analogue of
+    fused_schnak_forward_sweep_synth; see _schnak_fwd_kernel_lean)."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    pts, wts = rule_for_degree(conv_degree)
+    bary = barycentric(pts)
+    grads = _basis_gradients(h)
+    wfn3 = lambda x, y, t: wind_fn(x, y)
+    kern = functools.partial(
+        _schnak_fwd_kernel_lean, n=n, h=h, a1=a1, h2=h * h, dt=dt, Du=Du,
+        Dv=Dv, omega1=omega1, omega2=omega2, gamma=gamma, c_b=c_b,
+        inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        precond=precond, wind_fn=wfn3, pts=pts, wts=wts, bary=bary,
+        grads=grads,
+    )
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype,
+        [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    u_traj, v_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+        ),
+        in_specs=[frame, hbm, hbm, field, field, field],
+        out_specs=(hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((n, n), u0.dtype),
+            pltpu.VMEM((7, n, n), u0.dtype),   # A -> Low -> A -> Mat_v
+            pltpu.HBM((7, n, n), u0.dtype),    # raw-A parking (HBM)
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # limiter xpads
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),
+            pltpu.VMEM((n + 2, n + 2), u0.dtype),  # park/flux D pad
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
+    return (jnp.concatenate([u0[None], u_traj], axis=0),
+            jnp.concatenate([v0[None], v_traj], axis=0))
+
+
+def _schnak_adj_kernel_lean(
+    u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    dct_ref, ilamu_ref, ilamv_ref,
+    pout_ref, qout_ref,
+    pcur_ref, qcur_ref, ustg_ref, vstg_ref, A7_ref, ahbm_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
+    *, n, steps, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, tol, iters,
+    cheb_iters, has_mis, precond, wind_fn, pts, wts, bary, grads,
+):
+    """ONE-7-plane-buffer Schnakenberg adjoint step (lean variant of
+    _schnak_adj_kernel_synth, helpers.py:599-698; HBM-staged forward
+    trajectory frames, misfits folded into the loads via a pad-staged
+    read)."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = pcur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+    nc = n - 1
+
+    i = pl.program_id(0)
+    ridx = steps - 1 - i
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(pT_ref, pcur_ref, sem_io)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(qT_ref, qcur_ref, sem_io)
+        cp.start()
+        cp.wait()
+
+    for src, dst in ((u_ref, ustg_ref), (v_ref, vstg_ref)):
+        cp = pltpu.make_async_copy(src.at[ridx], dst, sem_io)
+        cp.start()
+        cp.wait()
+
+    p_np1 = pcur_ref[:, :]
+    q_np1 = qcur_ref[:, :]
+    u_n = ustg_ref[:, :]
+    v_n = vstg_ref[:, :]
+    if precond == "dct":
+        prec_p = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
+        prec_q = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+    else:
+        prec_p = None
+        prec_q = None
+
+    t0 = jnp.asarray(0.0, dtype)
+
+    def conv_t():
+        return _conv_planes_td(wind_fn, t0, nc=nc, h=h, a1=a1, pts=pts,
+                               wts=wts, bary=bary, grads=grads, dtype=dtype,
+                               transpose=True)
+
+    def staged_mis(mref):
+        cp = pltpu.make_async_copy(
+            mref.at[ridx], xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+        cp.start()
+        cp.wait()
+        return xpad1_ref[1 : n + 1, 1 : n + 1]
+
+    # ---- q implicit first (helpers.py:680-688) --------------------------
+    pad_ref[:, :] = jnp.zeros_like(pad_ref)
+    apply_M0 = _make_apply(M_syn, pad_ref, n, prezeroed=True,
+                           skip_planes=ANTI_DIAGONAL_IDS)
+    rhs_q = _lf_prod([p_np1, u_n, u_n], nc=nc, h2=h2, scale=gamma)
+    if has_mis:
+        rhs_q = rhs_q + staged_mis(misv_ref)
+    b = apply_M0(q_np1) + dt * rhs_q
+    Nt = conv_t()
+    Mu2 = _wm_prod([u_n, u_n], nc=nc, h2=h2)
+    for k7, d in enumerate(P7):
+        p_ = plane(d, 1.0, dt * Dv)
+        if Nt[d] is not None:
+            p_ = p_ - (dt * omega2) * Nt[d]
+        if Mu2[d] is not None:
+            p_ = p_ + (dt * gamma) * Mu2[d]
+        A7_ref[k7] = p_
+    apply_mat = _make_apply(A_ref, pad_ref, n, prezeroed=True,
+                            skip_planes=ANTI_DIAGONAL_IDS)
+    q_n = _cg(apply_mat,
+              prec_q if prec_q is not None else 1.0 / A_ref[CENTER],
+              b, q_np1, tol, iters)
+
+    # ---- p FCT (helpers.py:690-697): A = Du K - ω₁ Nᵀ, S = γM - 2γ M_uv -
+    rhs_p = _lf_prod([u_n, v_n, q_n], nc=nc, h2=h2, scale=-2.0 * gamma)
+    if has_mis:
+        rhs_p = rhs_p + staged_mis(misu_ref)
+    Muv = _wm_prod([u_n, v_n], nc=nc, h2=h2)
+
+    def S_at(d):
+        p_ = gamma * plane(d, 1.0, 0.0)
+        if Muv[d] is not None:
+            p_ = p_ - (2.0 * gamma) * Muv[d]
+        return p_
+
+    Nt2 = conv_t()
+    for k7, d in enumerate(P7):
+        p_ = Du * plane(d, 0.0, 1.0)
+        if Nt2[d] is not None:
+            p_ = p_ - omega1 * Nt2[d]
+        A7_ref[k7] = p_
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    p_n = _fct_core(
+        A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs_p,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        prec=prec_p, m_swap=m_swap, S_at=S_at,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+    )
+
+    pcur_ref[:, :] = p_n
+    qcur_ref[:, :] = q_n
+    cpp = pltpu.make_async_copy(pcur_ref, pout_ref.at[ridx], sem_io)
+    cpp.start()
+    cpp.wait()
+    cpq = pltpu.make_async_copy(qcur_ref, qout_ref.at[ridx], sem_io)
+    cpq.start()
+    cpq.wait()
+
+
+def fused_schnak_adjoint_sweep_lean(
+        u_traj, v_traj, pT, qT, mis_u=None, mis_v=None, *, wind_fn, h, a1,
+        dt, Du, Dv, omega1, omega2, gamma, tol=1e-6, iters=60,
+        cheb_iters=20, precond="jacobi", conv_degree=5, vmem_limit_mb=127):
+    """≥1024²-capable Schnakenberg adjoint sweep (lean analogue of
+    fused_schnak_adjoint_sweep_synth; default Jacobi like the synth
+    kernel)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    has_mis = mis_u is not None
+    pts, wts = rule_for_degree(conv_degree)
+    bary = barycentric(pts)
+    grads = _basis_gradients(h)
+    wfn3 = lambda x, y, t: wind_fn(x, y)
+    kern = functools.partial(
+        _schnak_adj_kernel_lean, n=n, steps=steps, h=h, a1=a1, h2=h * h,
+        dt=dt, Du=Du, Dv=Dv, omega1=omega1, omega2=omega2, gamma=gamma,
+        tol=tol, iters=iters, cheb_iters=cheb_iters, has_mis=has_mis,
+        precond=precond, wind_fn=wfn3, pts=pts, wts=wts, bary=bary,
+        grads=grads,
+    )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype,
+        [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
+    field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+    p_traj, q_traj = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+        ),
+        in_specs=[hbm, hbm, hbm, hbm, hbm, hbm, field, field, field],
+        out_specs=(hbm, hbm),
+        scratch_shapes=[
+            pltpu.VMEM((n, n), pT.dtype),      # p current
+            pltpu.VMEM((n, n), pT.dtype),      # q current
+            pltpu.VMEM((n, n), pT.dtype),      # u staging
+            pltpu.VMEM((n, n), pT.dtype),      # v staging
+            pltpu.VMEM((7, n, n), pT.dtype),   # Mat -> A -> Low -> A
+            pltpu.HBM((7, n, n), pT.dtype),    # raw-A parking (HBM)
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),
+            pltpu.VMEM((n + 2, n + 2), pT.dtype),  # park/flux D pad
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
+      dct_C, ilam_p, ilam_q)
+    return (jnp.concatenate([p_traj, pT[None]], axis=0),
+            jnp.concatenate([q_traj, qT[None]], axis=0))

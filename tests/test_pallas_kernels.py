@@ -604,3 +604,39 @@ def test_lean_routing_and_vmem_budgets():
                             dtype=jnp.float32)
     assert model.backend == "pallas_fused"
     assert model._use_synth_sweep() and model._use_lean_sweep()
+
+
+def test_lean_sweeps_match_xla_schnakenberg():
+    """Schnakenberg LEAN whole-sweep kernels (one 7-plane buffer +
+    HBM-parked raw A) match the XLA path at solver tolerance."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 24, 4, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13))
+    ml = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13),
+                           backend="pallas_fused")
+    ml.force_lean = True
+    assert ml._use_synth_sweep() and ml._use_lean_sweep()
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), 0.1)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    ul, vl = ml.forward(c, u0, v0, dt)
+    assert float(jnp.abs(ul - ux).max()) < 1e-9
+    assert float(jnp.abs(vl - vx).max()) < 1e-9
+
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, dt, optim)
+        pl_, ql = ml.adjoint(ux, vx, uhat, vhat, dt, optim)
+        assert float(jnp.abs(pl_ - px).max()) < 1e-9, optim
+        assert float(jnp.abs(ql - qx).max()) < 1e-9, optim
