@@ -141,9 +141,11 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
 
     def measure(backend, steps_b):
         nonlocal u0np, v0np
+        # the XLA path gets the spectral-DCT preconditioner (the fused
+        # kernels carry their own in-kernel variant)
+        opts = SolverOpts(tol=1e-6, maxiter=200, spectral=(backend == "xla"))
         model = ChemotaxisModel(g, rescaling=1.0, dtype=jnp.float32,
-                                solver_opts=SolverOpts(tol=1e-6, maxiter=200),
-                                backend=backend)
+                                solver_opts=opts, backend=backend)
         if u0np is None:
             u0np, v0np = model.ic()
         u0 = jnp.asarray(u0np, jnp.float32)
@@ -208,6 +210,28 @@ def _tpu_large_grid_with_timeout() -> dict:
             f"mosaic compile exceeded {LG_FUSED_TIMEOUT_S}s (cold cache); "
             "XLA-path number reported")
         return out
+
+
+def _tpu_xl_grid_with_timeout() -> dict:
+    """2048² XLA-path forward throughput (spectral-DCT preconditioned) in a
+    timeout-guarded subprocess — the beyond-lean-budget scale point."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--xl-grid-only"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("FEMFCT_XL_TIMEOUT_S", "1500")),
+        )
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        return {"xl_grid_error": f"subprocess rc={r.returncode}: {tail}"}
+    except subprocess.TimeoutExpired:
+        return {"xl_grid_error": "2048^2 XLA measurement timed out"}
 
 
 def tpu_dist_smoke(n: int = 256, steps: int = 50) -> dict:
@@ -474,6 +498,11 @@ def main():
         big = _tpu_large_grid_with_timeout()
     except Exception as e:
         big = {"large_grid_error": f"{type(e).__name__}: {e}"}
+    try:
+        xl = _tpu_xl_grid_with_timeout()
+    except Exception as e:
+        xl = {"xl_grid_error": f"{type(e).__name__}: {e}"}
+    big = {**big, **xl}
     sweep = tpu_steps_per_sec()
     value = sweep["forward_steps_per_sec"]
     try:
@@ -519,5 +548,12 @@ if __name__ == "__main__":
 
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         print(json.dumps(tpu_large_grid_steps_per_sec()))
+    elif "--xl-grid-only" in sys.argv:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        print(json.dumps(
+            tpu_large_grid_steps_per_sec(n=2048, steps=20,
+                                         include_fused=False)))
     else:
         main()

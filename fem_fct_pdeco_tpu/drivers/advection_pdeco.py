@@ -222,7 +222,7 @@ class AdvectionProblem(PDECOProblem):
             self.wind_fn = self.mms.wind
             self.model = AdvectionModel(
                 self.grid, eps=EPS, wind_fn=self.mms.wind, dtype=dtype,
-                solver_opts=SolverOpts(tol=tol), divw_fn=self.mms.divw,
+                solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral), divw_fn=self.mms.divw,
             )
             md = self.model.dtype
             self._u0 = jnp.asarray(self.mms.uex(0.0), dtype=md)
@@ -238,7 +238,7 @@ class AdvectionProblem(PDECOProblem):
         self.wind_fn = wf
         self.model = AdvectionModel(self.grid, eps=EPS, wind_fn=wf,
                                     dtype=dtype,
-                                    solver_opts=SolverOpts(tol=tol),
+                                    solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral),
                                     backend=backend,
                                     mesh=dist_mesh(backend))
         md = self.model.dtype
@@ -357,6 +357,8 @@ def main(argv=None):
                          "needs the piecewise path)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--spectral", action="store_true",
+                    help="spectral-DCT preconditioning of the XLA-path Krylov solves")
     ap.add_argument("--armijo-batch", type=int, default=1,
                     help="evaluate N Armijo candidate steps per vmapped "
                          "sweep (same accepted-step sequence)")
@@ -366,6 +368,7 @@ def main(argv=None):
          "dx": args.dx, "beta": args.beta, "tol": args.tol,
          "max_iter_gd": args.max_iter_gd, "produce_plots": args.plots,
          "mixed_precision": args.mixed_precision,
+         "spectral": args.spectral,
          "armijo_batch": args.armijo_batch}
     if args.optim == "alltime" or args.exact:
         d["T_data"] = args.T

@@ -45,7 +45,7 @@ class ChemotaxisProblem(PDECOProblem):
 
         self.model = ChemotaxisModel(
             self.grid, rescaling=rescaling, dtype=dtype,
-            solver_opts=SolverOpts(tol=tol, maxiter=300), backend=backend,
+            solver_opts=SolverOpts(tol=tol, maxiter=300, spectral=cfg.spectral), backend=backend,
             mesh=dist_mesh(backend),
         )
         # everything the sweeps touch lives in the MODEL dtype (under
@@ -167,6 +167,8 @@ def main(argv=None):
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64; "
                          "parity-grade Armijo decisions at f32 sweep speed)")
+    ap.add_argument("--spectral", action="store_true",
+                    help="spectral-DCT preconditioning of the XLA-path Krylov solves")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--armijo-batch", type=int, default=1,
@@ -185,6 +187,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
+        spectral=args.spectral,
         armijo_batch=args.armijo_batch,
     )
     problem = ChemotaxisProblem(cfg, backend=args.backend,

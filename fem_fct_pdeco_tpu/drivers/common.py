@@ -63,6 +63,10 @@ class ExperimentConfig:
     # f32 sweeps + f64 objectives/norms (requires jax_enable_x64; see
     # optimize/cost.py). Drivers set this from --mixed-precision.
     mixed_precision: bool = False
+    # spectral-DCT preconditioning of the XLA-path Krylov solves
+    # (SolverOpts.spectral; the fused kernels carry their own in-kernel
+    # variant). Drivers set this from --spectral.
+    spectral: bool = False
 
     @property
     def num_steps(self) -> int:

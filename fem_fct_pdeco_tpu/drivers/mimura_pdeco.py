@@ -56,12 +56,12 @@ class MimuraProblem(PDECOProblem):
             from fem_fct_pdeco_tpu.models.legacy_mimura import LegacyM4MimuraModel
 
             self.model = LegacyM4MimuraModel(
-                self.grid, dtype=dtype, solver_opts=SolverOpts(tol=tol))
+                self.grid, dtype=dtype, solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral))
         else:
             from fem_fct_pdeco_tpu.drivers.common import dist_mesh
 
             self.model = MimuraModel(self.grid, dtype=dtype,
-                                     solver_opts=SolverOpts(tol=tol),
+                                     solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral),
                                      backend=backend,
                                      mesh=dist_mesh(backend))
         md = self.model.dtype
@@ -177,6 +177,8 @@ def main(argv=None):
                     help="legacy m(4-m) system (old_helpers.py:87-111)")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--spectral", action="store_true",
+                    help="spectral-DCT preconditioning of the XLA-path Krylov solves")
     ap.add_argument("--armijo-batch", type=int, default=1,
                     help="evaluate N Armijo candidate steps per vmapped "
                          "sweep (same accepted-step sequence)")
@@ -187,6 +189,7 @@ def main(argv=None):
          "tol": args.tol, "max_iter_gd": args.max_iter_gd,
          "produce_plots": args.plots,
          "mixed_precision": args.mixed_precision,
+         "spectral": args.spectral,
          "armijo_batch": args.armijo_batch}
     if args.legacy_m4:
         # legacy script config (chemotaxis_mimura_FCT_PGD.py:44-57)

@@ -41,7 +41,7 @@ class NonlinearProblem(PDECOProblem):
 
         dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         self.model = NonlinearModel(self.grid, dtype=dtype,
-                                    solver_opts=SolverOpts(tol=tol),
+                                    solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral),
                                     backend=backend, mesh=dist_mesh(backend))
         md = self.model.dtype
         self._target = self._load_target().astype(md)
@@ -159,6 +159,8 @@ def main(argv=None):
                          "the FCT scan) instead of the continuous adjoint")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--spectral", action="store_true",
+                    help="spectral-DCT preconditioning of the XLA-path Krylov solves")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--armijo-batch", type=int, default=1,
@@ -172,6 +174,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
+        spectral=args.spectral,
         armijo_batch=args.armijo_batch,
     )
     problem = NonlinearProblem(cfg, backend=args.backend)

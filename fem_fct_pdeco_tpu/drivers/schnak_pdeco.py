@@ -49,7 +49,7 @@ class SchnakProblem(PDECOProblem):
         dtype, tol = resolve_dtype(dtype, cfg.mixed_precision)
         self.model = SchnakenbergModel(
             self.grid, rescaling=rescaling, dtype=dtype,
-            solver_opts=SolverOpts(tol=tol),
+            solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral),
             td_wind_fn=td_fn, backend=backend, mesh=dist_mesh(backend),
         )
         # target stored at dt_data resolution; subsample by skip = dt/dt_data
@@ -167,6 +167,8 @@ def main(argv=None):
                     default="xla")
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--spectral", action="store_true",
+                    help="spectral-DCT preconditioning of the XLA-path Krylov solves")
     ap.add_argument("--checkpoint", default=None,
                     help="path for PGD save/resume state")
     ap.add_argument("--armijo-batch", type=int, default=1,
@@ -183,6 +185,7 @@ def main(argv=None):
         produce_plots=args.plots, out_folder=args.out,
         checkpoint_path=args.checkpoint,
         mixed_precision=args.mixed_precision,
+        spectral=args.spectral,
         armijo_batch=args.armijo_batch,
     )
     return run_pdeco(SchnakProblem(cfg, dt_data=args.dt_data,

@@ -46,7 +46,7 @@ class SolidBodyProblem(PDECOProblem):
         self.gaussian = gaussian
         self.model = DriftControlModel(
             self.grid, eps=0.0, om=OM, drift=(1.0, 1.0), dtype=dtype,
-            solver_opts=SolverOpts(tol=tol), backend=backend,
+            solver_opts=SolverOpts(tol=tol, spectral=cfg.spectral), backend=backend,
             mesh=dist_mesh(backend),
         )
         md = self.model.dtype
@@ -173,6 +173,8 @@ def main(argv=None):
     ap.add_argument("--max-iter-gd", type=int, default=DEFAULTS["max_iter_gd"])
     ap.add_argument("--mixed-precision", action="store_true",
                     help="f32 sweeps + f64 objectives/norms (enables x64)")
+    ap.add_argument("--spectral", action="store_true",
+                    help="spectral-DCT preconditioning of the XLA-path Krylov solves")
     ap.add_argument("--backend",
                     choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
@@ -185,6 +187,7 @@ def main(argv=None):
          "dt": args.dt, "beta": args.beta, "tol": args.tol,
          "max_iter_gd": args.max_iter_gd,
          "mixed_precision": args.mixed_precision,
+         "spectral": args.spectral,
          "armijo_batch": args.armijo_batch}
     cfg = ExperimentConfig(**d)
     tag = "_garvie" if args.garvie else ""

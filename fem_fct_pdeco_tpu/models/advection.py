@@ -103,7 +103,8 @@ class AdvectionModel(ModelBase):
 
     def _fct(self, A, rhs, u_n, dt):
         return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
-                        solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask)
+                        solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
+                        prec=self._spectral_prec(dt, self.eps))
 
     def forward(self, control_traj, u0, dt, source_traj=None, reaction_traj=None):
         """State sweep; step i uses control_traj[i]
@@ -408,7 +409,8 @@ class DriftControlModel(ModelBase):
 
     def _fct(self, A, rhs, u_n, dt):
         return fct_step(A, rhs, u_n, dt, self.M, self.M_diag, self.ML_diag,
-                        solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask)
+                        solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
+                        prec=self._spectral_prec(dt, self.eps))
 
     def _forward_step(self, dt):
         def step(carry, c_i):

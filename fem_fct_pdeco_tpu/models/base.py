@@ -158,6 +158,10 @@ class ModelBase:
             self.ML_diag = self.asm.lumped_mass_diag + pad_id
         self.K = self.asm.stiffness
         self.solver_opts = solver_opts or SolverOpts()
+        if self.solver_opts.spectral and pad_to is None:
+            from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix
+
+            self.dctC = jnp.asarray(dct_matrix(grid.n), dtype=dtype)
         self._jit_cache: dict = {}
 
     # Operator attributes lifted to jit ARGUMENTS instead of being captured
@@ -169,7 +173,32 @@ class ModelBase:
     # size). Subclasses extend the tuple with their stationary operators;
     # matrices DERIVED from these (Mat2, γM, Mbase_*) must be computed
     # inside the traced closures so they stay traced.
-    _HOISTED_OPS: tuple = ("M", "M_diag", "ML_diag", "K", "node_mask")
+    _HOISTED_OPS: tuple = ("M", "M_diag", "ML_diag", "K", "node_mask",
+                           "dctC")
+
+    # spectral-DCT preconditioning of the XLA-path Krylov solves: the DCT
+    # matrix is a hoisted operator (an (n, n) closure constant would be
+    # inlined into StableHLO as a dense literal); the dt-dependent inverse
+    # modal eigenvalues are computed INSIDE the traced closures from (n,)
+    # vectors (_spectral_prec).
+    dctC = None
+
+    def _spectral_prec(self, dt, diff_coef, mass_coef=1.0):
+        """(C, ilam) for ``solve_stencil(prec=...)`` when
+        ``solver_opts.spectral``, else None. ``ilam`` inverts the modal
+        eigenvalues of P = mass_coef·h²·I + dt·diff_coef·K5 (the stiff
+        stationary part; pallas_fused.dct_precond_ilam semantics), built
+        in-trace so dt stays a per-step-builder constant. Disabled on
+        padded grids (identity pad rows break the modal structure)."""
+        if self.dctC is None or self.pad_to is not None:
+            return None
+        n = self.grid.n
+        h = self.grid.h
+        mu = 2.0 - 2.0 * jnp.cos(
+            jnp.pi * jnp.arange(n, dtype=self.dtype) / n)
+        lam = (mass_coef * h * h
+               + dt * diff_coef * (mu[:, None] + mu[None, :]))
+        return (self.dctC, 1.0 / lam)
 
     def hoist_wrap(self, inner):
         """Wrap ``inner(*args)`` as ``wrapper(opvals, args)`` where

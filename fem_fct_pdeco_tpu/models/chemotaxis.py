@@ -135,7 +135,9 @@ class ChemotaxisModel(ModelBase):
 
                 v_np1 = pk.cg_pallas(Mat2, rhs2, x0=v_n, tol=self.solver_opts.tol)
             else:
-                v_np1 = solve_stencil(Mat2, rhs2, x0=v_n, opts=rd_opts)
+                v_np1 = solve_stencil(
+                    Mat2, rhs2, x0=v_n, opts=rd_opts,
+                    prec=self._spectral_prec(dt, p.Df, 1.0 + dt * p.delta))
             # u-solve via FCT (helpers.py:1350-1356)
             u_q = asm.nodal_at_quad(u_n, 4)
             Aa = asm.advective(asm.elem_grad(v_np1), jnp.exp(-p.eta * u_q), degree=4)
@@ -149,6 +151,7 @@ class ChemotaxisModel(ModelBase):
                 A_u, rhs_u, u_n, dt, self.M, self.M_diag,
                 self.ML_diag, solver=self.solver_opts, debug=self.debug, backend=self.backend,
                 node_mask=self.node_mask,
+                prec=self._spectral_prec(dt, p.Dm),
             )
             return (u_np1, v_np1)
 
@@ -346,6 +349,7 @@ class ChemotaxisModel(ModelBase):
             p_n = fct_step(
                 Mat_p, rhs_p, p_np1, dt, self.M, self.M_diag, self.ML_diag,
                 non_flux=nf, solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
+                prec=self._spectral_prec(dt, p.Dm),
             )
             # q-solve (helpers.py:1531-1538); gradient_smoothing swaps the
             # raw per-element grad(p) for its CG1 L2 projection
@@ -365,7 +369,8 @@ class ChemotaxisModel(ModelBase):
             if optim == "alltime":
                 rhs_q = rhs_q + mis_v
             q_n = solve_stencil(
-                Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1, opts=rd_opts
+                Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1, opts=rd_opts,
+                prec=self._spectral_prec(dt, p.Df, 1.0 + dt * p.delta),
             )
             return (p_n, q_n)
 

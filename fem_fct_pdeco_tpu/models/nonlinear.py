@@ -66,6 +66,7 @@ class NonlinearModel(ModelBase):
                 self.A_state, rhs, u_n, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=self._nonflux(u_n, +1.0),
                 solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
+                prec=self._spectral_prec(dt, self.eps),
             )
 
         return step
@@ -77,6 +78,7 @@ class NonlinearModel(ModelBase):
                 self.A_adjoint, mis, p_np1, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=self._nonflux(u_n, -1.0),
                 solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
+                prec=self._spectral_prec(dt, self.eps),
             )
 
         return step

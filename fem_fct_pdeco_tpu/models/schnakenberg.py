@@ -163,6 +163,7 @@ class SchnakenbergModel(ModelBase):
                 A_u, rhs_u, u_n, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=gM, solver=self.solver_opts, debug=self.debug,
                 node_mask=self.node_mask,
+                prec=self._spectral_prec(dt, p.Du, 1.0 + dt * p.gamma),
             )
             # v implicit with the *new* u (helpers.py:590-596)
             Mu2 = self._wm(self.asm.nodal_at_quad(u_np1, 4) ** 2)
@@ -173,6 +174,7 @@ class SchnakenbergModel(ModelBase):
             v_np1 = solve_stencil(
                 Mat_v, st.apply(self.M, v_n) + dt * rhs_v, x0=v_n,
                 opts=self.solver_opts,
+                prec=self._spectral_prec(dt, p.Dv, 1.0 + dt * p.gamma),
             )
             return (u_np1, v_np1)
 
@@ -202,6 +204,7 @@ class SchnakenbergModel(ModelBase):
             q_n = solve_stencil(
                 Mat_q, st.apply(self.M, q_np1) + dt * rhs_q, x0=q_np1,
                 opts=self.solver_opts,
+                prec=self._spectral_prec(dt, p.Dv, 1.0 + dt * p.gamma),
             )
             # p via FCT: rhs = -2γ u v q_n, non_flux = γM - 2γ M_uv
             qq = self.asm.nodal_at_quad(q_n, 4)
@@ -211,6 +214,7 @@ class SchnakenbergModel(ModelBase):
                 A_u_adj, rhs_p, p_np1, dt, self.M, self.M_diag,
                 self.ML_diag, non_flux=gM - 2.0 * p.gamma * Muv,
                 solver=self.solver_opts, debug=self.debug, node_mask=self.node_mask,
+                prec=self._spectral_prec(dt, p.Du, 1.0 + dt * p.gamma),
             )
             return (p_n, q_n)
 

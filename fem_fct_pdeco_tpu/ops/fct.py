@@ -125,6 +125,7 @@ def fct_step(
     pallas_solver_iters: int = 60,
     node_mask: jnp.ndarray | None = None,
     debug: bool = False,
+    prec: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """One flux-corrected transport step (``FCT_alg_ref``, helpers.py:1715).
 
@@ -175,7 +176,7 @@ def fct_step(
         du_dt = pk.chebsi_pallas(rdot, M, M_diag, cheb_iters, 0.5, 2.0)
         return pk.flux_zalesak_pallas(M, D, du_dt, u_low, ML_diag, dt)
 
-    u_low = solve_stencil(Low, b, x0=u_n, opts=solver)
+    u_low = solve_stencil(Low, b, x0=u_n, opts=solver, prec=prec)
 
     rdot = -st.apply(A, u_low) + rhs
     du_dt = chebsi(rdot, M, M_diag, cheb_iters, 0.5, 2.0)

@@ -30,6 +30,10 @@ class SolverOpts:
     atol: float = 0.0
     maxiter: int = 1000
     symmetric: bool = False
+    # spectral-DCT preconditioning of the XLA-path Krylov solves (the
+    # analogue of the fused kernels' in-kernel MXU preconditioner; see
+    # solve_stencil ``prec``). Models build (C, ilam) when set.
+    spectral: bool = False
 
 
 def chebsi(
@@ -64,10 +68,29 @@ def chebsi(
     return y
 
 
-def _solve_stencil_raw(S, b, x0, opts: SolverOpts):
-    inv_diag = 1.0 / S[4]
+def spectral_pinv(C, ilam, r):
+    """Apply the spectral preconditioner P^{-1} r = C^T((C r C^T)⊙ilam)C.
+
+    ``C`` is the orthonormal DCT-II matrix and ``ilam`` the inverse modal
+    eigenvalues (pallas_fused.dct_precond_ilam): exact inverse of the
+    stiff stationary part h²m·I + dt·D·K5 of the solve operators on this
+    mesh. Default matmul precision (bf16 MXU on TPU) on purpose — the
+    Krylov loop exits on the TRUE residual, so preconditioner accuracy
+    affects only the iteration count (roadmap: f32-precision DCTs are a
+    measured net loss)."""
+    t = C @ r
+    rh = t @ C.T
+    rh = rh * ilam
+    return C.T @ rh @ C
+
+
+def _solve_stencil_raw(S, b, x0, opts: SolverOpts, C=None, ilam=None):
     matvec = partial(st.apply, S)
-    precond = lambda r: r * inv_diag
+    if C is not None:
+        precond = partial(spectral_pinv, C, ilam)
+    else:
+        inv_diag = 1.0 / S[4]
+        precond = lambda r: r * inv_diag
     solver = (
         jax.scipy.sparse.linalg.cg if opts.symmetric else jax.scipy.sparse.linalg.bicgstab
     )
@@ -105,17 +128,48 @@ def _solve_bwd(opts, res, g):
 _solve_stencil_vjp.defvjp(_solve_fwd, _solve_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _solve_stencil_prec_vjp(S, b, x0, C, ilam, opts: SolverOpts):
+    return _solve_stencil_raw(S, b, x0, opts, C, ilam)
+
+
+def _solve_prec_fwd(S, b, x0, C, ilam, opts):
+    x = _solve_stencil_raw(S, b, x0, opts, C, ilam)
+    return x, (S, x, C, ilam)
+
+
+def _solve_prec_bwd(opts, res, g):
+    """Same implicit-function-theorem adjoint as _solve_bwd; the transpose
+    solve reuses the spectral preconditioner (P is symmetric)."""
+    S, x, C, ilam = res
+    y = _solve_stencil_raw(st.transpose(S), g, None, opts, C, ilam)
+    grad_S = jnp.stack([-y * st.shift(x, d) for d in range(9)])
+    return grad_S, y, jnp.zeros_like(x), jnp.zeros_like(C), jnp.zeros_like(ilam)
+
+
+_solve_stencil_prec_vjp.defvjp(_solve_prec_fwd, _solve_prec_bwd)
+
+
 def solve_stencil(
     S: jnp.ndarray,
     b: jnp.ndarray,
     x0: jnp.ndarray | None = None,
     opts: SolverOpts = SolverOpts(),
+    prec: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Solve S x = b (S a (9, n, n) stencil) with Jacobi-preconditioned
-    CG (symmetric) or BiCGStab (general). Reverse-differentiable via an
-    implicit-function-theorem custom VJP."""
+    """Solve S x = b (S a (9, n, n) stencil) with preconditioned CG
+    (symmetric) or BiCGStab (general). Reverse-differentiable via an
+    implicit-function-theorem custom VJP.
+
+    ``prec``: optional ``(C, ilam)`` spectral-DCT preconditioner
+    (see spectral_pinv / pallas_fused.dct_precond_ilam) — the XLA-path
+    analogue of the fused kernels' in-kernel MXU preconditioner; cuts
+    Krylov iteration counts ~3x on the stiff solves at large grids.
+    Default: Jacobi (1/diag)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    if prec is not None:
+        return _solve_stencil_prec_vjp(S, b, x0, prec[0], prec[1], opts)
     return _solve_stencil_vjp(S, b, x0, opts)
 
 

@@ -215,3 +215,16 @@ def test_armijo_batch_driver_equivalence(in_tmp):
     import numpy as np
 
     np.testing.assert_allclose(h1["cost"], h2["cost"], rtol=1e-12)
+
+
+def test_chemotaxis_driver_spectral(in_tmp):
+    """--spectral (DCT-preconditioned XLA Krylov solves) reproduces the
+    Jacobi-path cost on the same config."""
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+
+    argv = _common(["--T", "0.005", "--T-data", "0.005", "--dx", "0.05"])
+    base = d.main(argv)
+    spec = d.main(argv + ["--spectral"])
+    cb = base["result"].cost
+    cs = spec["result"].cost
+    assert abs(cs - cb) / max(abs(cb), 1e-30) < 1e-6
