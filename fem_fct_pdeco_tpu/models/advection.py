@@ -73,6 +73,13 @@ class AdvectionModel(ModelBase):
 
     _HOISTED_OPS = ModelBase._HOISTED_OPS + ("N", "A_state", "A_adjoint")
 
+    # the scalar fused sweep auto-dispatches to its lean variant (one
+    # 7-plane buffer, HBM-resident stationary flux matrix) past the
+    # resident VMEM budget, so the fused backend holds up to the lean
+    # budget (there is no separate synth kernel for this family)
+    _synth_capable = True
+    _lean_capable = True
+
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, divw_fn=None,
                  backend: str = "xla", pad_to: int | None = None,

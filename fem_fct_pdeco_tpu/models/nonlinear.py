@@ -24,9 +24,14 @@ from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
 
 
 class NonlinearModel(ModelBase):
+    """Parameters from helpers.py:867-879: eps = 1e-4, vortex wind, speed 1."""
+
     _HOISTED_OPS = ModelBase._HOISTED_OPS + ("N", "A_state", "A_adjoint")
 
-    """Parameters from helpers.py:867-879: eps = 1e-4, vortex wind, speed 1."""
+    # scalar fused sweep auto-dispatches to its lean variant past the
+    # resident VMEM budget (see AdvectionModel)
+    _synth_capable = True
+    _lean_capable = True
 
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,

@@ -605,6 +605,14 @@ def test_lean_routing_and_vmem_budgets():
     assert model.backend == "pallas_fused"
     assert model._use_synth_sweep() and model._use_lean_sweep()
 
+    # scalar families keep the fused backend up to the lean budget too
+    # (the scalar sweep auto-dispatches to its lean variant internally)
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+
+    m = NonlinearModel(Grid(0.0, 1.0, 1024), backend="pallas_fused",
+                       dtype=jnp.float32)
+    assert m.backend == "pallas_fused"
+
 
 def test_lean_sweeps_match_xla_schnakenberg():
     """Schnakenberg LEAN whole-sweep kernels (one 7-plane buffer +
@@ -640,3 +648,50 @@ def test_lean_sweeps_match_xla_schnakenberg():
         pl_, ql = ml.adjoint(ux, vx, uhat, vhat, dt, optim)
         assert float(jnp.abs(pl_ - px).max()) < 1e-9, optim
         assert float(jnp.abs(ql - qx).max()) < 1e-9, optim
+
+
+def test_lean_scalar_sweep_matches_resident():
+    """fused_scalar_fct_sweep_lean (one 7-plane buffer, HBM-resident
+    stationary flux matrix, synthesized mass) matches the resident scalar
+    sweep on every mode combination it dispatches for."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+        fused_scalar_fct_sweep, fused_scalar_fct_sweep_lean)
+
+    n, steps, dt = 33, 4, 1e-3
+    g = Grid(0.0, 1.0, n)
+    m = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13))
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(m.ic())
+    kw = dict(h=g.h, dt=dt, tol=1e-13, iters=300)
+
+    # state-mode (nonflux +1, mass load)
+    load = jnp.asarray(rng.standard_normal((steps, 1, n, n)))
+    a = fused_scalar_fct_sweep(load, x0, m.A_state, m.M, m.M_diag,
+                               m.ML_diag, nonflux_mode=+1, **kw)
+    b = fused_scalar_fct_sweep_lean(load, x0, m.A_state, m.M, m.M_diag,
+                                    m.ML_diag, nonflux_mode=+1, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+    # adjoint-mode (reverse, nonflux -1, precomputed loads + stored state)
+    load2 = jnp.asarray(rng.standard_normal((steps, 2, n, n)))
+    a = fused_scalar_fct_sweep(load2, x0, m.A_adjoint, m.M, m.M_diag,
+                               m.ML_diag, nonflux_mode=-1, load_is_mass=False,
+                               reverse=True, **kw)
+    b = fused_scalar_fct_sweep_lean(load2, x0, m.A_adjoint, m.M, m.M_diag,
+                                    m.ML_diag, nonflux_mode=-1,
+                                    load_is_mass=False, reverse=True, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+    # reaction channel (MMS finaltime-exact g(t) IMEX term)
+    load3 = jnp.asarray(rng.standard_normal((steps, 2, n, n)))
+    a = fused_scalar_fct_sweep(load3, x0, m.A_state, m.M, m.M_diag,
+                               m.ML_diag, reaction=True, **kw)
+    b = fused_scalar_fct_sweep_lean(load3, x0, m.A_state, m.M, m.M_diag,
+                                    m.ML_diag, reaction=True, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
