@@ -388,6 +388,11 @@ class DriftControlModel(ModelBase):
 
     _HOISTED_OPS = ModelBase._HOISTED_OPS + ("Nrot",)
 
+    # fused_drift_fct_sweep auto-dispatches to its lean variant past the
+    # resident VMEM budget (see AdvectionModel)
+    _synth_capable = True
+    _lean_capable = True
+
     def __init__(self, grid, eps: float, om: float, drift=(1.0, 1.0),
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,
                  backend: str = "xla", pad_to: int | None = None,

@@ -2949,7 +2949,16 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
     the state sweep (A = εK - N_rot - Adrift), +1 for the adjoint
     (A = εK + N_rot + Adrift); ``A_base`` carries the stationary part.
     ``reverse=True``: backward sweep (adjoint). Returns (steps, n, n)
-    frames excluding the initial/terminal state."""
+    frames excluding the initial/terminal state.
+
+    Grids past the resident VMEM budget dispatch to the lean variant."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+    if not fits_vmem(x0.shape[-1], x0.dtype):
+        return fused_drift_fct_sweep_lean(
+            frames, x0, A_base, M, M_diag, ML_diag, h=h, dt=dt, sign=sign,
+            drift=drift, tol=tol, iters=iters, cheb_iters=cheb_iters,
+            warm=warm, reverse=reverse, has_mis=has_mis)
     n = x0.shape[-1]
     steps = frames.shape[0]
     F = frames.shape[1]
@@ -2994,6 +3003,117 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(frames, x0, A_base, M, M_diag, ML_diag)
+
+
+def _drift_sweep_kernel_lean(
+    frames_ref, x0_ref, Abase7_ref,
+    out_ref,
+    cur_ref, A7_ref, ahbm_ref, pad_ref,
+    xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
+    *, n, steps, dt, sign, m, tol, iters, cheb_iters, h2, has_mis, grads,
+    reverse,
+):
+    """ONE-7-plane-buffer drift-control FCT step (the ≥lean-budget variant
+    of _drift_sweep_kernel). The stationary part εK ∓ N_rot is an HBM input
+    fetched into the single buffer, the per-step Adrift(c_i) is assembled
+    on top in place, and the assembled raw A runs the chemo-lean park
+    machinery (HBM park around the solve, transient D, synthesized mass)."""
+    dtype = cur_ref.dtype
+    plane, ml_diag = _make_synth(n, dtype, h2)
+    A_ref = _CompactPlanes(A7_ref, n, dtype)
+    M_syn = _SynthPlanes(plane, 1.0, 0.0)
+    Md_ref = _FieldVal(plane(CENTER, 1.0, 0.0))
+    nc = n - 1
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(x0_ref, cur_ref, sem_io)
+        cp.start()
+        cp.wait()
+
+    x_n = cur_ref[:, :]
+    c_i = frames_ref[0, :, :]
+    cp = pltpu.make_async_copy(Abase7_ref, A7_ref, sem_park)
+    cp.start()
+    cp.wait()
+    Ad = _drift_planes(c_i, nc=nc, h2=h2, m=m, grads=grads)
+    for d in range(9):
+        if Ad[d] is not None:
+            A_ref[d, :, :] = A_ref[d, :, :] + sign * Ad[d]
+    rhs = frames_ref[1, :, :] if has_mis else jnp.zeros_like(x_n)
+
+    def m_swap():
+        for k7, d in enumerate(P7):
+            A7_ref[k7] = plane(d, 1.0, 0.0)
+        return A_ref
+
+    x_np1 = _fct_core(
+        A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), x_n, rhs,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        m_swap=m_swap,
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+    )
+    cur_ref[:, :] = x_np1
+    idx = steps - 1 - i if reverse else i
+    cp = pltpu.make_async_copy(cur_ref, out_ref.at[idx], sem_io)
+    cp.start()
+    cp.wait()
+
+
+def fused_drift_fct_sweep_lean(frames, x0, A_base, M, M_diag, ML_diag, *,
+                               h, dt, sign, drift, tol=1e-6, iters=60,
+                               cheb_iters=20, warm=True, reverse=False,
+                               has_mis=False):
+    """≥lean-budget variant of fused_drift_fct_sweep (same contract;
+    M/M_diag/ML_diag synthesized in-kernel, ``warm`` ignored)."""
+    n = x0.shape[-1]
+    steps = frames.shape[0]
+    F = frames.shape[1]
+    grads = _basis_gradients(h)
+    A7c = A_base[jnp.asarray(P7)]
+    kern = functools.partial(
+        _drift_sweep_kernel_lean, n=n, steps=steps, dt=dt, sign=float(sign),
+        m=tuple(float(v) for v in drift), tol=tol, iters=iters,
+        cheb_iters=cheb_iters, h2=h * h, has_mis=has_mis, grads=grads,
+        reverse=reverse,
+    )
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    if reverse:
+        frame_in = pl.BlockSpec((1, F, n, n), lambda i: (steps - 1 - i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        frame_in = pl.BlockSpec((1, F, n, n), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    def kern2(frames_ref, *rest):
+        return kern(frames_ref[0], *rest)
+
+    return pl.pallas_call(
+        kern2,
+        grid=(steps,),
+        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        in_specs=[frame_in, hbm, hbm],
+        out_specs=hbm,
+        scratch_shapes=[
+            pltpu.VMEM((n, n), x0.dtype),      # carried state
+            pltpu.VMEM((7, n, n), x0.dtype),   # A -> Low -> M -> A
+            pltpu.HBM((7, n, n), x0.dtype),    # raw-A parking (HBM)
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),  # shift pad
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),  # limiter xpads
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),
+            pltpu.VMEM((n + 2, n + 2), x0.dtype),  # park/flux D pad
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 127),
+        ),
+        interpret=_interp(),
+    )(frames, x0, A7c)
 
 
 # ---------------------------------------------------------------------------

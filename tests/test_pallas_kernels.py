@@ -695,3 +695,41 @@ def test_lean_scalar_sweep_matches_resident():
     b = fused_scalar_fct_sweep_lean(load3, x0, m.A_state, m.M, m.M_diag,
                                     m.ML_diag, reaction=True, **kw)
     assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+
+def test_lean_drift_sweep_matches_resident():
+    """fused_drift_fct_sweep_lean matches the resident drift sweep (forward
+    and reverse/misfit modes; in-kernel per-step Adrift assembly on the
+    single-buffer park path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.advection import DriftControlModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+        fused_drift_fct_sweep, fused_drift_fct_sweep_lean)
+
+    n, steps, dt = 33, 4, 1e-3
+    g = Grid(-1.0, 1.0, n)
+    m = DriftControlModel(g, 1e-4, 2.0, solver_opts=SolverOpts(tol=1e-13))
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(np.exp(-4 * (g.xy[0] ** 2 + g.xy[1] ** 2)))
+    A_base = m.eps * m.K - m.Nrot
+    kw = dict(h=g.h, dt=dt, drift=m.drift, tol=1e-13, iters=300)
+
+    frames = jnp.asarray(rng.uniform(0.0, 1.0, (steps, 1, n, n)))
+    a = fused_drift_fct_sweep(frames, x0, A_base, m.M, m.M_diag, m.ML_diag,
+                              sign=-1, **kw)
+    b = fused_drift_fct_sweep_lean(frames, x0, A_base, m.M, m.M_diag,
+                                   m.ML_diag, sign=-1, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+    frames2 = jnp.asarray(rng.uniform(0.0, 1.0, (steps, 2, n, n)))
+    A_adj = m.eps * m.K + m.Nrot
+    a = fused_drift_fct_sweep(frames2, x0, A_adj, m.M, m.M_diag, m.ML_diag,
+                              sign=+1, reverse=True, has_mis=True, **kw)
+    b = fused_drift_fct_sweep_lean(frames2, x0, A_adj, m.M, m.M_diag,
+                                   m.ML_diag, sign=+1, reverse=True,
+                                   has_mis=True, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
