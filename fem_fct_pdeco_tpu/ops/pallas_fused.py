@@ -2080,6 +2080,22 @@ def _fwd_sweep_kernel_lean(
         prec_u = None
         prec_v = None
 
+    # warm starts without the uprev/vprev scratches: the previous frame is
+    # already in the HBM trajectory OUTPUT — one small DMA each instead of
+    # 8 MB of resident VMEM (x0 = 2 x_n - x_{n-1}; at i == 0 the staged
+    # read is unwritten garbage, discarded by the select)
+    im1 = jnp.maximum(i - 1, 0)
+    cp = pltpu.make_async_copy(uout_ref.at[im1],
+                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+    cp.start()
+    cp.wait()
+    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[1 : n + 1, 1 : n + 1], u_n)
+    cp = pltpu.make_async_copy(vout_ref.at[im1],
+                               xpad2_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+    cp.start()
+    cp.wait()
+    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[1 : n + 1, 1 : n + 1], v_n)
+
     # ---- v half-step (helpers.py:1339-1342) -----------------------------
     for k7, d in enumerate(P7):
         A7_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
@@ -2094,7 +2110,7 @@ def _fwd_sweep_kernel_lean(
     b = apply_M(v_n) + (dt * inv_r) * load
     v_np1 = _cg(apply_mat,
                 prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
-                b, v_n, tol, iters)
+                b, x0v, tol, iters)
 
     # ---- u half-step (helpers.py:1350-1356) -----------------------------
     _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
@@ -2114,7 +2130,7 @@ def _fwd_sweep_kernel_lean(
 
     u_np1 = _fct_core(
         A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
-        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
         park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
@@ -3044,6 +3060,15 @@ def _drift_sweep_kernel_lean(
             A_ref[d, :, :] = A_ref[d, :, :] + sign * Ad[d]
     rhs = frames_ref[1, :, :] if has_mis else jnp.zeros_like(x_n)
 
+    # warm start from the HBM trajectory output (see _scalar_sweep_kernel_lean)
+    idx = steps - 1 - i if reverse else i
+    prev_slot = jnp.clip(idx + 1 if reverse else idx - 1, 0, steps - 1)
+    cp = pltpu.make_async_copy(out_ref.at[prev_slot],
+                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+    cp.start()
+    cp.wait()
+    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[1 : n + 1, 1 : n + 1], x_n)
+
     def m_swap():
         for k7, d in enumerate(P7):
             A7_ref[k7] = plane(d, 1.0, 0.0)
@@ -3051,13 +3076,12 @@ def _drift_sweep_kernel_lean(
 
     x_np1 = _fct_core(
         A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), x_n, rhs,
-        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w,
         m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
         park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
     )
     cur_ref[:, :] = x_np1
-    idx = steps - 1 - i if reverse else i
     cp = pltpu.make_async_copy(cur_ref, out_ref.at[idx], sem_io)
     cp.start()
     cp.wait()
@@ -3535,6 +3559,16 @@ def _scalar_sweep_kernel_lean(
         scale = (1.0 / 3.0) if nonflux_mode > 0 else 1.0
         S = _add_planes(_scaled_planes(M_syn, -1.0), Mu2, s2=scale)
 
+    # warm start from the HBM trajectory output (the frame written at the
+    # previous grid step; see _fwd_sweep_kernel_lean)
+    idx = steps - 1 - i if reverse else i
+    prev_slot = jnp.clip(idx + 1 if reverse else idx - 1, 0, steps - 1)
+    cp = pltpu.make_async_copy(out_ref.at[prev_slot],
+                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+    cp.start()
+    cp.wait()
+    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[1 : n + 1, 1 : n + 1], x_n)
+
     # raw A in (compact): the canonical copy stays in HBM (park_out=False)
     cp = pltpu.make_async_copy(A7h_ref, A7_ref, sem_park)
     cp.start()
@@ -3547,13 +3581,12 @@ def _scalar_sweep_kernel_lean(
 
     x_np1 = _fct_core(
         A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), x_n, rhs,
-        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
-        m_swap=m_swap,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w,
+        S=S, m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
         park=(A7_ref, A7h_ref, sem_park, xpad4_ref, False),
     )
     cur_ref[:, :] = x_np1
-    idx = steps - 1 - i if reverse else i
     cp = pltpu.make_async_copy(cur_ref, out_ref.at[idx], sem_io)
     cp.start()
     cp.wait()
@@ -3656,6 +3689,19 @@ def _schnak_fwd_kernel_lean(
         prec_u = None
         prec_v = None
 
+    # warm starts from the HBM trajectory outputs (see _fwd_sweep_kernel_lean)
+    im1 = jnp.maximum(i - 1, 0)
+    cp = pltpu.make_async_copy(uout_ref.at[im1],
+                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+    cp.start()
+    cp.wait()
+    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[1 : n + 1, 1 : n + 1], u_n)
+    cp = pltpu.make_async_copy(vout_ref.at[im1],
+                               xpad2_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+    cp.start()
+    cp.wait()
+    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[1 : n + 1, 1 : n + 1], v_n)
+
     t0 = jnp.asarray(0.0, dtype)  # stationary wind: t unused
 
     def conv(transpose=False):
@@ -3683,7 +3729,7 @@ def _schnak_fwd_kernel_lean(
 
     u_np1 = _fct_core(
         A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
-        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
+        n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
         S_at=lambda d: gamma * plane(d, 1.0, 0.0),
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
@@ -3707,7 +3753,7 @@ def _schnak_fwd_kernel_lean(
                             skip_planes=ANTI_DIAGONAL_IDS)
     v_np1 = _cg(apply_mat,
                 prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
-                b, v_n, tol, iters)
+                b, x0v, tol, iters)
 
     ucur_ref[:, :] = u_np1
     vcur_ref[:, :] = v_np1
