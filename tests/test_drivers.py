@@ -228,3 +228,19 @@ def test_chemotaxis_driver_spectral(in_tmp):
     cb = base["result"].cost
     cs = spec["result"].cost
     assert abs(cs - cb) / max(abs(cb), 1e-30) < 1e-6
+
+
+def test_chemotaxis_driver_on_lean_kernels(in_tmp, monkeypatch):
+    """Full PDECO loop (targets, PGD, Armijo, registry) with every sweep on
+    the LEAN whole-sweep kernels (forced at a small grid), matching the
+    XLA-path cost."""
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+
+    argv = _common(["--T", "0.005", "--T-data", "0.005", "--dx", "0.05"])
+    base = d.main(argv)
+    monkeypatch.setattr(ChemotaxisModel, "force_lean", True)
+    lean = d.main(argv + ["--backend", "pallas_fused"])
+    cb = base["result"].cost
+    cl = lean["result"].cost
+    assert abs(cl - cb) / max(abs(cb), 1e-30) < 1e-6
