@@ -26,7 +26,7 @@ STEPS_PER_CALL = 500  # long scans amortize the axon tunnel's per-call RPC cost
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
-def _model_256():
+def _model_256(backend="pallas_fused"):
     import jax.numpy as jnp
 
     from fem_fct_pdeco_tpu.grid import Grid
@@ -36,12 +36,13 @@ def _model_256():
     g = Grid(0.0, 1.0, GRID_N)
     return ChemotaxisModel(
         g, rescaling=1.0, dtype=jnp.float32,
-        solver_opts=SolverOpts(tol=1e-6, maxiter=200),
-        backend="pallas_fused",  # whole-sweep VMEM-resident kernels
+        solver_opts=SolverOpts(tol=1e-6, maxiter=200,
+                               spectral=(backend == "xla")),
+        backend=backend,  # whole-sweep VMEM-resident kernels by default
     )
 
 
-def tpu_steps_per_sec() -> dict:
+def tpu_steps_per_sec(backend="pallas_fused") -> dict:
     """Forward and adjoint FCT sweep throughput at 256^2 f32 (pallas_fused
     whole-sweep kernels), with correctness guards so a silently-wrong kernel
     can't post a fast number."""
@@ -50,7 +51,7 @@ def tpu_steps_per_sec() -> dict:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-    model = _model_256()
+    model = _model_256(backend)
     u0np, v0np = model.ic()
     u0 = jnp.asarray(u0np, dtype=jnp.float32)
     v0 = jnp.asarray(v0np, dtype=jnp.float32)
@@ -481,7 +482,44 @@ def _baseline_cache_stale() -> bool:
     return d.get("grid_n") != GRID_N or d.get("measured_steps", 0) < 5
 
 
+def _tpu_reachable(wait_s: int | None = None) -> bool:
+    """Probe the TPU backend in a bounded subprocess. The axon relay can be
+    down (observed: hours); a process that initializes JAX then hangs forever
+    in a silent retry loop, so the probe MUST be external and time-limited.
+    Polls until the relay answers or ``wait_s`` elapses."""
+    import subprocess
+
+    deadline = time.monotonic() + (wait_s if wait_s is not None else int(
+        os.environ.get("FEMFCT_RELAY_WAIT_S", "900")))
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=180,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(60)
+
+
 def main():
+    if not _tpu_reachable():
+        # Emit a well-formed result rather than hanging the driver: the axon
+        # TPU tunnel is down and no on-device measurement is possible.
+        print(json.dumps({
+            "metric": f"chemotaxis_fct_steps_per_sec_{GRID_N}x{GRID_N}",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": None,
+            "extra": {"error": "axon TPU relay unreachable; no device "
+                               "measurement possible this run"},
+        }))
+        return
     # Baseline must run on the CPU backend, which can only be selected before
     # JAX initializes — measure it in a subprocess unless already cached.
     if _baseline_cache_stale():
@@ -503,7 +541,18 @@ def main():
     except Exception as e:
         xl = {"xl_grid_error": f"{type(e).__name__}: {e}"}
     big = {**big, **xl}
-    sweep = tpu_steps_per_sec()
+    headline_note = {}
+    try:
+        sweep = tpu_steps_per_sec()
+    except Exception as e:
+        # The fused whole-sweep kernels are revalidated on real hardware every
+        # round; if Mosaic rejects a kernel revision, still post a genuine
+        # on-device number from the XLA path instead of no result at all.
+        headline_note = {
+            "headline_backend": "xla_fallback",
+            "headline_fused_error": f"{type(e).__name__}: {e}",
+        }
+        sweep = tpu_steps_per_sec(backend="xla")
     value = sweep["forward_steps_per_sec"]
     try:
         pdeco = tpu_pdeco_wallclock()
@@ -528,6 +577,7 @@ def main():
         "vs_baseline": round(value / base, 2) if base else None,
         "extra": {
             "adjoint_steps_per_sec": round(sweep["adjoint_steps_per_sec"], 3),
+            **headline_note,
             **pdeco,
             **schnak,
             **big,
