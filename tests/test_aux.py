@@ -85,3 +85,34 @@ def test_debug_harnesses_run():
     dh.adjoint_harness(n=11, steps=3)
     dh.schnak_harness(n=11, steps=3)
     dh.fct_vs_direct(n=21, steps=10)
+
+
+def test_profiling_telemetry():
+    """Timers + host/device memory telemetry (the reference's 'Sim. duration'
+    rows and psutil RSS print, advection_solidbody_FCT_PDECO_alltime.py:398-404)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.utils.profiling import (
+        Timer, device_memory_stats, host_memory_mb)
+
+    t = Timer()
+    with t.phase("state_solve"):
+        _time.sleep(0.01)
+    with t.phase("state_solve"):
+        _time.sleep(0.01)
+    with t.phase("adjoint_solve"):
+        _time.sleep(0.005)
+    s = t.summary()
+    assert s["state_solve"]["calls"] == 2
+    assert s["state_solve"]["total_s"] >= 0.02
+    assert list(s)[0] == "state_solve"  # sorted by total descending
+    assert t.elapsed >= 0.025
+
+    rss = host_memory_mb()
+    assert rss > 10.0  # a live python process holds tens of MB
+
+    jnp.zeros((8, 8)).block_until_ready()  # ensure a live backend allocation
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # CPU devices may not expose memory_stats
