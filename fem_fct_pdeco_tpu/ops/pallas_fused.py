@@ -2083,18 +2083,21 @@ def _fwd_sweep_kernel_lean(
     # warm starts without the uprev/vprev scratches: the previous frame is
     # already in the HBM trajectory OUTPUT — one small DMA each instead of
     # 8 MB of resident VMEM (x0 = 2 x_n - x_{n-1}; at i == 0 the staged
-    # read is unwritten garbage, discarded by the select)
+    # read is unwritten garbage, discarded by the select). The staging
+    # window is [:n, :n], NOT the pad interior [1:n+1, 1:n+1]: a VMEM DMA
+    # destination must start tile-aligned (offset 0), and _fct_core fully
+    # re-initializes the xpads before the limiter uses them anyway.
     im1 = jnp.maximum(i - 1, 0)
     cp = pltpu.make_async_copy(uout_ref.at[im1],
-                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+                               xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[1 : n + 1, 1 : n + 1], u_n)
+    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
     cp = pltpu.make_async_copy(vout_ref.at[im1],
-                               xpad2_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+                               xpad2_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[1 : n + 1, 1 : n + 1], v_n)
+    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
 
     # ---- v half-step (helpers.py:1339-1342) -----------------------------
     for k7, d in enumerate(P7):
@@ -2416,10 +2419,10 @@ def _adj_sweep_kernel_lean(
     )
     if has_mis:
         cp = pltpu.make_async_copy(
-            misu_ref.at[ridx], xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+            misu_ref.at[ridx], xpad1_ref.at[:n, :n], sem_io)
         cp.start()
         cp.wait()
-        rhs = load + xpad1_ref[1 : n + 1, 1 : n + 1]
+        rhs = load + xpad1_ref[:n, :n]
     else:
         rhs = load
     if reaction == "mimura":
@@ -2451,10 +2454,10 @@ def _adj_sweep_kernel_lean(
                     wts=wts4, bary=bary4, grads=grads)
     if has_mis:
         cp = pltpu.make_async_copy(
-            misv_ref.at[ridx], xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+            misv_ref.at[ridx], xpad1_ref.at[:n, :n], sem_io)
         cp.start()
         cp.wait()
-        qload = qload + xpad1_ref[1 : n + 1, 1 : n + 1]
+        qload = qload + xpad1_ref[:n, :n]
     b = apply_Msc(q_np1) + dt * qload
     for k7, d in enumerate(P7):
         A7_ref[k7] = plane(d, 1.0 + dt * delta, dt * Df)
@@ -3064,10 +3067,10 @@ def _drift_sweep_kernel_lean(
     idx = steps - 1 - i if reverse else i
     prev_slot = jnp.clip(idx + 1 if reverse else idx - 1, 0, steps - 1)
     cp = pltpu.make_async_copy(out_ref.at[prev_slot],
-                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+                               xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[1 : n + 1, 1 : n + 1], x_n)
+    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[:n, :n], x_n)
 
     def m_swap():
         for k7, d in enumerate(P7):
@@ -3564,10 +3567,10 @@ def _scalar_sweep_kernel_lean(
     idx = steps - 1 - i if reverse else i
     prev_slot = jnp.clip(idx + 1 if reverse else idx - 1, 0, steps - 1)
     cp = pltpu.make_async_copy(out_ref.at[prev_slot],
-                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+                               xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[1 : n + 1, 1 : n + 1], x_n)
+    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[:n, :n], x_n)
 
     # raw A in (compact): the canonical copy stays in HBM (park_out=False)
     cp = pltpu.make_async_copy(A7h_ref, A7_ref, sem_park)
@@ -3692,15 +3695,15 @@ def _schnak_fwd_kernel_lean(
     # warm starts from the HBM trajectory outputs (see _fwd_sweep_kernel_lean)
     im1 = jnp.maximum(i - 1, 0)
     cp = pltpu.make_async_copy(uout_ref.at[im1],
-                               xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+                               xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[1 : n + 1, 1 : n + 1], u_n)
+    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
     cp = pltpu.make_async_copy(vout_ref.at[im1],
-                               xpad2_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+                               xpad2_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[1 : n + 1, 1 : n + 1], v_n)
+    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
 
     t0 = jnp.asarray(0.0, dtype)  # stationary wind: t unused
 
@@ -3880,10 +3883,10 @@ def _schnak_adj_kernel_lean(
 
     def staged_mis(mref):
         cp = pltpu.make_async_copy(
-            mref.at[ridx], xpad1_ref.at[1 : n + 1, 1 : n + 1], sem_io)
+            mref.at[ridx], xpad1_ref.at[:n, :n], sem_io)
         cp.start()
         cp.wait()
-        return xpad1_ref[1 : n + 1, 1 : n + 1]
+        return xpad1_ref[:n, :n]
 
     # ---- q implicit first (helpers.py:680-688) --------------------------
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
