@@ -187,26 +187,43 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
 LG_FUSED_TIMEOUT_S = int(os.environ.get("FEMFCT_LG_FUSED_TIMEOUT_S", "2700"))
 
 
+def _bench_subprocess(flag: str, timeout_s: int, err_key: str) -> dict:
+    """Run ``bench.py <flag>`` in a subprocess (keeping this process free of
+    a live TPU client — two clients through the axon tunnel are not
+    guaranteed to coexist) and return its last JSON stdout line."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag],
+        capture_output=True, text=True, timeout=timeout_s,
+    )
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    tail = (r.stderr or "").strip().splitlines()[-3:]
+    return {err_key: f"subprocess rc={r.returncode}: {tail}"}
+
+
 def _tpu_large_grid_with_timeout() -> dict:
     """Run the fused 1024² measurement in a timeout-guarded subprocess
     (compile-cache hits return in minutes; a cold cache is cut off at
-    ``LG_FUSED_TIMEOUT_S``), falling back to the XLA-path measurement."""
+    ``LG_FUSED_TIMEOUT_S``), falling back to an XLA-path-only measurement —
+    also in a subprocess, so the driver process never holds a TPU client."""
     import subprocess
 
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--large-grid-only"],
-            capture_output=True, text=True, timeout=LG_FUSED_TIMEOUT_S,
-        )
-        for line in reversed((r.stdout or "").strip().splitlines()):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-        tail = (r.stderr or "").strip().splitlines()[-3:]
-        return {"large_grid_error": f"subprocess rc={r.returncode}: {tail}"}
+        return _bench_subprocess("--large-grid-only", LG_FUSED_TIMEOUT_S,
+                                 "large_grid_error")
     except subprocess.TimeoutExpired:
-        out = tpu_large_grid_steps_per_sec(include_fused=False)
+        try:
+            out = _bench_subprocess(
+                "--large-grid-xla-only",
+                int(os.environ.get("FEMFCT_XL_TIMEOUT_S", "1500")),
+                "large_grid_error")
+        except subprocess.TimeoutExpired:
+            out = {"large_grid_error": "1024^2 XLA fallback timed out"}
         out["large_grid_fused_error"] = (
             f"mosaic compile exceeded {LG_FUSED_TIMEOUT_S}s (cold cache); "
             "XLA-path number reported")
@@ -219,18 +236,10 @@ def _tpu_xl_grid_with_timeout() -> dict:
     import subprocess
 
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--xl-grid-only"],
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("FEMFCT_XL_TIMEOUT_S", "1500")),
-        )
-        for line in reversed((r.stdout or "").strip().splitlines()):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-        tail = (r.stderr or "").strip().splitlines()[-3:]
-        return {"xl_grid_error": f"subprocess rc={r.returncode}: {tail}"}
+        return _bench_subprocess(
+            "--xl-grid-only",
+            int(os.environ.get("FEMFCT_XL_TIMEOUT_S", "1500")),
+            "xl_grid_error")
     except subprocess.TimeoutExpired:
         return {"xl_grid_error": "2048^2 XLA measurement timed out"}
 
@@ -598,6 +607,11 @@ if __name__ == "__main__":
 
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         print(json.dumps(tpu_large_grid_steps_per_sec()))
+    elif "--large-grid-xla-only" in sys.argv:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        print(json.dumps(tpu_large_grid_steps_per_sec(include_fused=False)))
     elif "--xl-grid-only" in sys.argv:
         import jax
 

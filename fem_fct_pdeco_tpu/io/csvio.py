@@ -63,6 +63,11 @@ def append_trajectory_csv(path: str, traj, grid: Grid, first: bool = False) -> N
     if first:
         flat.tofile(path, sep=",")
         return
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"append_trajectory_csv(first=False) on missing file {path!r}: "
+            "appending would start the CSV with a separator (corrupt frame "
+            "count); pass first=True for the opening chunk")
     tmp = path + ".part"
     flat.tofile(tmp, sep=",")
     with open(path, "ab") as out, open(tmp, "rb") as src:

@@ -38,6 +38,40 @@ class ModelBase:
     # Set by models whose fused whole-sweep kernels have a large-grid
     # "synth" variant (stationary operators synthesized in-kernel).
     _synth_capable: bool = False
+    # ... and an even larger-grid "lean" variant (one resident stencil
+    # buffer, raw flux matrix HBM-parked around the Krylov solve).
+    _lean_capable: bool = False
+    # test hooks forcing the synth/lean kernel tiers at any grid size
+    force_synth = False
+    force_lean = False
+
+    def _synth_blocked(self) -> bool:
+        """Model-specific reason the synth/lean tiers don't apply (e.g. the
+        Schnakenberg time-dependent-wind kernels carry their own in-kernel
+        assembly). Default: never blocked."""
+        return False
+
+    def _use_synth_sweep(self):
+        """Pick the synth whole-sweep kernels when the resident ones exceed
+        VMEM (the resident variants are slightly faster at small n)."""
+        if self._synth_blocked():
+            return False
+        if self.force_synth or self.force_lean:
+            return True
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
+        return not fits_vmem(self.grid.n, self.dtype)
+
+    def _use_lean_sweep(self):
+        """Pick the lean whole-sweep kernels when even the synth ones exceed
+        VMEM (the synth variants are faster: resident D + mass)."""
+        if self.force_lean:
+            return True
+        if self.force_synth:
+            return False
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
+
+        return not fits_vmem_synth(self.grid.n, self.dtype)
 
     def __init__(
         self,
@@ -189,8 +223,11 @@ class ModelBase:
         eigenvalues of P = mass_coef·h²·I + dt·diff_coef·K5 (the stiff
         stationary part; pallas_fused.dct_precond_ilam semantics), built
         in-trace so dt stays a per-step-builder constant. Disabled on
-        padded grids (identity pad rows break the modal structure)."""
-        if self.dctC is None or self.pad_to is not None:
+        padded grids (identity pad rows break the modal structure) and for
+        diff_coef == 0, where P degenerates to a scaled identity — four MXU
+        matmuls per iteration to apply what Jacobi does elementwise (e.g.
+        the eps=0 solid-body drift configuration)."""
+        if self.dctC is None or self.pad_to is not None or diff_coef == 0.0:
             return None
         n = self.grid.n
         h = self.grid.h

@@ -210,32 +210,9 @@ class ChemotaxisModel(ModelBase):
     _synth_capable = True
 
     # chemotaxis-family lean kernels exist (ONE 7-plane buffer + HBM-parked
-    # raw A, pallas_fused.py) for grids past the synth budget
+    # raw A, pallas_fused.py) for grids past the synth budget; routing and
+    # the force_synth/force_lean test hooks live on ModelBase
     _lean_capable = True
-
-    # test hooks: force the synth / lean kernels at any size
-    force_synth = False
-    force_lean = False
-
-    def _use_synth_sweep(self):
-        """Pick the synth whole-sweep kernels when the resident ones exceed
-        VMEM (the resident variants are slightly faster at small n)."""
-        if self.force_synth or self.force_lean:
-            return True
-        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
-
-        return not fits_vmem(self.grid.n, self.dtype)
-
-    def _use_lean_sweep(self):
-        """Pick the lean whole-sweep kernels when even the synth ones exceed
-        VMEM (the synth variants are faster: resident D + mass)."""
-        if self.force_lean:
-            return True
-        if self.force_synth:
-            return False
-        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
-
-        return not fits_vmem_synth(self.grid.n, self.dtype)
 
     def _uses_dist_sweep(self):
         if self.backend != "pallas_dist":

@@ -55,31 +55,15 @@ class SchnakenbergModel(ModelBase):
     # iota masks + in-kernel wind assembly, pallas_fused.py) and, past the
     # synth VMEM budget, the lean kernels (HBM-parked raw A)
     _synth_capable = True
-    force_synth = False  # test hooks
-    force_lean = False
-
-    def _use_synth_sweep(self):
-        if self.td_wind_fn is not None:
-            return False  # td kernels carry their own in-kernel assembly
-        if self.force_synth or self.force_lean:
-            return True
-        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
-
-        return not fits_vmem(self.grid.n, self.dtype)
-
-    def _use_lean_sweep(self):
-        if self.force_lean:
-            return True
-        if self.force_synth:
-            return False
-        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
-
-        return not fits_vmem_synth(self.grid.n, self.dtype)
-
-    # the td-wind variant has no synth/lean kernels, but that case is
-    # handled by the dedicated resident-only fallback in __init__ (which
-    # runs after the base guard)
+    # the td-wind variant has no synth/lean kernels (_synth_blocked below),
+    # but that case is handled by the dedicated resident-only fallback in
+    # __init__ (which runs after the base guard); routing and the
+    # force_synth/force_lean test hooks live on ModelBase
     _lean_capable = True
+
+    def _synth_blocked(self):
+        # td kernels carry their own in-kernel assembly
+        return self.td_wind_fn is not None
 
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,

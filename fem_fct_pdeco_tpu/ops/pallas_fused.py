@@ -2082,22 +2082,23 @@ def _fwd_sweep_kernel_lean(
 
     # warm starts without the uprev/vprev scratches: the previous frame is
     # already in the HBM trajectory OUTPUT — one small DMA each instead of
-    # 8 MB of resident VMEM (x0 = 2 x_n - x_{n-1}; at i == 0 the staged
-    # read is unwritten garbage, discarded by the select). The staging
+    # 8 MB of resident VMEM (x0 = 2 x_n - x_{n-1}; out[i] holds x_{i+1}, so
+    # x_{n-1} = x_{i-1} lives in slot i-2 — slot i-1 is the CURRENT carry —
+    # and at i <= 1 the staged read is discarded by the select). The staging
     # window is [:n, :n], NOT the pad interior [1:n+1, 1:n+1]: a VMEM DMA
     # destination must start tile-aligned (offset 0), and _fct_core fully
     # re-initializes the xpads before the limiter uses them anyway.
-    im1 = jnp.maximum(i - 1, 0)
-    cp = pltpu.make_async_copy(uout_ref.at[im1],
+    im2 = jnp.maximum(i - 2, 0)
+    cp = pltpu.make_async_copy(uout_ref.at[im2],
                                xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
-    cp = pltpu.make_async_copy(vout_ref.at[im1],
+    x0u = jnp.where(i > 1, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
+    cp = pltpu.make_async_copy(vout_ref.at[im2],
                                xpad2_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
+    x0v = jnp.where(i > 1, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
 
     # ---- v half-step (helpers.py:1339-1342) -----------------------------
     for k7, d in enumerate(P7):
@@ -3063,14 +3064,15 @@ def _drift_sweep_kernel_lean(
             A_ref[d, :, :] = A_ref[d, :, :] + sign * Ad[d]
     rhs = frames_ref[1, :, :] if has_mis else jnp.zeros_like(x_n)
 
-    # warm start from the HBM trajectory output (see _scalar_sweep_kernel_lean)
+    # warm start from the HBM trajectory output (see _scalar_sweep_kernel_lean:
+    # the slot adjacent to idx holds the CURRENT carry, so x_{n-1} is two away)
     idx = steps - 1 - i if reverse else i
-    prev_slot = jnp.clip(idx + 1 if reverse else idx - 1, 0, steps - 1)
+    prev_slot = jnp.clip(idx + 2 if reverse else idx - 2, 0, steps - 1)
     cp = pltpu.make_async_copy(out_ref.at[prev_slot],
                                xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[:n, :n], x_n)
+    x0w = jnp.where(i > 1, 2.0 * x_n - xpad1_ref[:n, :n], x_n)
 
     def m_swap():
         for k7, d in enumerate(P7):
@@ -3562,15 +3564,16 @@ def _scalar_sweep_kernel_lean(
         scale = (1.0 / 3.0) if nonflux_mode > 0 else 1.0
         S = _add_planes(_scaled_planes(M_syn, -1.0), Mu2, s2=scale)
 
-    # warm start from the HBM trajectory output (the frame written at the
-    # previous grid step; see _fwd_sweep_kernel_lean)
+    # warm start from the HBM trajectory output (the frame from TWO grid
+    # steps back — the adjacent slot holds the current carry; see
+    # _fwd_sweep_kernel_lean)
     idx = steps - 1 - i if reverse else i
-    prev_slot = jnp.clip(idx + 1 if reverse else idx - 1, 0, steps - 1)
+    prev_slot = jnp.clip(idx + 2 if reverse else idx - 2, 0, steps - 1)
     cp = pltpu.make_async_copy(out_ref.at[prev_slot],
                                xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0w = jnp.where(i > 0, 2.0 * x_n - xpad1_ref[:n, :n], x_n)
+    x0w = jnp.where(i > 1, 2.0 * x_n - xpad1_ref[:n, :n], x_n)
 
     # raw A in (compact): the canonical copy stays in HBM (park_out=False)
     cp = pltpu.make_async_copy(A7h_ref, A7_ref, sem_park)
@@ -3692,18 +3695,19 @@ def _schnak_fwd_kernel_lean(
         prec_u = None
         prec_v = None
 
-    # warm starts from the HBM trajectory outputs (see _fwd_sweep_kernel_lean)
-    im1 = jnp.maximum(i - 1, 0)
-    cp = pltpu.make_async_copy(uout_ref.at[im1],
+    # warm starts from the HBM trajectory outputs (slot i-2: slot i-1 is the
+    # current carry; see _fwd_sweep_kernel_lean)
+    im2 = jnp.maximum(i - 2, 0)
+    cp = pltpu.make_async_copy(uout_ref.at[im2],
                                xpad1_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0u = jnp.where(i > 0, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
-    cp = pltpu.make_async_copy(vout_ref.at[im1],
+    x0u = jnp.where(i > 1, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
+    cp = pltpu.make_async_copy(vout_ref.at[im2],
                                xpad2_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
-    x0v = jnp.where(i > 0, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
+    x0v = jnp.where(i > 1, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
 
     t0 = jnp.asarray(0.0, dtype)  # stationary wind: t unused
 
