@@ -36,7 +36,8 @@ class ChemotaxisProblem(PDECOProblem):
     use_linear_increments = False  # set by --linear-armijo
 
     def __init__(self, cfg: ExperimentConfig, rescaling: float = RESCALING,
-                 backend: str = "xla", dtype=None, linear_armijo: bool = False):
+                 backend: str = "xla", dtype=None, linear_armijo: bool = False,
+                 quad_degree: int = 4):
         self.use_linear_increments = linear_armijo
         super().__init__(cfg)
         from fem_fct_pdeco_tpu.drivers.common import dist_mesh, resolve_dtype
@@ -46,7 +47,7 @@ class ChemotaxisProblem(PDECOProblem):
         self.model = ChemotaxisModel(
             self.grid, rescaling=rescaling, dtype=dtype,
             solver_opts=SolverOpts(tol=tol, maxiter=300, spectral=cfg.spectral), backend=backend,
-            mesh=dist_mesh(backend),
+            mesh=dist_mesh(backend), quad_degree=quad_degree,
         )
         # everything the sweeps touch lives in the MODEL dtype (under
         # mixed precision x64 is on, so bare asarray would produce f64)
@@ -174,6 +175,10 @@ def main(argv=None):
     ap.add_argument("--armijo-batch", type=int, default=1,
                     help="evaluate N Armijo candidate steps per vmapped "
                          "sweep (same accepted-step sequence)")
+    ap.add_argument("--quad-degree", type=int, default=4,
+                    help="quadrature degree for the forward transport "
+                         "assembly (4 = reference parity; 2 = fast path, "
+                         "fewer in-kernel exp evaluations)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
     T_data = args.T_data
@@ -191,7 +196,8 @@ def main(argv=None):
         armijo_batch=args.armijo_batch,
     )
     problem = ChemotaxisProblem(cfg, backend=args.backend,
-                                linear_armijo=args.linear_armijo)
+                                linear_armijo=args.linear_armijo,
+                                quad_degree=args.quad_degree)
     return run_pdeco(problem, cfg)
 
 

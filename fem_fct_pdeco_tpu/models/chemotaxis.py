@@ -43,12 +43,20 @@ class ChemotaxisModel(ModelBase):
                  solver_opts: SolverOpts | None = None, backend: str = "xla",
                  consistent_alltime_misfit: bool = False,
                  pad_to: int | None = None, mesh=None, debug: bool = False,
-                 gradient_smoothing: bool = False):
+                 gradient_smoothing: bool = False, quad_degree: int = 4):
         """``consistent_alltime_misfit``: the reference adds the RAW nodal
         misfit û-u to the assembled adjoint loads in all-time mode
         (helpers.py:1506-1507, dimensionally inconsistent — the gradient is
         off by ~1/mass-scale, which projected Armijo absorbs). Set True for
         the mass-weighted M(û-u) variant that satisfies the adjoint identity.
+
+        ``quad_degree``: quadrature degree for the e^{-ηu}∇v transport
+        assembly on the FORWARD path (reference FFC heuristic: 4). The
+        integrand is non-polynomial, so lower degrees change the operator
+        values slightly; ``quad_degree=2`` (3-point rule) halves the exp
+        count per step — an opt-in fast path for the resident fused kernels
+        and the XLA sweep (synth/lean/dist kernels and the adjoint keep the
+        parity rule).
 
         ``gradient_smoothing``: the reference's commented-out experimental
         adjoint variant (helpers.py:1520-1528): before assembling the q
@@ -67,6 +75,7 @@ class ChemotaxisModel(ModelBase):
         self.rescaling = rescaling
         self.consistent_alltime_misfit = consistent_alltime_misfit
         self.gradient_smoothing = gradient_smoothing
+        self.quad_degree = quad_degree
 
     def smooth_gradient(self, p_field):
         """DG0 -> CG1 smoothed gradient (helpers.py:1520-1525): the
@@ -138,10 +147,15 @@ class ChemotaxisModel(ModelBase):
                 v_np1 = solve_stencil(
                     Mat2, rhs2, x0=v_n, opts=rd_opts,
                     prec=self._spectral_prec(dt, p.Df, 1.0 + dt * p.delta))
-            # u-solve via FCT (helpers.py:1350-1356)
-            u_q = asm.nodal_at_quad(u_n, 4)
-            Aa = asm.advective(asm.elem_grad(v_np1), jnp.exp(-p.eta * u_q), degree=4)
+            # u-solve via FCT (helpers.py:1350-1356); the transport assembly
+            # honors quad_degree (fast path), the reaction keeps degree 4
+            # (polynomial — the parity rule integrates it exactly)
+            qd = self.quad_degree
+            Aa = asm.advective(asm.elem_grad(v_np1),
+                               jnp.exp(-p.eta * asm.nodal_at_quad(u_n, qd)),
+                               degree=qd)
             A_u = p.Dm * self.K - p.chi * Aa
+            u_q = asm.nodal_at_quad(u_n, 4)
             reaction = self._reaction_rhs(u_q)
             rhs_u = (
                 jnp.zeros_like(u_n) if reaction is None
@@ -273,7 +287,7 @@ class ChemotaxisModel(ModelBase):
                     self.ML_diag, Mat2, h=self.grid.h, dt=dt, Dm=p.Dm,
                     chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol, reaction=self._fused_reaction,
-                    Df=p.Df, delta=p.delta,
+                    Df=p.Df, delta=p.delta, quad_degree=self.quad_degree,
                 )
 
             return run_fused

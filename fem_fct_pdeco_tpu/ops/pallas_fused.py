@@ -929,7 +929,7 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                    Mat2, *, h, dt, Dm, chi, eta, rescaling,
                                    tol=1e-6, iters=60, cheb_iters=20,
                                    warm=True, reaction=None, precond="dct",
-                                   Df=None, delta=None):
+                                   Df=None, delta=None, quad_degree=4):
     """Full forward sweep (helpers.py:1321-1385) as ONE pallas_call.
 
     ``c_traj``: (num_steps+1, n, n); step i uses c_traj[i]. Returns
@@ -937,10 +937,12 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     ``precond``: "dct" (spectral MXU preconditioner for both Krylov solves,
     see dct_precond_ilam; needs ``Df``/``delta`` of the v equation, else the
     v solve keeps Jacobi semantics via a mass-only spectral P) or "jacobi".
+    ``quad_degree``: rule for the in-kernel e^{-ηu}∇v transport assembly
+    (4 = reference parity; 2 halves the exp count — opt-in fast path).
     """
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
-    wts4, bary4, grads = _quad_consts(4, h)
+    wts4, bary4, grads = _quad_consts(quad_degree, h)
     wts4 = wts4 * h * h
     kern = functools.partial(
         _fwd_sweep_kernel, n=n, dt=dt, Dm=Dm, chi=chi, eta=eta,

@@ -733,3 +733,32 @@ def test_lean_drift_sweep_matches_resident():
                                    m.ML_diag, sign=+1, reverse=True,
                                    has_mis=True, **kw)
     assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+
+def test_quad_degree_fast_path_chemotaxis():
+    """Opt-in reduced quadrature (quad_degree=2) for the e^{-ηu}∇v transport
+    assembly: the fused resident sweep matches the XLA sweep at the SAME
+    degree to machine level, and the degree-2 operator stays close to the
+    reference degree-4 one (non-polynomial integrand: small, nonzero gap)."""
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+
+    g = Grid(0.0, 1.0, 24)
+    dt, steps = 5e-4, 6
+
+    def run(backend, qd):
+        m = ChemotaxisModel(g, rescaling=1.0,
+                            solver_opts=SolverOpts(tol=1e-13),
+                            backend=backend, quad_degree=qd)
+        u0np, v0np = m.ic()
+        c = jnp.full((steps + 1, g.n, g.n), 100.0)
+        return m.forward(c, jnp.asarray(u0np), jnp.asarray(v0np), dt)
+
+    u4, v4 = run("xla", 4)
+    u2, v2 = run("xla", 2)
+    # degree change perturbs the transport operator only slightly
+    rel = float(jnp.abs(u2 - u4).max() / jnp.abs(u4).max())
+    assert 0.0 < rel < 5e-3, rel
+
+    uf2, vf2 = run("pallas_fused", 2)
+    assert float(jnp.abs(uf2 - u2).max()) < 1e-9
+    assert float(jnp.abs(vf2 - v2).max()) < 1e-9
