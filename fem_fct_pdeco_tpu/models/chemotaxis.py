@@ -53,10 +53,11 @@ class ChemotaxisModel(ModelBase):
         ``quad_degree``: quadrature degree for the e^{-ηu}∇v transport
         assembly on the FORWARD path (reference FFC heuristic: 4). The
         integrand is non-polynomial, so lower degrees change the operator
-        values slightly; ``quad_degree=2`` (3-point rule) halves the exp
-        count per step — an opt-in fast path for the resident fused kernels
-        and the XLA sweep (synth/lean/dist kernels and the adjoint keep the
-        parity rule).
+        values slightly; ``quad_degree=2`` (4-point rule vs the 9-point
+        degree-4 rule) more than halves the exp count per step — an opt-in
+        fast path for the fused forward kernels (resident, synth and lean)
+        and the XLA sweep (dist kernels and the adjoint keep the parity
+        rule).
 
         ``gradient_smoothing``: the reference's commented-out experimental
         adjoint variant (helpers.py:1520-1528): before assembling the q
@@ -274,6 +275,7 @@ class ChemotaxisModel(ModelBase):
                         Df=p.Df, delta=p.delta, chi=p.chi, eta=p.eta,
                         rescaling=self.rescaling, tol=self.solver_opts.tol,
                         reaction=self._fused_reaction,
+                        quad_degree=self.quad_degree,
                     )
 
                 return run_synth

@@ -1987,7 +1987,7 @@ def _fwd_sweep_kernel_synth(
 def fused_chemotaxis_forward_sweep_synth(
         c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
         tol=1e-6, iters=60, cheb_iters=20, warm=True, reaction=None,
-        precond="dct", vmem_limit_mb=120):
+        precond="dct", vmem_limit_mb=120, quad_degree=4):
     """Large-grid chemotaxis forward sweep: ONE pallas_call, stationary
     operators synthesized in-kernel, per-step stencils in a compact 7-plane
     layout. Mathematically identical to fused_chemotaxis_forward_sweep
@@ -1995,7 +1995,7 @@ def fused_chemotaxis_forward_sweep_synth(
     this variant fits ≥1024² f32 in VMEM."""
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
-    wts4, bary4, grads = _quad_consts(4, h)
+    wts4, bary4, grads = _quad_consts(quad_degree, h)
     wts4 = wts4 * h * h
     kern = functools.partial(
         _fwd_sweep_kernel_synth, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,
@@ -2155,7 +2155,7 @@ def _fwd_sweep_kernel_lean(
 def fused_chemotaxis_forward_sweep_lean(
         c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
         tol=1e-6, iters=60, cheb_iters=20, reaction=None,
-        precond="dct", vmem_limit_mb=127):
+        precond="dct", vmem_limit_mb=127, quad_degree=4):
     """≥1024²-capable chemotaxis forward sweep: ONE pallas_call, ONE
     resident 7-plane stencil buffer (raw A parked in an HBM scratch around
     the Krylov solve), artificial diffusion and consistent mass never
@@ -2164,7 +2164,7 @@ def fused_chemotaxis_forward_sweep_lean(
     and tops out near 896² f32 (VMEM); this variant fits 1024² f32."""
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
-    wts4, bary4, grads = _quad_consts(4, h)
+    wts4, bary4, grads = _quad_consts(quad_degree, h)
     wts4 = wts4 * h * h
     kern = functools.partial(
         _fwd_sweep_kernel_lean, n=n, h2=h * h, dt=dt, Dm=Dm, Df=Df,

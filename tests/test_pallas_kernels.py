@@ -762,3 +762,18 @@ def test_quad_degree_fast_path_chemotaxis():
     uf2, vf2 = run("pallas_fused", 2)
     assert float(jnp.abs(uf2 - u2).max()) < 1e-9
     assert float(jnp.abs(vf2 - v2).max()) < 1e-9
+
+    # the synth and lean kernel tiers honor the fast quadrature too
+    def run_tier(tier, qd):
+        m = ChemotaxisModel(g, rescaling=1.0,
+                            solver_opts=SolverOpts(tol=1e-13),
+                            backend="pallas_fused", quad_degree=qd)
+        setattr(m, tier, True)
+        u0np, v0np = m.ic()
+        c = jnp.full((steps + 1, g.n, g.n), 100.0)
+        return m.forward(c, jnp.asarray(u0np), jnp.asarray(v0np), dt)
+
+    us2, _ = run_tier("force_synth", 2)
+    assert float(jnp.abs(us2 - u2).max()) < 1e-9
+    ul2, _ = run_tier("force_lean", 2)
+    assert float(jnp.abs(ul2 - u2).max()) < 1e-9
