@@ -26,7 +26,7 @@ STEPS_PER_CALL = 500  # long scans amortize the axon tunnel's per-call RPC cost
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
-def _model_256(backend="pallas_fused"):
+def _model_256(backend="pallas_fused", quad_degree=4):
     import jax.numpy as jnp
 
     from fem_fct_pdeco_tpu.grid import Grid
@@ -39,6 +39,7 @@ def _model_256(backend="pallas_fused"):
         solver_opts=SolverOpts(tol=1e-6, maxiter=200,
                                spectral=(backend == "xla")),
         backend=backend,  # whole-sweep VMEM-resident kernels by default
+        quad_degree=quad_degree,
     )
 
 
@@ -88,6 +89,39 @@ def tpu_steps_per_sec(backend="pallas_fused") -> dict:
         best = min(best, time.perf_counter() - t0)
     adj_sps = STEPS_PER_CALL / best
     return {"forward_steps_per_sec": fwd_sps, "adjoint_steps_per_sec": adj_sps}
+
+
+def tpu_fastquad_steps_per_sec() -> dict:
+    """Forward sweep throughput at 256^2 f32 with the opt-in reduced
+    quadrature (quad_degree=2, models/chemotaxis.py) on the fused kernels.
+    The HEADLINE stays at the reference-parity degree-4 rule; this extra
+    records what the fast path buys (fewer in-kernel exp evaluations). Same
+    finiteness + mass-conservation guards as the headline."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    model = _model_256(quad_degree=2)
+    u0np, v0np = model.ic()
+    u0 = jnp.asarray(u0np, dtype=jnp.float32)
+    v0 = jnp.asarray(v0np, dtype=jnp.float32)
+    c = jnp.full((STEPS_PER_CALL + 1, GRID_N, GRID_N), model.params.gamma,
+                 jnp.float32)
+    u, v = model.forward(c, u0, v0, DT)
+    jax.block_until_ready((u, v))
+    assert bool(jnp.isfinite(u).all()) and bool(jnp.isfinite(v).all())
+    ML = model.ML_diag
+    m0 = float(jnp.sum(ML * u[0]))
+    mT = float(jnp.sum(ML * u[-1]))
+    assert abs(mT - m0) / abs(m0) < 1e-3, (m0, mT)
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        out = model.forward(c, u0, v0, DT)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return {"fastquad_forward_steps_per_sec": round(STEPS_PER_CALL / best, 3)}
 
 
 def tpu_schnak_steps_per_sec() -> dict:
@@ -576,6 +610,10 @@ def main():
     except Exception as e:
         dist = {"dist_smoke_error": f"{type(e).__name__}: {e}"}
     try:
+        fastquad = tpu_fastquad_steps_per_sec()
+    except Exception as e:
+        fastquad = {"fastquad_error": f"{type(e).__name__}: {e}"}
+    try:
         base = cpu_baseline_steps_per_sec()
     except Exception:
         base = None
@@ -591,6 +629,7 @@ def main():
             **schnak,
             **big,
             **dist,
+            **fastquad,
         },
     }
     print(json.dumps(out))
