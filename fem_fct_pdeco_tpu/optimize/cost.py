@@ -80,7 +80,12 @@ def cost_functional(
 
 
 def rel_err(new, old) -> float:
-    """|new - old| / |old| stopping metric (helpers.py:69-85)."""
+    """|new - old| / |old| stopping metric (helpers.py:69-85). A zero
+    ``old`` (e.g. the initial all-zero control) yields inf — "not
+    converged" — without tripping numpy's divide-by-zero warning."""
     import numpy as np
 
-    return float(np.linalg.norm(new - old) / np.linalg.norm(old))
+    den = float(np.linalg.norm(old))
+    if den == 0.0:
+        return float("inf")
+    return float(np.linalg.norm(new - old) / den)

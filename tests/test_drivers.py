@@ -52,6 +52,18 @@ def test_chemotaxis_driver_linear_armijo(in_tmp):
     assert res.history["cost"][-1] < res.history["cost"][0]
 
 
+def test_chemotaxis_driver_quad_degree(in_tmp):
+    """--quad-degree 2 (reduced-quadrature transport assembly) runs the
+    PDECO loop end-to-end and still descends."""
+    from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
+
+    out = d.main(_common(["--T", "0.005", "--T-data", "0.005", "--dx", "0.05",
+                          "--quad-degree", "2"]))
+    res = out["result"]
+    assert res.iterations >= 1
+    assert res.history["cost"][-1] < res.history["cost"][0]
+
+
 def test_chemotaxis_driver_alltime(in_tmp):
     from fem_fct_pdeco_tpu.drivers import chemotaxis_pdeco as d
 
@@ -109,6 +121,47 @@ def test_mimura_driver(in_tmp):
     out = d.main(_common(["--T", "0.2", "--T-data", "0.5", "--dt", "0.1",
                           "--dx", "1.0", "--a2", "10.0"]))
     assert out["result"].iterations >= 1
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/mimura_tsujikawa_t14_m.csv"),
+    reason="reference fixture unavailable")
+def test_mimura_driver_reference_fixture_targets(in_tmp):
+    """At the historical fixture config (129², a2=16, dx=1/8) the driver
+    loads the REAL reference snapshot CSVs as the PDECO targets û
+    (mimura_pdeco._load_targets prefers /root/reference/data), matching
+    the reference's own use of these files (chemotaxis_mimura_FCT_PGD.py).
+    BASELINE.md parity-fixture row 'mimura_tsujikawa snapshots'."""
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.drivers import mimura_pdeco as d
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.io.csvio import import_data_final
+
+    out = d.main(_common(["--T", "0.1", "--T-data", "14", "--dt", "0.01",
+                          "--dx", "0.125", "--a2", "16.0"]))
+    res = out["result"]
+    assert res.iterations >= 1
+    assert res.history["cost"][-1] <= res.history["cost"][0]
+
+    # provenance: the loaded targets ARE the reference snapshots (the
+    # fallback would have generated into data_generated/ in this tmp cwd)
+    g = Grid(0.0, 16.0, 129)
+    want = import_data_final(
+        "/root/reference/data/mimura_tsujikawa_t14_m.csv", g, num_steps=0)
+    prob = d.MimuraProblem(_mimura_fixture_cfg(d))
+    np.testing.assert_allclose(np.asarray(prob._targets[0], dtype=np.float64),
+                               np.asarray(want), rtol=1e-6)
+
+
+def _mimura_fixture_cfg(d):
+    from fem_fct_pdeco_tpu.drivers.common import ExperimentConfig
+
+    cfg_d = {**d.DEFAULTS, "T": 0.1, "T_data": 14.0, "dt": 0.01,
+             "dx": 0.125, "a2": 16.0, "max_iter_gd": 1}
+    cfg = ExperimentConfig(**cfg_d)
+    cfg.out_folder = "mimura_fixture_cfg_probe"
+    return cfg
 
 
 def test_mimura_driver_alltime(in_tmp):
