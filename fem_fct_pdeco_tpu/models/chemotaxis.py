@@ -229,6 +229,11 @@ class ChemotaxisModel(ModelBase):
     # the force_synth/force_lean test hooks live on ModelBase
     _lean_capable = True
 
+    # experimental Mosaic-layout lever: resident fused forward assembly on
+    # rolled full planes (pallas_fused._assemble_forward_A_aligned). Set
+    # BEFORE the first forward() — the jitted sweep is cached per dt.
+    lane_aligned = False
+
     def _uses_dist_sweep(self):
         if self.backend != "pallas_dist":
             return False
@@ -290,6 +295,7 @@ class ChemotaxisModel(ModelBase):
                     chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol, reaction=self._fused_reaction,
                     Df=p.Df, delta=p.delta, quad_degree=self.quad_degree,
+                    lane_aligned=self.lane_aligned,
                 )
 
             return run_fused

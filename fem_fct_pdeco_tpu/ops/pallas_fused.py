@@ -218,6 +218,66 @@ def _assemble_forward_A(u, v, K_ref, A_ref, *, nc, Dm, chi, eta, wts, bary, grad
                 A_ref[d, :, :] = A_ref[d, :, :] + placed
 
 
+def _rolled_corner(f, ai, aj, n):
+    """Aligned full-plane read of corner (ai, aj): out[i, j] = f[i+ai, j+aj]
+    (wraparound values land in rows/cols that the scatter masks out).
+    pltpu.roll needs a non-negative shift: roll(-s) == roll(n-s)."""
+    if ai:
+        f = pltpu.roll(f, n - ai, 0)
+    if aj:
+        f = pltpu.roll(f, n - aj, 1)
+    return f
+
+
+def _assemble_forward_A_aligned(u, v, K_ref, A_ref, *, n, Dm, chi, eta,
+                                wts, bary, grads):
+    """Lane-aligned variant of _assemble_forward_A (same math and operation
+    order; machine-level parity pinned by the interpret test):
+    _assemble_forward_A reads (n-1, n-1) corner windows at offsets
+    (0|1, 0|1), every one an unaligned layout for Mosaic. Here the four shifted FULL planes of u and v are materialized
+    once per field with pltpu.roll (lane/sublane rotates), all quadrature
+    arithmetic runs on aligned (n, n) planes, and the per-(a,b) cell-block
+    scatter is a roll + iota-mask select instead of jnp.pad. Opt-in
+    (fused_chemotaxis_forward_sweep(lane_aligned=True)) until the hardware
+    A/B shows a win; everything is UNROLLED code, so the extra planes are
+    transient values, not loop-carried state (Mosaic compile-time rules,
+    docs/roadmap.md)."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    nc = n - 1
+    for d in range(9):
+        A_ref[d, :, :] = Dm * K_ref[d, :, :]
+    up = {(ai, aj): _rolled_corner(u, ai, aj, n)
+          for ai in (0, 1) for aj in (0, 1)}
+    vp = {(ai, aj): _rolled_corner(v, ai, aj, n)
+          for ai in (0, 1) for aj in (0, 1)}
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        gvx = sum(vp[corners[a]] * grads[t, a, 0] for a in range(3))
+        gvy = sum(vp[corners[a]] * grads[t, a, 1] for a in range(3))
+        Vb = [None] * 3
+        for q in range(len(wts)):
+            uq = sum(bary[q, a] * up[corners[a]] for a in range(3))
+            e = wts[q] * jnp.exp(-eta * uq)
+            for b in range(3):
+                contrib = bary[q, b] * e
+                Vb[b] = contrib if Vb[b] is None else Vb[b] + contrib
+        for a, (ai, aj) in enumerate(corners):
+            ga = (-chi * grads[t, a, 0]) * gvx + (-chi * grads[t, a, 1]) * gvy
+            for b, (bi, bj) in enumerate(corners):
+                d = _offset_index(bi - ai, bj - aj)
+                P = ga * Vb[b]
+                # place the cell block at (ai, aj): out[i, j] = P[i-ai, j-aj]
+                # on ai <= i < ai+nc, aj <= j < aj+nc, else unchanged
+                if ai:
+                    P = pltpu.roll(P, ai, 0)
+                if aj:
+                    P = pltpu.roll(P, aj, 1)
+                mask = ((row_ids >= ai) & (row_ids < ai + nc)
+                        & (col_ids >= aj) & (col_ids < aj + nc))
+                A_ref[d, :, :] = A_ref[d, :, :] + jnp.where(mask, P, 0.0)
+
+
 def _v_load(c, u, *, nc, h2):
     """Load vector (c_h u_h, φ_a) as an (n, n) value (helpers.py:1339-1340;
     the dt/r factor is applied by the caller). The integrand is cubic, so
@@ -855,7 +915,7 @@ def _fwd_sweep_kernel(
     uout_ref, vout_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
-    wts4, bary4, h2, grads, warm, reaction, precond,
+    wts4, bary4, h2, grads, warm, reaction, precond, lane_aligned=False,
 ):
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -890,8 +950,14 @@ def _fwd_sweep_kernel(
     v_np1 = _cg(apply_mat, prec_v, b, x0v, tol, iters)
 
     # ---- u half-step (helpers.py:1350-1356) -----------------------------
-    _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
-                        eta=eta, wts=wts4, bary=bary4, grads=grads)
+    if lane_aligned:
+        _assemble_forward_A_aligned(u_n, v_np1, K_ref, A_ref, n=n, Dm=Dm,
+                                    chi=chi, eta=eta, wts=wts4, bary=bary4,
+                                    grads=grads)
+    else:
+        _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm,
+                            chi=chi, eta=eta, wts=wts4, bary=bary4,
+                            grads=grads)
     if reaction == "mimura":
         # explicit m²(1-m) = m² - m³ source (mimura_data_helpers.py:70);
         # quartic -> the closed-form moments equal the degree-4 rule exactly
@@ -929,7 +995,8 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                    Mat2, *, h, dt, Dm, chi, eta, rescaling,
                                    tol=1e-6, iters=60, cheb_iters=20,
                                    warm=True, reaction=None, precond="dct",
-                                   Df=None, delta=None, quad_degree=4):
+                                   Df=None, delta=None, quad_degree=4,
+                                   lane_aligned=False):
     """Full forward sweep (helpers.py:1321-1385) as ONE pallas_call.
 
     ``c_traj``: (num_steps+1, n, n); step i uses c_traj[i]. Returns
@@ -939,6 +1006,9 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     v solve keeps Jacobi semantics via a mass-only spectral P) or "jacobi".
     ``quad_degree``: rule for the in-kernel e^{-ηu}∇v transport assembly
     (4 = reference parity; 2 halves the exp count — opt-in fast path).
+    ``lane_aligned``: opt-in experimental transport assembly on rolled
+    full planes instead of (n-1)-wide corner windows
+    (_assemble_forward_A_aligned); same math, Mosaic layout lever.
     """
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
@@ -949,6 +1019,7 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         inv_r=1.0 / rescaling, tol=tol, iters=iters, cheb_iters=cheb_iters,
         wts4=wts4, bary4=bary4, h2=h * h, grads=grads,
         warm=warm, reaction=reaction, precond=precond,
+        lane_aligned=lane_aligned,
     )
     # P_u targets the low-order matrix M_L + dt(A - D) (stiff part dt*Dm*K);
     # P_v targets Mat2 = M(1+dt*delta) + dt*Df*K

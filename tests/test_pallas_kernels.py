@@ -777,3 +777,28 @@ def test_quad_degree_fast_path_chemotaxis():
     assert float(jnp.abs(us2 - u2).max()) < 1e-9
     ul2, _ = run_tier("force_lean", 2)
     assert float(jnp.abs(ul2 - u2).max()) < 1e-9
+
+
+def test_lane_aligned_assembly_matches_window():
+    """Opt-in lane-aligned transport assembly (rolled full planes +
+    iota-mask scatter, pallas_fused._assemble_forward_A_aligned) matches
+    the (n-1)-window assembly to machine level through the full resident
+    fused forward sweep."""
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+
+    g = Grid(0.0, 1.0, 24)
+    dt, steps = 5e-4, 6
+
+    def run(aligned):
+        m = ChemotaxisModel(g, rescaling=1.0,
+                            solver_opts=SolverOpts(tol=1e-13),
+                            backend="pallas_fused")
+        m.lane_aligned = aligned
+        u0np, v0np = m.ic()
+        c = jnp.full((steps + 1, g.n, g.n), 100.0)
+        return m.forward(c, jnp.asarray(u0np), jnp.asarray(v0np), dt)
+
+    uw, vw = run(False)
+    ua, va = run(True)
+    assert float(jnp.abs(ua - uw).max()) < 1e-11
+    assert float(jnp.abs(va - vw).max()) < 1e-11
