@@ -67,7 +67,7 @@ class SchnakenbergModel(ModelBase):
 
     def __init__(self, grid, params: SchnakenbergParams = SchnakenbergParams(),
                  rescaling: float = 1.0, dtype=jnp.float64,
-                 solver_opts: SolverOpts | None = None, td_wind_fn=None,
+                 solver_opts: SolverOpts | None = None, td_wind_fn=None, *,
                  backend: str = "xla", pad_to: int | None = None,
                  mesh=None, debug: bool = False):
         """``td_wind_fn(x, y, t) -> (wx, wy)``: optional time-dependent wind

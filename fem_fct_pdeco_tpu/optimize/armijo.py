@@ -52,7 +52,21 @@ def armijo_line_search(
     the LARGEST passing s — the accepted-step sequence is identical to the
     sequential halving loop (the reference's semantics,
     helpers.py:1683-1708), but each round costs one batched sweep instead
-    of up to ``batch`` sequential sweep+sync round trips."""
+    of up to ``batch`` sequential sweep+sync round trips.
+
+    Batching only applies to solver-based trials; linear-increment problems
+    (``increments`` given, helpers.py:1684-1694) re-use precomputed
+    ``var + s * w`` states, so each trial is already solver-free and cheap —
+    those runs fall back to the sequential loop with a loud notice."""
+    if batched_solver is not None and batch > 1 and increments is not None:
+        import warnings
+
+        warnings.warn(
+            "armijo batch > 1 has no effect with linear increments "
+            "(helpers.py:1684-1694): trials are solver-free; running the "
+            "sequential halving loop",
+            stacklevel=2,
+        )
     if batched_solver is not None and increments is None and batch > 1:
         k = 0
         new_state, c_inc, cost2, s = state, control, cost_init, s0
@@ -73,7 +87,9 @@ def armijo_line_search(
                     return ArmijoResult(new_state, c_inc, k + j + 1, sv,
                                         True, cost2)
             k += nb
-        return ArmijoResult(new_state, c_inc, max_iter, s, False, cost2)
+        # Match the sequential loop's failure contract: it halves s after
+        # the last (failed) trial, so the reported step is s0 / 2^max_iter.
+        return ArmijoResult(new_state, c_inc, max_iter, s / 2.0, False, cost2)
 
     s = s0
     armijo = float("inf")

@@ -180,3 +180,55 @@ def test_batched_armijo_matches_sequential():
             assert bat.iterations == seq.iterations, direction_scale
             assert bat.step_size == seq.step_size, direction_scale
             assert float(jnp.abs(bat.control - seq.control).max()) == 0.0
+
+    # genuine all-fail: ascent direction (away from the target) means no
+    # trial can decrease J — the batched failure branch must report the
+    # same final step (s0 / 2^max_iter) and state as the sequential loop
+    direction = jnp.full((1, 1), -1.0)
+    kw = dict(cost_fn=cost_fn, control_norm_sq=norm_sq,
+              c_lower=-10.0, c_upper=10.0, gam=1e-4, max_iter=5, s0=1.0)
+    seq = armijo_line_search(control, direction, (control,),
+                             cost_fn((control,), control), solver=solver, **kw)
+    assert not seq.converged and seq.step_size == 1.0 / 2.0**5
+    for batch in (2, 3, 5):
+        bat = armijo_line_search(control, direction, (control,),
+                                 cost_fn((control,), control), solver=solver,
+                                 batched_solver=batched_solver, batch=batch,
+                                 **kw)
+        assert not bat.converged
+        assert bat.iterations == seq.iterations
+        assert bat.step_size == seq.step_size
+        assert float(jnp.abs(bat.control - seq.control).max()) == 0.0
+
+
+def test_batched_armijo_warns_on_linear_increments():
+    """armijo batch > 1 + precomputed linear increments (helpers.py:1684-1694)
+    cannot batch (trials are solver-free); the fallback to the sequential
+    loop must be LOUD, mirroring _warn_backend_fallback semantics."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.optimize.armijo import armijo_line_search
+
+    target = jnp.asarray([[2.0]])
+    control = jnp.asarray([[0.0]])
+    direction = jnp.full((1, 1), 1.0)
+
+    def cost_fn(state, c):
+        return float(jnp.sum((c - target) ** 2))
+
+    def norm_sq(dc):
+        return float(jnp.sum(dc**2))
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = armijo_line_search(
+            control, direction, (control,), cost_fn((control,), control),
+            cost_fn=cost_fn, control_norm_sq=norm_sq,
+            c_lower=-10.0, c_upper=10.0,
+            increments=(direction,),
+            batched_solver=lambda cs: (cs,), batch=4,
+            gam=1e-4, max_iter=5, s0=1.0)
+    assert res.converged
+    assert any("linear increments" in str(w.message) for w in rec)
