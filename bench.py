@@ -67,6 +67,10 @@ def tpu_steps_per_sec(backend="pallas_fused") -> dict:
     m0 = float(jnp.sum(ML * u[0]))
     mT = float(jnp.sum(ML * u[-1]))
     assert abs(mT - m0) / abs(m0) < 1e-3, (m0, mT)
+    # always-on FCT telemetry: the low-order M-matrix row sums must have
+    # stayed positive through the whole measured horizon
+    rep = model.invariant_report()
+    assert rep is None or rep["ok"], rep
 
     best = float("inf")
     for _ in range(4):
@@ -200,6 +204,15 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
     if include_fused:
         model_f, (uf, vf), sps_fused = measure("pallas_fused", steps)
         assert model_f.backend == "pallas_fused", model_f.backend
+        # mass conservation over the FULL measured horizon + the always-on
+        # min-rowsum telemetry — cheap, step-count-independent guards that
+        # catch Mosaic-specific corruption the 5-step parity check can't
+        MLf = model_f.ML_diag
+        m0 = float(jnp.sum(MLf * uf[0]))
+        mT = float(jnp.sum(MLf * uf[-1]))
+        assert abs(mT - m0) / abs(m0) < 1e-3, (m0, mT)
+        repf = model_f.invariant_report()
+        assert repf is None or repf["ok"], repf
         out[f"forward_steps_per_sec_{n}"] = round(sps_fused, 3)
     try:
         model_x, (ux, vx), sps_xla = measure("xla", steps)

@@ -227,6 +227,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         # a long run is observable (and post-mortem-able) while it executes
         hist = info["history"]
         fid = hist["fidelity"][-1] if hist["fidelity"] else {}
+        mrs = hist.get("min_rowsum") or [float("nan")]
         append_results_row(progress_path, {
             "it": it,
             "cost": info["cost"],
@@ -234,6 +235,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             "armijo_its": info["armijo_iters"],
             "control_norm_sq": hist["control_norm_sq"][-1],
             **{f"misfit_{k}": v for k, v in fid.items()},
+            "min_rowsum": mrs[-1],
             "elapsed_s": round(__import__("time").time() - t_run0, 2),
         })
         if cfg.produce_plots:
@@ -255,6 +257,12 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
     # re-solve per Armijo trial
     lin = getattr(problem, "linear_increments", None)
 
+    # always-on FCT safety telemetry (helpers.py:1784-1810 surfaced once per
+    # GD iteration): min low-order row sum over every sweep the iteration
+    # ran, warned on violation and recorded in progress.csv + the registry
+    model = getattr(problem, "model", None)
+    inv_fn = model.pop_invariants if model is not None else None
+
     with timer.phase("pgd"):
         res = projected_gradient_descent(
             config=pgd_cfg,
@@ -269,6 +277,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
             linear_increments=lin if getattr(problem, "use_linear_increments", False) else None,
             batched_solver=(problem.solve_state_batched
                             if cfg.armijo_batch > 1 else None),
+            invariant_fn=inv_fn,
         )
 
     # ---- post-run artifacts (reference driver tail) --------------------
@@ -308,6 +317,7 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         "Mean c. in L^2(Q)^2": eval_sim,
         **{f"Misfit norm {k}": v for k, v in fid.items()},
         "J(c_true)": (cfg.beta / 2 * jtrue) if jtrue is not None else "",
+        "min rowsum": (min(res.history.get("min_rowsum") or [float("nan")])),
         "status": res.status,
         "out_folder_name": cfg.out_folder,
     }

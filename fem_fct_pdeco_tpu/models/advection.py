@@ -28,7 +28,8 @@ from fem_fct_pdeco_tpu.models.base import ModelBase, _warn_backend_fallback
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, chebsi
-from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+from fem_fct_pdeco_tpu.timeloop import (adjoint_sweep_stats,
+                                        forward_sweep_stats)
 
 
 def vortex_wind(speed: float = 1.0):
@@ -142,7 +143,8 @@ class AdvectionModel(ModelBase):
                             h=self.grid.h, dt=dt, tol=self.solver_opts.tol,
                             load_is_mass=True, iters=self.solver_opts.maxiter,
                         )
-                        return jnp.concatenate([u0[None], frames], axis=0)
+                        return (jnp.concatenate([u0[None], frames], axis=0),
+                                None)
 
                     return run_dist
             if self.backend == "pallas_fused":
@@ -159,13 +161,14 @@ class AdvectionModel(ModelBase):
                         # reaction channel: g(t_n), previous-step IMEX
                         frames_in = jnp.concatenate(
                             [frames_in, rest[i][:-1][:, None]], axis=1)
-                    frames = fused_scalar_fct_sweep(
+                    frames, stats = fused_scalar_fct_sweep(
                         frames_in, u0, self.A_state, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, load_is_mass=True,
                         iters=self.solver_opts.maxiter, reaction=has_g,
+                        with_stats=True,
                     )
-                    return jnp.concatenate([u0[None], frames], axis=0)
+                    return jnp.concatenate([u0[None], frames], axis=0), stats
 
                 return run_fused
 
@@ -187,7 +190,7 @@ class AdvectionModel(ModelBase):
                     i += 1
                 if has_g:
                     xs.append(rest[i][:-1])  # g(t_n): previous-step IMEX
-                return forward_sweep(step, u0, tuple(xs))
+                return forward_sweep_stats(step, u0, tuple(xs))
 
             return run
 
@@ -197,7 +200,7 @@ class AdvectionModel(ModelBase):
             args.append(source_traj)
         if has_g:
             args.append(reaction_traj)
-        return fn(*args)
+        return self._call_sweep(fn, *args)
 
     def adjoint(self, u_traj, uhat, dt, optim="finaltime", reaction_traj=None):
         """Adjoint sweep: -dp/dt - ε∇²p - w·∇p (+ g p) = (alltime: û - u),
@@ -234,7 +237,8 @@ class AdvectionModel(ModelBase):
                             dt=dt, tol=self.solver_opts.tol, load_is_mass=False,
                             reverse=True, iters=self.solver_opts.maxiter,
                         )
-                        return jnp.concatenate([frames, pT[None]], axis=0)
+                        return (jnp.concatenate([frames, pT[None]], axis=0),
+                                None)
 
                     return run_dist
             if self.backend == "pallas_fused":
@@ -254,13 +258,13 @@ class AdvectionModel(ModelBase):
                     if has_g:
                         frames_in = jnp.concatenate(
                             [frames_in, rest[0][:-1][:, None]], axis=1)
-                    frames = fused_scalar_fct_sweep(
+                    frames, stats = fused_scalar_fct_sweep(
                         frames_in, pT, self.A_adjoint, self.M,
                         self.M_diag, self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, load_is_mass=False,
-                        reverse=True, reaction=has_g,
+                        reverse=True, reaction=has_g, with_stats=True,
                     )
-                    return jnp.concatenate([frames, pT[None]], axis=0)
+                    return jnp.concatenate([frames, pT[None]], axis=0), stats
 
                 return run_fused
 
@@ -282,7 +286,7 @@ class AdvectionModel(ModelBase):
                     pT = jnp.zeros_like(u_traj[-1])
                     uh = uhat[:-1]
                 g = rest[0][:-1] if has_g else jnp.zeros_like(u_traj[:-1])
-                return adjoint_sweep(step, pT, (u_traj[:-1], uh, g))
+                return adjoint_sweep_stats(step, pT, (u_traj[:-1], uh, g))
 
             return run
 
@@ -290,7 +294,7 @@ class AdvectionModel(ModelBase):
         args = [u_traj, uhat]
         if has_g:
             args.append(reaction_traj)
-        return fn(*args)
+        return self._call_sweep(fn, *args)
 
     def adjoint_checkpointed(self, control_traj, u0, uhat, dt,
                              optim="finaltime", num_segments: int = 8,
@@ -367,7 +371,7 @@ class AdvectionModel(ModelBase):
             args.append(source_traj)
         if has_g:
             args.append(reaction_traj)
-        return fn(*args)
+        return self._call_sweep(fn, *args)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - p) (advection_FCT_PDECO_finaltime.py:237)."""
@@ -460,27 +464,28 @@ class DriftControlModel(ModelBase):
                         tol=self.solver_opts.tol,
                         iters=self.solver_opts.maxiter,
                     )
-                    return jnp.concatenate([u0[None], frames], axis=0)
+                    return jnp.concatenate([u0[None], frames], axis=0), None
 
                 return run_dist
             if self.backend == "pallas_fused":
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_drift_fct_sweep
 
                 def run_fused(c, u0):
-                    frames = fused_drift_fct_sweep(
+                    frames, stats = fused_drift_fct_sweep(
                         c[1:][:, None], u0,
                         self.eps * self.K - self.Nrot, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt, sign=-1.0,
                         drift=self.drift, tol=self.solver_opts.tol,
-                        iters=self.solver_opts.maxiter,
+                        iters=self.solver_opts.maxiter, with_stats=True,
                     )
-                    return jnp.concatenate([u0[None], frames], axis=0)
+                    return jnp.concatenate([u0[None], frames], axis=0), stats
 
                 return run_fused
             step = self._forward_step(dt)
-            return lambda c, u0: forward_sweep(step, u0, c[1:])
+            return lambda c, u0: forward_sweep_stats(step, u0, c[1:])
 
-        return self._jitted(("fwd", float(dt)), build)(control_traj, u0)
+        return self._call_sweep(self._jitted(("fwd", float(dt)), build),
+                                control_traj, u0)
 
     def adjoint(self, u_traj, uhat, control_traj, dt, optim="finaltime"):
         """Adjoint sweep: legacy A_p = -ε Ad - Arot - Adrift; FCT with -A_p
@@ -520,8 +525,11 @@ class DriftControlModel(ModelBase):
                             self.M_diag, self.ML_diag]
                     if extra:
                         args.append(self.mesh)
-                    p = sweep_fn(*args, **kw)
-                    return jnp.concatenate([p, pT[None]], axis=0)
+                        p = sweep_fn(*args, **kw)
+                        stats = None
+                    else:
+                        p, stats = sweep_fn(*args, with_stats=True, **kw)
+                    return jnp.concatenate([p, pT[None]], axis=0), stats
 
                 return run_kern
             step = self._adjoint_step(dt, optim)
@@ -533,11 +541,14 @@ class DriftControlModel(ModelBase):
                 else:
                     pT = jnp.zeros_like(u_traj[-1])
                     uh = uhat[:-1]
-                return adjoint_sweep(step, pT, (control_traj[:-1], u_traj[:-1], uh))
+                return adjoint_sweep_stats(
+                    step, pT, (control_traj[:-1], u_traj[:-1], uh))
 
             return run
 
-        return self._jitted(("adj", float(dt), optim), build)(u_traj, uhat, control_traj)
+        return self._call_sweep(
+            self._jitted(("adj", float(dt), optim), build),
+            u_traj, uhat, control_traj)
 
     def adjoint_checkpointed(self, control_traj, u0, uhat, dt,
                              optim="finaltime", num_segments: int = 8):
@@ -577,7 +588,8 @@ class DriftControlModel(ModelBase):
 
             return run
 
-        return self._jitted(key, build)(control_traj, u0, uhat)
+        return self._call_sweep(self._jitted(key, build),
+                                control_traj, u0, uhat)
 
     def descent_direction(self, beta, c_traj, u_traj, p_traj):
         """dk = M^{-1}[-(β M c + (p_h (m·∇u_h), v))] via ChebSI

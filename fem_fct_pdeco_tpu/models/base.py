@@ -192,6 +192,17 @@ class ModelBase:
             self.ML_diag = self.asm.lumped_mass_diag + pad_id
         self.K = self.asm.stiffness
         self.solver_opts = solver_opts or SolverOpts()
+        # Always-on FCT safety telemetry (helpers.py:1784-1810): after every
+        # sweep, {"min_rowsum": <device scalar>} — the sweep-wide minimum
+        # row sum of the FCT low-order matrices (must stay > 0 for the
+        # M-matrix property) — or None on paths that don't report (dist).
+        # Kept as a device array so stashing never forces a host sync; read
+        # via invariant_report() / check_invariants(). ``_inv_accum``
+        # min-accumulates across sweeps (lazily, device-side) so a PGD
+        # iteration's many sweeps (Armijo trials, state, adjoint) can be
+        # surfaced as ONE telemetry value via pop_invariants().
+        self.last_invariants: dict | None = None
+        self._inv_accum = None
         if self.solver_opts.spectral and pad_to is None:
             from fem_fct_pdeco_tpu.ops.pallas_fused import dct_matrix
 
@@ -284,6 +295,87 @@ class ModelBase:
 
             self._jit_cache[key] = fn
         return fn
+
+    def _stash_invariants(self, stats):
+        """``stats``: sweep-wide min FCT low-order row sum (device scalar;
+        vmapped sweeps may carry batch dims — reduced at read time), or
+        None when the path doesn't report. When the sweep itself runs under
+        an OUTER trace (e.g. ``jax.grad`` through the FCT loop on the
+        discrete-gradient path), the scalar is a tracer that must not
+        escape — telemetry is skipped for that call."""
+        if stats is not None and isinstance(stats, jax.core.Tracer):
+            stats = None
+        self.last_invariants = (
+            None if stats is None else {"min_rowsum": stats})
+        if stats is not None:
+            s = jnp.min(stats)
+            acc = self._inv_accum
+            if acc is not None and isinstance(acc, jax.core.Tracer):
+                acc = None  # a leaked accumulator from an outer trace
+            self._inv_accum = (
+                s if acc is None else jnp.minimum(acc, s))
+
+    def _call_sweep(self, fn, *args):
+        """Run a jitted sweep built on the (result, stats) contract: stash
+        the telemetry, hand back the result unchanged."""
+        res, stats = fn(*args)
+        self._stash_invariants(stats)
+        return res
+
+    def invariant_report(self) -> dict | None:
+        """Host-side view of the last sweep's telemetry (SYNCS): returns
+        {"min_rowsum": float, "ok": bool, "reported": bool} or None.
+        ``reported=False`` means no FCT step recorded (sentinel value) —
+        e.g. a sweep with only implicit solves."""
+        if self.last_invariants is None:
+            return None
+        from fem_fct_pdeco_tpu.ops.fct import STATS_SENTINEL
+
+        v = float(jnp.min(self.last_invariants["min_rowsum"]))
+        reported = v < STATS_SENTINEL / 2
+        return {"min_rowsum": v, "ok": (v > 0.0) or not reported,
+                "reported": reported}
+
+    @staticmethod
+    def _warn_invariant(rep):
+        import warnings
+
+        warnings.warn(
+            "FCT low-order matrix lost the M-matrix row-sum property "
+            f"(min row sum = {rep['min_rowsum']:.3e} <= 0): the time step "
+            "is too large for this transport field; the limiter's "
+            "positivity guarantee is void. Re-run with debug=True for the "
+            "admissible dt bounds.",
+            stacklevel=3)
+
+    def check_invariants(self, warn: bool = True) -> dict | None:
+        """Read the last sweep's telemetry and (by default) warn loudly on a
+        violated M-matrix row-sum property — the production-path counterpart
+        of the reference's unconditional per-step check with its admissible-dt
+        message (helpers.py:1784-1810); run with debug=True for the hard
+        checkify failure carrying the exact dt bounds."""
+        rep = self.invariant_report()
+        if warn and rep is not None and not rep["ok"]:
+            self._warn_invariant(rep)
+        return rep
+
+    def pop_invariants(self, warn: bool = True) -> dict | None:
+        """Report the MIN over every sweep since the last pop (one telemetry
+        value per PGD iteration: Armijo trials + state + adjoint), then reset
+        the accumulator. SYNCS. Same dict shape as invariant_report()."""
+        acc = self._inv_accum
+        self._inv_accum = None
+        if acc is None:
+            return None
+        from fem_fct_pdeco_tpu.ops.fct import STATS_SENTINEL
+
+        v = float(acc)
+        reported = v < STATS_SENTINEL / 2
+        rep = {"min_rowsum": v, "ok": (v > 0.0) or not reported,
+               "reported": reported}
+        if warn and not rep["ok"]:
+            self._warn_invariant(rep)
+        return rep
 
     def mass_apply(self, x: jnp.ndarray) -> jnp.ndarray:
         return st.apply(self.M, x)

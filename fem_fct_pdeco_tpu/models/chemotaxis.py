@@ -22,7 +22,8 @@ from fem_fct_pdeco_tpu.models.base import ModelBase
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, solve_stencil
-from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+from fem_fct_pdeco_tpu.timeloop import (adjoint_sweep_stats,
+                                        forward_sweep_stats)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -202,7 +203,7 @@ class ChemotaxisModel(ModelBase):
         """Forward sweep. control_traj: (num_steps+1, n, n); step i uses
         control_traj[i] (helpers.py:1327-1333). Returns (u_traj, v_traj)."""
         fn = self._jitted(("fwd", float(dt)), lambda: self._make_forward(dt))
-        return fn(control_traj, u0, v0)
+        return self._call_sweep(fn, control_traj, u0, v0)
 
     # Reaction variant implemented inside the whole-sweep kernels; subclasses
     # with custom reactions set this (MimuraModel: "mimura") — a subclass
@@ -253,13 +254,14 @@ class ChemotaxisModel(ModelBase):
 
             def run_dist(control_traj, u0, v0):
                 Mat2 = self._rd_matrix(dt)
-                return dist_chemotaxis_forward_sweep(
+                return (dist_chemotaxis_forward_sweep(
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, self.mesh, h=self.grid.h, dt=dt,
                     Dm=p.Dm, chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol,
                     iters=self.solver_opts.maxiter,
-                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta)
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta),
+                        None)
 
             return run_dist
         if self._uses_fused_sweep():
@@ -275,13 +277,14 @@ class ChemotaxisModel(ModelBase):
                     sweep_fn = fused_chemotaxis_forward_sweep_synth
 
                 def run_synth(control_traj, u0, v0):
-                    return sweep_fn(
+                    *res, stats = sweep_fn(
                         control_traj, u0, v0, h=self.grid.h, dt=dt, Dm=p.Dm,
                         Df=p.Df, delta=p.delta, chi=p.chi, eta=p.eta,
                         rescaling=self.rescaling, tol=self.solver_opts.tol,
                         reaction=self._fused_reaction,
-                        quad_degree=self.quad_degree,
+                        quad_degree=self.quad_degree, with_stats=True,
                     )
+                    return tuple(res), stats
 
                 return run_synth
             from fem_fct_pdeco_tpu.ops.pallas_fused import (
@@ -289,20 +292,21 @@ class ChemotaxisModel(ModelBase):
 
             def run_fused(control_traj, u0, v0):
                 Mat2 = self._rd_matrix(dt)
-                return fused_chemotaxis_forward_sweep(
+                *res, stats = fused_chemotaxis_forward_sweep(
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, h=self.grid.h, dt=dt, Dm=p.Dm,
                     chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol, reaction=self._fused_reaction,
                     Df=p.Df, delta=p.delta, quad_degree=self.quad_degree,
-                    lane_aligned=self.lane_aligned,
+                    lane_aligned=self.lane_aligned, with_stats=True,
                 )
+                return tuple(res), stats
 
             return run_fused
         step = self._forward_step(dt)
 
         def run(control_traj, u0, v0):
-            return forward_sweep(step, (u0, v0), control_traj[1:])
+            return forward_sweep_stats(step, (u0, v0), control_traj[1:])
 
         return run
 
@@ -313,7 +317,7 @@ class ChemotaxisModel(ModelBase):
         fn = self._jitted(
             ("fwd_batched", float(dt)), lambda: jax.vmap(self._make_forward(dt))
         )
-        return fn(control_trajs, u0s, v0s)
+        return self._call_sweep(fn, control_trajs, u0s, v0s)
 
     # ------------------------------------------------------------------
 
@@ -412,7 +416,7 @@ class ChemotaxisModel(ModelBase):
         Returns (p_traj, q_traj).
         """
         fn = self._jitted(("adj", float(dt), optim), lambda: self._make_adjoint(dt, optim))
-        return fn(u_traj, v_traj, uhat, vhat, control_traj)
+        return self._call_sweep(fn, u_traj, v_traj, uhat, vhat, control_traj)
 
     def _make_adjoint(self, dt, optim):
         if self._uses_dist_sweep():
@@ -435,14 +439,15 @@ class ChemotaxisModel(ModelBase):
                     if self.consistent_alltime_misfit:
                         mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
                         mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
-                return dist_chemotaxis_adjoint_sweep(
+                return (dist_chemotaxis_adjoint_sweep(
                     u_traj, v_traj, control_traj, pT, qT, self.K, self.M,
                     self.M_diag, self.ML_diag, Mat2, self.mesh, mis_u,
                     mis_v, h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi,
                     eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol,
                     iters=self.solver_opts.maxiter,
-                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta)
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta),
+                        None)
 
             return run_dist
         if self._uses_fused_sweep():
@@ -471,12 +476,14 @@ class ChemotaxisModel(ModelBase):
 
                 def run_synth(u_traj, v_traj, uhat, vhat, control_traj):
                     pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
-                    return sweep_fn(
+                    *res, stats = sweep_fn(
                         u_traj, v_traj, control_traj, pT, qT, mis_u, mis_v,
                         h=self.grid.h, dt=dt, Dm=p.Dm, Df=p.Df, delta=p.delta,
                         chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                         tol=self.solver_opts.tol, reaction=self._fused_reaction,
+                        with_stats=True,
                     )
+                    return tuple(res), stats
 
                 return run_synth
             from fem_fct_pdeco_tpu.ops.pallas_fused import (
@@ -485,13 +492,15 @@ class ChemotaxisModel(ModelBase):
             def run_fused(u_traj, v_traj, uhat, vhat, control_traj):
                 Mat2 = self._rd_matrix(dt)
                 pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
-                return fused_chemotaxis_adjoint_sweep(
+                *res, stats = fused_chemotaxis_adjoint_sweep(
                     u_traj, v_traj, control_traj, pT, qT, self.K, self.M,
                     self.M_diag, self.ML_diag, Mat2, mis_u, mis_v,
                     h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi, eta=p.eta,
                     rescaling=self.rescaling, tol=self.solver_opts.tol,
                     reaction=self._fused_reaction, Df=p.Df, delta=p.delta,
+                    with_stats=True,
                 )
+                return tuple(res), stats
 
             return run_fused
         step = self._adjoint_step(dt, optim)
@@ -512,7 +521,7 @@ class ChemotaxisModel(ModelBase):
                     mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
                     mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
                 xs = (u_traj[:-1], v_traj[:-1], control_traj[:-1], mis_u, mis_v)
-            return adjoint_sweep(step, (pT, qT), xs)
+            return adjoint_sweep_stats(step, (pT, qT), xs)
 
         return run
 
@@ -570,7 +579,8 @@ class ChemotaxisModel(ModelBase):
 
             return run
 
-        return self._jitted(key, build)(control_traj, u0, v0, uhat, vhat)
+        return self._call_sweep(self._jitted(key, build),
+                                control_traj, u0, v0, uhat, vhat)
 
     def descent_direction(self, beta, c_traj, u_traj, q_traj):
         """dk = -(β c - q u / r) (chemotaxis_FCT_PDECO_refactored.py:187)."""

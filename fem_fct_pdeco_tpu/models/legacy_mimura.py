@@ -44,7 +44,8 @@ from fem_fct_pdeco_tpu.models.base import ModelBase
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, solve_stencil
-from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+from fem_fct_pdeco_tpu.timeloop import (adjoint_sweep_stats,
+                                        forward_sweep_stats)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,13 +116,13 @@ class LegacyM4MimuraModel(ModelBase):
         """Forward sweep (chemotaxis_mimura_FCT_PGD.py:160-186); step i uses
         control frame i. Returns (m_traj, f_traj)."""
         fn = self._jitted(("fwd", float(dt)), lambda: self._make_forward(dt))
-        return fn(control_traj, m0, f0)
+        return self._call_sweep(fn, control_traj, m0, f0)
 
     def _make_forward(self, dt):
         step = self._forward_step(dt)
 
         def run(control_traj, m0, f0):
-            return forward_sweep(step, (m0, f0), control_traj[1:])
+            return forward_sweep_stats(step, (m0, f0), control_traj[1:])
 
         return run
 
@@ -172,7 +173,8 @@ class LegacyM4MimuraModel(ModelBase):
         only (the legacy script has no all-time mode)."""
         assert optim == "finaltime", "legacy m(4-m) variant is final-time only"
         fn = self._jitted(("adj", float(dt)), lambda: self._make_adjoint(dt))
-        return fn(m_traj, f_traj, mhat_T, fhat_T, control_traj)
+        return self._call_sweep(fn, m_traj, f_traj, mhat_T, fhat_T,
+                                control_traj)
 
     def _make_adjoint(self, dt):
         step = self._adjoint_step(dt)
@@ -181,7 +183,7 @@ class LegacyM4MimuraModel(ModelBase):
             pT = mhat_T - m_traj[-1]
             qT = fhat_T - f_traj[-1]
             xs = (m_traj[:-1], f_traj[:-1], control_traj[:-1])
-            return adjoint_sweep(step, (pT, qT), xs)
+            return adjoint_sweep_stats(step, (pT, qT), xs)
 
         return run
 

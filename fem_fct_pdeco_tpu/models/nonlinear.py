@@ -20,7 +20,8 @@ from fem_fct_pdeco_tpu.models.advection import vortex_wind
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
-from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+from fem_fct_pdeco_tpu.timeloop import (adjoint_sweep_stats,
+                                        forward_sweep_stats)
 
 
 class NonlinearModel(ModelBase):
@@ -104,27 +105,36 @@ class NonlinearModel(ModelBase):
                         tol=self.solver_opts.tol, nonflux_mode=+1,
                         load_is_mass=True, iters=self.solver_opts.maxiter,
                     )
-                    return (jnp.concatenate([u0[None], frames], axis=0),)
+                    return ((jnp.concatenate([u0[None], frames], axis=0),),
+                            None)
 
                 return run_dist
             if self.backend == "pallas_fused":
                 from fem_fct_pdeco_tpu.ops.pallas_fused import fused_scalar_fct_sweep
 
                 def run_fused(c, u0):
-                    frames = fused_scalar_fct_sweep(
+                    frames, stats = fused_scalar_fct_sweep(
                         c[1:, None], u0, self.A_state, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, nonflux_mode=+1,
                         load_is_mass=True, iters=self.solver_opts.maxiter,
+                        with_stats=True,
                     )
-                    return (jnp.concatenate([u0[None], frames], axis=0),)
+                    return ((jnp.concatenate([u0[None], frames], axis=0),),
+                            stats)
 
                 return run_fused
 
             step = self._forward_step(dt)
-            return lambda c, u0: (forward_sweep(step, u0, c[1:]),)
 
-        return self._jitted(("fwd", float(dt)), build)(control_traj, u0)
+            def run(c, u0):
+                traj, stats = forward_sweep_stats(step, u0, c[1:])
+                return (traj,), stats
+
+            return run
+
+        return self._call_sweep(self._jitted(("fwd", float(dt)), build),
+                                control_traj, u0)
 
     def adjoint(self, u_traj, uhat, dt, optim="finaltime"):
         """Adjoint sweep (helpers.py:1023-1037); alltime variant adds the
@@ -158,7 +168,8 @@ class NonlinearModel(ModelBase):
                         load_is_mass=False, reverse=True,
                         iters=self.solver_opts.maxiter,
                     )
-                    return (jnp.concatenate([frames, pT[None]], axis=0),)
+                    return ((jnp.concatenate([frames, pT[None]], axis=0),),
+                            None)
 
                 return run_dist
             if self.backend == "pallas_fused":
@@ -167,14 +178,15 @@ class NonlinearModel(ModelBase):
                 def run_fused(u_traj, uhat):
                     pT, mis = terminal(u_traj, uhat)
                     loads = jnp.stack([mis, u_traj[:-1]], axis=1)
-                    frames = fused_scalar_fct_sweep(
+                    frames, stats = fused_scalar_fct_sweep(
                         loads, pT, self.A_adjoint, self.M, self.M_diag,
                         self.ML_diag, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, nonflux_mode=-1,
                         load_is_mass=False, reverse=True,
-                        iters=self.solver_opts.maxiter,
+                        iters=self.solver_opts.maxiter, with_stats=True,
                     )
-                    return (jnp.concatenate([frames, pT[None]], axis=0),)
+                    return ((jnp.concatenate([frames, pT[None]], axis=0),),
+                            stats)
 
                 return run_fused
 
@@ -182,11 +194,13 @@ class NonlinearModel(ModelBase):
 
             def run(u_traj, uhat):
                 pT, mis = terminal(u_traj, uhat)
-                return (adjoint_sweep(step, pT, (u_traj[:-1], mis)),)
+                traj, stats = adjoint_sweep_stats(step, pT, (u_traj[:-1], mis))
+                return (traj,), stats
 
             return run
 
-        return self._jitted(("adj", float(dt), optim), build)(u_traj, uhat)
+        return self._call_sweep(
+            self._jitted(("adj", float(dt), optim), build), u_traj, uhat)
 
     def adjoint_checkpointed(self, control_traj, u0, uhat, dt,
                              optim="finaltime", num_segments: int = 8):
@@ -218,14 +232,16 @@ class NonlinearModel(ModelBase):
                             uh, u_seg[:-1])
                     return (u_seg[:-1], mis)
 
-                return (checkpointed_adjoint(
+                traj, stats = checkpointed_adjoint(
                     fwd_step, adj_step, u0, control_traj[1:], terminal,
                     adj_xs, num_segments,
-                ),)
+                )
+                return (traj,), stats
 
             return run
 
-        return self._jitted(key, build)(control_traj, u0, uhat)
+        return self._call_sweep(self._jitted(key, build),
+                                control_traj, u0, uhat)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - p) (nonlinear_FCT_PDECO_refactored.py:148)."""

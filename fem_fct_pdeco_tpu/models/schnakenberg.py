@@ -26,7 +26,8 @@ from fem_fct_pdeco_tpu.models.base import ModelBase, _warn_backend_fallback
 from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.fct import fct_step
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, solve_stencil
-from fem_fct_pdeco_tpu.timeloop import adjoint_sweep, forward_sweep
+from fem_fct_pdeco_tpu.timeloop import (adjoint_sweep_stats,
+                                        forward_sweep_stats)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,12 +218,12 @@ class SchnakenbergModel(ModelBase):
 
                 def run_dist(c, u0, v0):
                     Mbase_v = self.M + dt * self.B_v
-                    return dist_schnak_forward_sweep(
+                    return (dist_schnak_forward_sweep(
                         c, u0, v0, self.A_u, self.M, self.M_diag,
                         self.ML_diag, Mbase_v, self.mesh, h=self.grid.h,
                         dt=dt, gamma=p.gamma, c_b=p.c_b,
                         rescaling=self.rescaling, tol=self.solver_opts.tol,
-                        iters=self.solver_opts.maxiter)
+                        iters=self.solver_opts.maxiter), None)
 
                 return run_dist
             if self.backend == "pallas_fused":
@@ -239,14 +240,15 @@ class SchnakenbergModel(ModelBase):
                         sweep_fn = fused_schnak_forward_sweep_synth
 
                     def run_synth(c, u0, v0):
-                        return sweep_fn(
+                        *res, stats = sweep_fn(
                             c, u0, v0, wind_fn=_w, h=self.grid.h,
                             a1=self.grid.a1, dt=dt, Du=p.Du, Dv=p.Dv,
                             omega1=p.omega1, omega2=p.omega2,
                             gamma=p.gamma, c_b=p.c_b,
                             rescaling=self.rescaling,
-                            tol=self.solver_opts.tol,
+                            tol=self.solver_opts.tol, with_stats=True,
                         )
+                        return tuple(res), stats
 
                     return run_synth
                 if self.td_wind_fn is not None:
@@ -254,15 +256,16 @@ class SchnakenbergModel(ModelBase):
                         fused_schnak_forward_sweep_td)
 
                     def run_fused_td(c, u0, v0):
-                        return fused_schnak_forward_sweep_td(
+                        *res, stats = fused_schnak_forward_sweep_td(
                             c, u0, v0, self.K, self.M, self.M_diag,
                             self.ML_diag, wind_fn=self.td_wind_fn,
                             h=self.grid.h, a1=self.grid.a1, dt=dt, Du=p.Du,
                             Dv=p.Dv, omega1=p.omega1, omega2=p.omega2,
                             gamma=p.gamma, c_b=p.c_b,
                             rescaling=self.rescaling,
-                            tol=self.solver_opts.tol,
+                            tol=self.solver_opts.tol, with_stats=True,
                         )
+                        return tuple(res), stats
 
                     return run_fused_td
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
@@ -270,12 +273,14 @@ class SchnakenbergModel(ModelBase):
 
                 def run_fused(c, u0, v0):
                     Mbase_v = self.M + dt * self.B_v
-                    return fused_schnak_forward_sweep(
+                    *res, stats = fused_schnak_forward_sweep(
                         c, u0, v0, self.A_u, self.M, self.M_diag,
                         self.ML_diag, Mbase_v, h=self.grid.h, dt=dt,
                         gamma=p.gamma, c_b=p.c_b, rescaling=self.rescaling,
                         tol=self.solver_opts.tol, Du=p.Du, Dv=p.Dv,
+                        with_stats=True,
                     )
+                    return tuple(res), stats
 
                 return run_fused
             step = self._forward_step(dt)
@@ -283,11 +288,12 @@ class SchnakenbergModel(ModelBase):
             def run(c, u0, v0):
                 steps = c.shape[0] - 1
                 times = (jnp.arange(1, steps + 1, dtype=c.dtype)) * dt
-                return forward_sweep(step, (u0, v0), (c[1:], times))
+                return forward_sweep_stats(step, (u0, v0), (c[1:], times))
 
             return run
 
-        return self._jitted(("fwd", float(dt)), build)(control_traj, u0, v0)
+        return self._call_sweep(self._jitted(("fwd", float(dt)), build),
+                                control_traj, u0, v0)
 
     def adjoint(self, u_traj, v_traj, uhat, vhat, dt, optim="finaltime"):
         """Backward sweep (helpers.py:599-698): q implicit first, then p FCT
@@ -320,12 +326,12 @@ class SchnakenbergModel(ModelBase):
                             uhat[:-1], u_traj[:-1])
                         mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
                             vhat[:-1], v_traj[:-1])
-                    return dist_schnak_adjoint_sweep(
+                    return (dist_schnak_adjoint_sweep(
                         u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
                         self.M_diag, self.ML_diag, Mbase_q, self.mesh,
                         mis_u, mis_v, h=self.grid.h, dt=dt, gamma=p.gamma,
                         tol=self.solver_opts.tol,
-                        iters=self.solver_opts.maxiter)
+                        iters=self.solver_opts.maxiter), None)
 
                 return run_dist
             if self.backend == "pallas_fused":
@@ -355,13 +361,14 @@ class SchnakenbergModel(ModelBase):
                     def run_synth(u_traj, v_traj, uhat, vhat):
                         pT, qT, mis_u, mis_v = _terminal(
                             u_traj, v_traj, uhat, vhat)
-                        return sweep_fn(
+                        *res, stats = sweep_fn(
                             u_traj, v_traj, pT, qT, mis_u, mis_v,
                             wind_fn=_w, h=self.grid.h, a1=self.grid.a1,
                             dt=dt, Du=p.Du, Dv=p.Dv, omega1=p.omega1,
                             omega2=p.omega2, gamma=p.gamma,
-                            tol=self.solver_opts.tol,
+                            tol=self.solver_opts.tol, with_stats=True,
                         )
+                        return tuple(res), stats
 
                     return run_synth
                 if self.td_wind_fn is not None:
@@ -371,14 +378,15 @@ class SchnakenbergModel(ModelBase):
                     def run_fused_td(u_traj, v_traj, uhat, vhat):
                         pT, qT, mis_u, mis_v = _terminal(
                             u_traj, v_traj, uhat, vhat)
-                        return fused_schnak_adjoint_sweep_td(
+                        *res, stats = fused_schnak_adjoint_sweep_td(
                             u_traj, v_traj, pT, qT, self.K, self.M,
                             self.M_diag, self.ML_diag, mis_u, mis_v,
                             wind_fn=self.td_wind_fn, h=self.grid.h,
                             a1=self.grid.a1, dt=dt, Du=p.Du, Dv=p.Dv,
                             omega1=p.omega1, omega2=p.omega2, gamma=p.gamma,
-                            tol=self.solver_opts.tol,
+                            tol=self.solver_opts.tol, with_stats=True,
                         )
+                        return tuple(res), stats
 
                     return run_fused_td
                 from fem_fct_pdeco_tpu.ops.pallas_fused import (
@@ -387,12 +395,14 @@ class SchnakenbergModel(ModelBase):
                 def run_fused(u_traj, v_traj, uhat, vhat):
                     Mbase_q = self.M + dt * self.B_v_adj
                     pT, qT, mis_u, mis_v = _terminal(u_traj, v_traj, uhat, vhat)
-                    return fused_schnak_adjoint_sweep(
+                    *res, stats = fused_schnak_adjoint_sweep(
                         u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
                         self.M_diag, self.ML_diag, Mbase_q, mis_u, mis_v,
                         h=self.grid.h, dt=dt, gamma=p.gamma,
                         tol=self.solver_opts.tol, Du=p.Du, Dv=p.Dv,
+                        with_stats=True,
                     )
+                    return tuple(res), stats
 
                 return run_fused
             step = self._adjoint_step(dt)
@@ -417,11 +427,13 @@ class SchnakenbergModel(ModelBase):
                         vhat[:-1], v_traj[:-1]
                     )
                     xs = (u_traj[:-1], v_traj[:-1], times, mis_u, mis_v)
-                return adjoint_sweep(step, (pT, qT), xs)
+                return adjoint_sweep_stats(step, (pT, qT), xs)
 
             return run
 
-        return self._jitted(("adj", float(dt), optim), build)(u_traj, v_traj, uhat, vhat)
+        return self._call_sweep(
+            self._jitted(("adj", float(dt), optim), build),
+            u_traj, v_traj, uhat, vhat)
 
     def adjoint_checkpointed(self, control_traj, u0, v0, uhat, vhat, dt,
                              optim="finaltime", num_segments: int = 8):
@@ -468,7 +480,8 @@ class SchnakenbergModel(ModelBase):
 
             return run
 
-        return self._jitted(key, build)(control_traj, u0, v0, uhat, vhat)
+        return self._call_sweep(self._jitted(key, build),
+                                control_traj, u0, v0, uhat, vhat)
 
     def descent_direction(self, beta, c_traj, p_traj):
         """dk = -(β c - (γ/r) p) (Schnak_FCT_PDECO_refactored.py:166-167)."""

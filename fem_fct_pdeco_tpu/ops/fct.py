@@ -28,6 +28,46 @@ from fem_fct_pdeco_tpu.ops import stencil as st
 from fem_fct_pdeco_tpu.ops.linalg import SolverOpts, chebsi, solve_stencil
 
 
+# Inf-free sentinel for "no violation observed" (TPU f64 emulation turns
+# inf arithmetic into NaN; big finite sentinels are the repo convention).
+STATS_SENTINEL = 1e30
+
+# Trace-time collector for the always-on FCT safety telemetry: when a
+# ``collect_stats`` context is active, every ``fct_step`` traced inside it
+# records the MIN ROW SUM of its low-order matrix. The reference validates
+# the M-matrix row-sum property unconditionally every step
+# (helpers.py:1784-1810); carrying this reduction through the sweep gives
+# production runs the same safety signal without debug-mode's
+# checkify/XLA-only tax (``ModelBase`` surfaces it as ``last_invariants``).
+_STATS: list | None = None
+
+
+class collect_stats:
+    """Context manager activating fct_step's min-rowsum recording during a
+    trace. ``.vals`` holds the traced scalars after exit; ``.min()`` reduces
+    them (STATS_SENTINEL when no FCT step was traced)."""
+
+    def __enter__(self):
+        global _STATS
+        self._prev = _STATS
+        _STATS = []
+        return self
+
+    def __exit__(self, *exc):
+        global _STATS
+        self.vals = _STATS
+        _STATS = self._prev
+        return False
+
+    def min(self, dtype=None):
+        if not self.vals:
+            return jnp.asarray(STATS_SENTINEL, dtype or jnp.float32)
+        m = self.vals[0]
+        for v in self.vals[1:]:
+            m = jnp.minimum(m, v)
+        return m.astype(dtype) if dtype is not None else m
+
+
 def artificial_diffusion(A: jnp.ndarray) -> jnp.ndarray:
     """Discrete-upwind artificial diffusion for flux matrix ``-A``
     (ref convention: ``D = artificial_diffusion_mat(-A)``,
@@ -146,6 +186,11 @@ def fct_step(
     """
     D = artificial_diffusion(A)
     Low = low_order_matrix(A, D, ML_diag, dt, non_flux)
+    if _STATS is not None:
+        # always-on M-matrix telemetry (helpers.py:1784-1810): row sums of
+        # Low must stay positive; D's row sums vanish by construction so
+        # this is ML + dt * rowsum(A + non_flux)
+        _STATS.append(jnp.min(Low.sum(axis=0)))
     if debug:
         from jax.experimental import checkify
 

@@ -37,6 +37,29 @@ from fem_fct_pdeco_tpu.ops.pallas_kernels import _interp, _make_apply, _shifted
 from fem_fct_pdeco_tpu.ops.quadrature import barycentric, rule_for_degree
 
 
+# Always-on FCT safety telemetry (helpers.py:1784-1810): every whole-sweep
+# kernel carries one tile-aligned VMEM output block holding the sweep-wide
+# MIN row sum of the FCT low-order matrices, min-accumulated by _fct_core
+# (inv_ref). The block is written whole (scalar broadcast) — no sub-tile
+# stores. Sentinel value = "no FCT step recorded".
+_INV_BLOCK = (8, 128)
+_STATS_SENTINEL = 1e30  # keep in sync with ops.fct.STATS_SENTINEL
+
+
+def _inv_spec():
+    return pl.BlockSpec(_INV_BLOCK, lambda *_: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _inv_shape(dtype):
+    return jax.ShapeDtypeStruct(_INV_BLOCK, dtype)
+
+
+def _inv_init(inv_ref):
+    """Call under the kernel's first-grid-step pl.when."""
+    inv_ref[:, :] = jnp.full(_INV_BLOCK, _STATS_SENTINEL, inv_ref.dtype)
+
+
 def _quad_consts(degree, h, dtype=np.float64):
     pts, wts = rule_for_degree(degree)
     bary = barycentric(pts)
@@ -301,7 +324,8 @@ def _fused_u_kernel(
 
 def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
               *, n, dt, tol, iters, cheb_iters, x0=None, S=None, prec=None,
-              m_swap=None, S_at=None, A_direct=None, xpads=None, park=None):
+              m_swap=None, S_at=None, A_direct=None, xpads=None, park=None,
+              inv_ref=None):
     """FCT step tail, given the assembled flux matrix in A_ref: artificial
     diffusion -> low-order matrix (A_ref transformed in place) -> BiCGStab ->
     Chebyshev du/dt -> fluxes -> Zalesak -> corrected solution (returned as a
@@ -327,6 +351,11 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     when given, the flux/Zalesak stage reads every shifted operand lazily
     through pad windows instead of materializing ~40 (n, n) values — the
     register-spill fix that lets the synth kernels fit 1024² in VMEM.
+    ``inv_ref``: optional small VMEM output block for the always-on FCT
+    safety telemetry (helpers.py:1784-1810 semantics): after the Low
+    transform, the min row sum of the low-order matrix is min-accumulated
+    into it (the sweep kernel initializes it to the sentinel at its first
+    grid step; a value <= 0 means the M-matrix property was lost).
     ``park``: optional tuple ``(rawA7_ref, ahbm_ref, sem, xpad4)`` enabling
     the ONE-7-plane-buffer mode of the lean (≥1024²) kernels: the raw flux
     matrix is parked in an HBM scratch while its VMEM buffer holds the
@@ -428,6 +457,16 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
             if d == CENTER:
                 plane = plane + ML
             A_ref[d, :, :] = plane
+    if inv_ref is not None:
+        # always-on M-matrix telemetry (helpers.py:1784-1810): min row sum
+        # of Low, min-accumulated across the sweep's grid steps. Unrolled
+        # code outside the solver loops — no loop-carried (n, n) values.
+        rs = None
+        for d in range(9):
+            if d in zero_planes:
+                continue
+            rs = A_ref[d, :, :] if rs is None else rs + A_ref[d, :, :]
+        inv_ref[:, :] = jnp.minimum(inv_ref[:, :], jnp.min(rs))
     pad_ref[:, :] = jnp.zeros_like(pad_ref)
     from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
@@ -912,7 +951,7 @@ def fused_chemotaxis_q_step(q_np1, p_n, u_n, mis_v, Mat_q, M, *, h, dt, chi,
 def _fwd_sweep_kernel(
     c_ref, u0_ref, v0_ref, K_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
     wts4, bary4, h2, grads, warm, reaction, precond, lane_aligned=False,
@@ -927,6 +966,7 @@ def _fwd_sweep_kernel(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -969,7 +1009,7 @@ def _fwd_sweep_kernel(
     u_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
-        prec=prec_u,
+        prec=prec_u, inv_ref=inv_ref,
     )
 
     uprev_ref[:, :] = u_n
@@ -996,7 +1036,7 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                    tol=1e-6, iters=60, cheb_iters=20,
                                    warm=True, reaction=None, precond="dct",
                                    Df=None, delta=None, quad_degree=4,
-                                   lane_aligned=False):
+                                   lane_aligned=False, with_stats=False):
     """Full forward sweep (helpers.py:1321-1385) as ONE pallas_call.
 
     ``c_traj``: (num_steps+1, n, n); step i uses c_traj[i]. Returns
@@ -1009,6 +1049,8 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     ``lane_aligned``: opt-in experimental transport assembly on rolled
     full planes instead of (n-1)-wide corner windows
     (_assemble_forward_A_aligned); same math, Mosaic layout lever.
+    ``with_stats``: also return the sweep-wide min FCT low-order row sum
+    (always-on M-matrix telemetry, helpers.py:1784-1810) as a third output.
     """
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
@@ -1032,16 +1074,17 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     frame_in = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     frame_out = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame_in, field, field, stencil, stencil, field, field,
                   stencil, field, field, field],
-        out_specs=(frame_out, frame_out),
+        out_specs=(frame_out, frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
             pltpu.VMEM((n, n), u0.dtype),      # v current
@@ -1058,6 +1101,8 @@ def fused_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
     )(c_traj[1:], u0, v0, K, M, M_diag, ML_diag, Mat2, dct_C, ilam_u, ilam_v)
     u_traj = jnp.concatenate([u0[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0[None], v_traj], axis=0)
+    if with_stats:
+        return u_traj, v_traj, jnp.min(inv)
     return u_traj, v_traj
 
 
@@ -1065,7 +1110,7 @@ def _adj_sweep_kernel(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     K_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Dm, chi, eta, inv_r, tol, iters, cheb_iters,
     wts5, bary5, wts4, bary4, h2, grads, warm, has_mis, reaction, precond,
@@ -1080,6 +1125,7 @@ def _adj_sweep_kernel(
         qcur_ref[:, :] = qT_ref[:, :]
         pprev_ref[:, :] = pT_ref[:, :]
         qprev_ref[:, :] = qT_ref[:, :]
+        _inv_init(inv_ref)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -1110,7 +1156,7 @@ def _adj_sweep_kernel(
     p_n = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
-        prec=prec_p,
+        prec=prec_p, inv_ref=inv_ref,
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
@@ -1140,7 +1186,8 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                    mis_v=None, *, h, dt, Dm, chi, eta,
                                    rescaling, tol=1e-6, iters=60,
                                    cheb_iters=20, warm=True, reaction=None,
-                                   precond="dct", Df=None, delta=None):
+                                   precond="dct", Df=None, delta=None,
+                                   with_stats=False):
     """Full adjoint sweep (helpers.py:1387-1581) as ONE pallas_call.
 
     Trajectories stream per backward step via reversed block index maps.
@@ -1179,17 +1226,18 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                 memory_space=pltpu.VMEM)
     else:
         mis_spec = rev
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
                   stencil, stencil, field, field, stencil,
                   field, field, field],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
             pltpu.VMEM((n, n), pT.dtype),
@@ -1207,6 +1255,8 @@ def fused_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
       K, M, M_diag, ML_diag, Mat2, dct_C, ilam_p, ilam_q)
     p_traj = jnp.concatenate([p_traj, pT[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT[None]], axis=0)
+    if with_stats:
+        return p_traj, q_traj, jnp.min(inv)
     return p_traj, q_traj
 
 
@@ -1396,7 +1446,7 @@ def _add_planes(p1, p2, s2=1.0):
 def _schnak_fwd_kernel(
     c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, gamma, c_b, inv_r, tol, iters, cheb_iters, h2, warm,
     precond,
@@ -1411,6 +1461,7 @@ def _schnak_fwd_kernel(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -1437,7 +1488,7 @@ def _schnak_fwd_kernel(
     u_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u, S=S,
-        prec=prec_u,
+        prec=prec_u, inv_ref=inv_ref,
     )
 
     # v implicit with the NEW u: Mat_v = M + dt(B_v + γ M_{u²})
@@ -1472,7 +1523,8 @@ def _schnak_fwd_kernel(
 def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
                                Mbase_v, *, h, dt, gamma, c_b, rescaling,
                                tol=1e-6, iters=60, cheb_iters=20, warm=True,
-                               precond="dct", Du=None, Dv=None):
+                               precond="dct", Du=None, Dv=None,
+                               with_stats=False):
     """Full Schnakenberg forward sweep (helpers.py:511-597) in ONE
     pallas_call. ``A_u`` = Du K - ω₁ N; ``Mbase_v`` = M + dt (Dv K - ω₂ N).
     Stationary wind only (the td-wind variant uses the piecewise path).
@@ -1495,16 +1547,17 @@ def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame, field, field, stencil, stencil, field, field,
                   stencil, field, field, field],
-        out_specs=(frame, frame),
+        out_specs=(frame, frame, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),
             pltpu.VMEM((n, n), u0.dtype),
@@ -1520,15 +1573,16 @@ def fused_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
         interpret=_interp(),
     )(c_traj[1:], u0, v0, A_u, M, M_diag, ML_diag, Mbase_v,
       dct_C, ilam_u, ilam_v)
-    return (jnp.concatenate([u0[None], u_traj], axis=0),
-            jnp.concatenate([v0[None], v_traj], axis=0))
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _schnak_adj_kernel(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, gamma, tol, iters, cheb_iters, h2, warm, has_mis,
     precond,
@@ -1543,6 +1597,7 @@ def _schnak_adj_kernel(
         qcur_ref[:, :] = qT_ref[:, :]
         pprev_ref[:, :] = pT_ref[:, :]
         qprev_ref[:, :] = qT_ref[:, :]
+        _inv_init(inv_ref)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -1588,7 +1643,7 @@ def _schnak_adj_kernel(
     p_n = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs_p,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
-        prec=prec_p,
+        prec=prec_p, inv_ref=inv_ref,
     )
 
     pprev_ref[:, :] = p_np1
@@ -1603,7 +1658,7 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
                                ML_diag, Mbase_q, mis_u=None, mis_v=None, *,
                                h, dt, gamma, tol=1e-6, iters=60,
                                cheb_iters=20, warm=True, precond="jacobi",
-                               Du=None, Dv=None):
+                               Du=None, Dv=None, with_stats=False):
     """Full Schnakenberg adjoint sweep (helpers.py:599-698) in ONE
     pallas_call. ``A_u_adj`` = Du K - ω₁ Nᵀ; ``Mbase_q`` = M + dt(Dv K - ω₂ Nᵀ).
 
@@ -1639,17 +1694,18 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
                                 memory_space=pltpu.VMEM)
     else:
         mis_spec = rev
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[rev, rev, mis_spec, mis_spec, field, field,
                   stencil, stencil, field, field, stencil,
                   field, field, field],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
             pltpu.VMEM((n, n), pT.dtype),
@@ -1665,8 +1721,9 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
       A_u_adj, M, M_diag, ML_diag, Mbase_q, dct_C, ilam_p, ilam_q)
-    return (jnp.concatenate([p_traj, pT[None]], axis=0),
-            jnp.concatenate([q_traj, qT[None]], axis=0))
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -1679,7 +1736,7 @@ def fused_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
 
 def _scalar_sweep_kernel(
     load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, prev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, tol, iters, cheb_iters, h2, warm,
     nonflux_mode, load_is_mass, reverse, reaction,
@@ -1703,6 +1760,7 @@ def _scalar_sweep_kernel(
     def _():
         cur_ref[:, :] = x0_ref[:, :]
         prev_ref[:, :] = x0_ref[:, :]
+        _inv_init(inv_ref)
 
     x_n = cur_ref[:, :]
     nc = n - 1
@@ -1733,6 +1791,7 @@ def _scalar_sweep_kernel(
     x_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], x_n, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w, S=S,
+        inv_ref=inv_ref,
     )
     prev_ref[:, :] = x_n
     cur_ref[:, :] = x_np1
@@ -1742,7 +1801,7 @@ def _scalar_sweep_kernel(
 def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
                            h, dt, tol=1e-6, iters=60, cheb_iters=20,
                            warm=True, nonflux_mode=0, load_is_mass=True,
-                           reverse=False, reaction=False):
+                           reverse=False, reaction=False, with_stats=False):
     """Whole sweep of a single FCT-transported field with a stationary flux
     matrix. Covers:
     - nonlinear state (nonflux_mode=+1, load = control frames,
@@ -1770,7 +1829,7 @@ def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
             load_traj, x0, A_flux, M, M_diag, ML_diag, h=h, dt=dt, tol=tol,
             iters=iters, cheb_iters=cheb_iters, warm=warm,
             nonflux_mode=nonflux_mode, load_is_mass=load_is_mass,
-            reverse=reverse, reaction=reaction)
+            reverse=reverse, reaction=reaction, with_stats=with_stats)
     n = x0.shape[-1]
     steps = load_traj.shape[0]
     F = load_traj.shape[1]
@@ -1797,12 +1856,13 @@ def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
         # collapse the leading frame axis: load_ref block is (1, F, n, n)
         return kern(load_ref[0], *rest)
 
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern2,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+                   _inv_shape(x0.dtype)),
         in_specs=[frame_in, field, stencil, stencil, field, field],
-        out_specs=frame_out,
+        out_specs=(frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), x0.dtype),
             pltpu.VMEM((n, n), x0.dtype),
@@ -1815,7 +1875,7 @@ def fused_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(load_traj, x0, A_flux, M, M_diag, ML_diag)
-    return out
+    return (out, jnp.min(inv)) if with_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -1962,7 +2022,7 @@ class _SynthPlanes:
 
 def _fwd_sweep_kernel_synth(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
@@ -1991,6 +2051,7 @@ def _fwd_sweep_kernel_synth(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -2044,7 +2105,7 @@ def _fwd_sweep_kernel_synth(
         A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
-        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref), inv_ref=inv_ref,
     )
 
     uprev_ref[:, :] = u_n
@@ -2058,7 +2119,7 @@ def _fwd_sweep_kernel_synth(
 def fused_chemotaxis_forward_sweep_synth(
         c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
         tol=1e-6, iters=60, cheb_iters=20, warm=True, reaction=None,
-        precond="dct", vmem_limit_mb=120, quad_degree=4):
+        precond="dct", vmem_limit_mb=120, quad_degree=4, with_stats=False):
     """Large-grid chemotaxis forward sweep: ONE pallas_call, stationary
     operators synthesized in-kernel, per-step stencils in a compact 7-plane
     layout. Mathematically identical to fused_chemotaxis_forward_sweep
@@ -2078,15 +2139,16 @@ def fused_chemotaxis_forward_sweep_synth(
         n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame, field, field, field, field, field],
-        out_specs=(frame, frame),
+        out_specs=(frame, frame, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
             pltpu.VMEM((n, n), u0.dtype),      # v current
@@ -2104,13 +2166,14 @@ def fused_chemotaxis_forward_sweep_synth(
         ),
         interpret=_interp(),
     )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
-    return (jnp.concatenate([u0[None], u_traj], axis=0),
-            jnp.concatenate([v0[None], v_traj], axis=0))
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _fwd_sweep_kernel_lean(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, A7_ref, ahbm_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
@@ -2142,6 +2205,7 @@ def _fwd_sweep_kernel_lean(
         cp = pltpu.make_async_copy(v0_ref, vcur_ref, sem_io)
         cp.start()
         cp.wait()
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -2210,7 +2274,7 @@ def _fwd_sweep_kernel_lean(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
-        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref), inv_ref=inv_ref,
     )
 
     ucur_ref[:, :] = u_np1
@@ -2226,7 +2290,7 @@ def _fwd_sweep_kernel_lean(
 def fused_chemotaxis_forward_sweep_lean(
         c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
         tol=1e-6, iters=60, cheb_iters=20, reaction=None,
-        precond="dct", vmem_limit_mb=127, quad_degree=4):
+        precond="dct", vmem_limit_mb=127, quad_degree=4, with_stats=False):
     """≥1024²-capable chemotaxis forward sweep: ONE pallas_call, ONE
     resident 7-plane stencil buffer (raw A parked in an HBM scratch around
     the Krylov solve), artificial diffusion and consistent mass never
@@ -2248,15 +2312,16 @@ def fused_chemotaxis_forward_sweep_lean(
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm),
+        out_specs=(hbm, hbm, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
             pltpu.VMEM((n, n), u0.dtype),      # v current
@@ -2275,14 +2340,15 @@ def fused_chemotaxis_forward_sweep_lean(
         ),
         interpret=_interp(),
     )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
-    return (jnp.concatenate([u0[None], u_traj], axis=0),
-            jnp.concatenate([v0[None], v_traj], axis=0))
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _adj_sweep_kernel_synth(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
     ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
@@ -2308,6 +2374,7 @@ def _adj_sweep_kernel_synth(
     def _():
         pcur_ref[:, :] = pT_ref[:, :]
         qcur_ref[:, :] = qT_ref[:, :]
+        _inv_init(inv_ref)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -2342,7 +2409,7 @@ def _adj_sweep_kernel_synth(
         A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
         prec=prec_p, m_swap=m_swap,
-        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref), inv_ref=inv_ref,
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
@@ -2375,7 +2442,8 @@ def _adj_sweep_kernel_synth(
 def fused_chemotaxis_adjoint_sweep_synth(
         u_traj, v_traj, c_traj, pT, qT, mis_u=None, mis_v=None, *,
         h, dt, Dm, Df, delta, chi, eta, rescaling, tol=1e-6, iters=60,
-        cheb_iters=20, reaction=None, precond="dct", vmem_limit_mb=120):
+        cheb_iters=20, reaction=None, precond="dct", vmem_limit_mb=120,
+        with_stats=False):
     """Large-grid chemotaxis adjoint sweep: the synth analogue of
     fused_chemotaxis_adjoint_sweep (≥1024² f32 in VMEM; no warm-start
     scratch — the extra streamed trajectories take its budget)."""
@@ -2405,16 +2473,17 @@ def fused_chemotaxis_adjoint_sweep_synth(
                                 memory_space=pltpu.VMEM)
     else:
         mis_spec = rev
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field, field,
                   field, field],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
             pltpu.VMEM((n, n), pT.dtype),
@@ -2431,14 +2500,15 @@ def fused_chemotaxis_adjoint_sweep_synth(
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
       dct_C, ilam_p, ilam_q)
-    return (jnp.concatenate([p_traj, pT[None]], axis=0),
-            jnp.concatenate([q_traj, qT[None]], axis=0))
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _adj_sweep_kernel_lean(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
     ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, ustg_ref, vstg_ref, cstg_ref, A7_ref, ahbm_ref,
     pad_ref, xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, steps, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
@@ -2468,6 +2538,7 @@ def _adj_sweep_kernel_lean(
         cp = pltpu.make_async_copy(qT_ref, qcur_ref, sem_io)
         cp.start()
         cp.wait()
+        _inv_init(inv_ref)
 
     for src, dst in ((u_ref, ustg_ref), (v_ref, vstg_ref), (c_ref, cstg_ref)):
         cp = pltpu.make_async_copy(src.at[ridx], dst, sem_io)
@@ -2515,7 +2586,7 @@ def _adj_sweep_kernel_lean(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, S=S,
         prec=prec_p, m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
-        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref), inv_ref=inv_ref,
     )
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
@@ -2554,7 +2625,8 @@ def _adj_sweep_kernel_lean(
 def fused_chemotaxis_adjoint_sweep_lean(
         u_traj, v_traj, c_traj, pT, qT, mis_u=None, mis_v=None, *,
         h, dt, Dm, Df, delta, chi, eta, rescaling, tol=1e-6, iters=60,
-        cheb_iters=20, reaction=None, precond="dct", vmem_limit_mb=127):
+        cheb_iters=20, reaction=None, precond="dct", vmem_limit_mb=127,
+        with_stats=False):
     """≥1024²-capable chemotaxis adjoint sweep: the lean analogue of
     fused_chemotaxis_adjoint_sweep_synth (ONE resident 7-plane buffer,
     HBM-staged trajectory frames; see _adj_sweep_kernel_lean)."""
@@ -2579,15 +2651,16 @@ def fused_chemotaxis_adjoint_sweep_lean(
     if not has_mis:
         mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
         mis_v = mis_u
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[hbm, hbm, hbm, hbm, hbm, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm),
+        out_specs=(hbm, hbm, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),      # p current
             pltpu.VMEM((n, n), pT.dtype),      # q current
@@ -2610,8 +2683,9 @@ def fused_chemotaxis_adjoint_sweep_lean(
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
       dct_C, ilam_p, ilam_q)
-    return (jnp.concatenate([p_traj, pT[None]], axis=0),
-            jnp.concatenate([q_traj, qT[None]], axis=0))
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -2669,7 +2743,7 @@ def _conv_planes_td(wind_fn, t, *, nc, h, a1, pts, wts, bary, grads, dtype,
 def _schnak_fwd_kernel_td(
     c_ref, u0_ref, v0_ref, K_ref, M_ref, Md_ref, ML_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol, iters,
     cheb_iters, h2, h, a1, warm, precond, wind_fn, pts, wts, bary, grads,
@@ -2684,6 +2758,7 @@ def _schnak_fwd_kernel_td(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
+        _inv_init(inv_ref)
 
     dtype = ucur_ref.dtype
     u_n = ucur_ref[:, :]
@@ -2719,7 +2794,7 @@ def _schnak_fwd_kernel_td(
     u_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u, S=S,
-        prec=prec_u,
+        prec=prec_u, inv_ref=inv_ref,
     )
 
     # v implicit: Mat_v = M + dt(Dv K - ω₂ N(t) + γ M_{u²}) with the NEW u
@@ -2756,7 +2831,7 @@ def fused_schnak_forward_sweep_td(c_traj, u0, v0, K, M, M_diag, ML_diag, *,
                                   wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
                                   gamma, c_b, rescaling, tol=1e-6, iters=60,
                                   cheb_iters=20, warm=True, precond="dct",
-                                  conv_degree=5):
+                                  conv_degree=5, with_stats=False):
     """Schnakenberg forward sweep with a TIME-DEPENDENT wind in ONE
     pallas_call: the convection stencil is assembled in-kernel each step at
     t = (i+1)dt (closes the silent XLA fallback of the stationary-wind
@@ -2780,16 +2855,17 @@ def fused_schnak_forward_sweep_td(c_traj, u0, v0, K, M, M_diag, ML_diag, *,
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stencil = pl.BlockSpec((9, n, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame, field, field, stencil, stencil, field, field,
                   field, field, field],
-        out_specs=(frame, frame),
+        out_specs=(frame, frame, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),
             pltpu.VMEM((n, n), u0.dtype),
@@ -2804,15 +2880,16 @@ def fused_schnak_forward_sweep_td(c_traj, u0, v0, K, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(c_traj[1:], u0, v0, K, M, M_diag, ML_diag, dct_C, ilam_u, ilam_v)
-    return (jnp.concatenate([u0[None], u_traj], axis=0),
-            jnp.concatenate([v0[None], v_traj], axis=0))
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _schnak_adj_kernel_td(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     K_ref, M_ref, Md_ref, ML_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref, A_ref, D_ref, pad_ref,
     *, n, steps, dt, Du, Dv, omega1, omega2, gamma, tol, iters, cheb_iters,
     h2, h, a1, warm, has_mis, precond, wind_fn, pts, wts, bary, grads,
@@ -2827,6 +2904,7 @@ def _schnak_adj_kernel_td(
         qcur_ref[:, :] = qT_ref[:, :]
         pprev_ref[:, :] = pT_ref[:, :]
         qprev_ref[:, :] = qT_ref[:, :]
+        _inv_init(inv_ref)
 
     dtype = pcur_ref.dtype
     p_np1 = pcur_ref[:, :]
@@ -2883,7 +2961,7 @@ def _schnak_adj_kernel_td(
     p_n = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], p_np1, rhs_p,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0p, S=S,
-        prec=prec_p,
+        prec=prec_p, inv_ref=inv_ref,
     )
 
     pprev_ref[:, :] = p_np1
@@ -2898,7 +2976,8 @@ def fused_schnak_adjoint_sweep_td(u_traj, v_traj, pT, qT, K, M, M_diag,
                                   ML_diag, mis_u=None, mis_v=None, *,
                                   wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
                                   gamma, tol=1e-6, iters=60, cheb_iters=20,
-                                  warm=True, precond="jacobi", conv_degree=5):
+                                  warm=True, precond="jacobi", conv_degree=5,
+                                  with_stats=False):
     """Schnakenberg adjoint sweep with a TIME-DEPENDENT wind in ONE
     pallas_call (transposed convection assembled in-kernel at t = n·dt)."""
     n = pT.shape[-1]
@@ -2928,17 +3007,18 @@ def fused_schnak_adjoint_sweep_td(u_traj, v_traj, pT, qT, K, M, M_diag,
                                 memory_space=pltpu.VMEM)
     else:
         mis_spec = rev
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[rev, rev, mis_spec, mis_spec, field, field,
                   stencil, stencil, field, field,
                   field, field, field],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
             pltpu.VMEM((n, n), pT.dtype),
@@ -2954,8 +3034,9 @@ def fused_schnak_adjoint_sweep_td(u_traj, v_traj, pT, qT, K, M, M_diag,
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
       K, M, M_diag, ML_diag, dct_C, ilam_p, ilam_q)
-    return (jnp.concatenate([p_traj, pT[None]], axis=0),
-            jnp.concatenate([q_traj, qT[None]], axis=0))
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -2998,7 +3079,7 @@ def _drift_planes(c, *, nc, h2, m, grads):
 
 def _drift_sweep_kernel(
     frames_ref, x0_ref, Abase_ref, M_ref, Md_ref, ML_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, prev_ref, A_ref, D_ref, pad_ref,
     *, n, dt, sign, m, tol, iters, cheb_iters, h2, warm, has_mis, grads,
 ):
@@ -3011,6 +3092,7 @@ def _drift_sweep_kernel(
     def _():
         cur_ref[:, :] = x0_ref[:, :]
         prev_ref[:, :] = x0_ref[:, :]
+        _inv_init(inv_ref)
 
     x_n = cur_ref[:, :]
     nc = n - 1
@@ -3026,6 +3108,7 @@ def _drift_sweep_kernel(
     x_np1 = _fct_core(
         A_ref, D_ref, pad_ref, M_ref, Md_ref, ML_ref[:, :], x_n, rhs,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w,
+        inv_ref=inv_ref,
     )
     prev_ref[:, :] = x_n
     cur_ref[:, :] = x_np1
@@ -3035,7 +3118,7 @@ def _drift_sweep_kernel(
 def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
                           h, dt, sign, drift, tol=1e-6, iters=60,
                           cheb_iters=20, warm=True, reverse=False,
-                          has_mis=False):
+                          has_mis=False, with_stats=False):
     """Whole drift-control sweep in ONE pallas_call with in-kernel per-step
     Adrift1/Adrift2 assembly. ``frames``: (steps, F, n, n) — channel 0 the
     control, channel 1 (has_mis) the alltime misfit load. ``sign``: -1 for
@@ -3051,7 +3134,8 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
         return fused_drift_fct_sweep_lean(
             frames, x0, A_base, M, M_diag, ML_diag, h=h, dt=dt, sign=sign,
             drift=drift, tol=tol, iters=iters, cheb_iters=cheb_iters,
-            warm=warm, reverse=reverse, has_mis=has_mis)
+            warm=warm, reverse=reverse, has_mis=has_mis,
+            with_stats=with_stats)
     n = x0.shape[-1]
     steps = frames.shape[0]
     F = frames.shape[1]
@@ -3078,12 +3162,13 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
     def kern2(frames_ref, *rest):
         return kern(frames_ref[0], *rest)
 
-    return pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern2,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+                   _inv_shape(x0.dtype)),
         in_specs=[frame_in, field, stencil, stencil, field, field],
-        out_specs=frame_out,
+        out_specs=(frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), x0.dtype),
             pltpu.VMEM((n, n), x0.dtype),
@@ -3096,11 +3181,12 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(frames, x0, A_base, M, M_diag, ML_diag)
+    return (out, jnp.min(inv)) if with_stats else out
 
 
 def _drift_sweep_kernel_lean(
     frames_ref, x0_ref, Abase7_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, A7_ref, ahbm_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, steps, dt, sign, m, tol, iters, cheb_iters, h2, has_mis, grads,
@@ -3125,6 +3211,7 @@ def _drift_sweep_kernel_lean(
         cp = pltpu.make_async_copy(x0_ref, cur_ref, sem_io)
         cp.start()
         cp.wait()
+        _inv_init(inv_ref)
 
     x_n = cur_ref[:, :]
     c_i = frames_ref[0, :, :]
@@ -3157,7 +3244,7 @@ def _drift_sweep_kernel_lean(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w,
         m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
-        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref), inv_ref=inv_ref,
     )
     cur_ref[:, :] = x_np1
     cp = pltpu.make_async_copy(cur_ref, out_ref.at[idx], sem_io)
@@ -3168,7 +3255,7 @@ def _drift_sweep_kernel_lean(
 def fused_drift_fct_sweep_lean(frames, x0, A_base, M, M_diag, ML_diag, *,
                                h, dt, sign, drift, tol=1e-6, iters=60,
                                cheb_iters=20, warm=True, reverse=False,
-                               has_mis=False):
+                               has_mis=False, with_stats=False):
     """≥lean-budget variant of fused_drift_fct_sweep (same contract;
     M/M_diag/ML_diag synthesized in-kernel, ``warm`` ignored)."""
     n = x0.shape[-1]
@@ -3193,12 +3280,13 @@ def fused_drift_fct_sweep_lean(frames, x0, A_base, M, M_diag, ML_diag, *,
     def kern2(frames_ref, *rest):
         return kern(frames_ref[0], *rest)
 
-    return pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern2,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+                   _inv_shape(x0.dtype)),
         in_specs=[frame_in, hbm, hbm],
-        out_specs=hbm,
+        out_specs=(hbm, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), x0.dtype),      # carried state
             pltpu.VMEM((7, n, n), x0.dtype),   # A -> Low -> M -> A
@@ -3216,6 +3304,7 @@ def fused_drift_fct_sweep_lean(frames, x0, A_base, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(frames, x0, A7c)
+    return (out, jnp.min(inv)) if with_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -3228,7 +3317,7 @@ def fused_drift_fct_sweep_lean(frames, x0, A_base, M, M_diag, ML_diag, *,
 
 def _schnak_fwd_kernel_synth(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref, A7_ref, D7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol,
@@ -3252,6 +3341,7 @@ def _schnak_fwd_kernel_synth(
         vcur_ref[:, :] = v0_ref[:, :]
         uprev_ref[:, :] = u0_ref[:, :]
         vprev_ref[:, :] = v0_ref[:, :]
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -3310,7 +3400,7 @@ def _schnak_fwd_kernel_synth(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
         prec=prec_u, m_swap=m_swap,
         S_at=lambda d: gamma * plane(d, 1.0, 0.0), A_direct=A_direct,
-        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref), inv_ref=inv_ref,
     )
 
     # ---- v implicit with the NEW u (helpers.py:590-596) -----------------
@@ -3347,7 +3437,7 @@ def _schnak_fwd_kernel_synth(
 def fused_schnak_forward_sweep_synth(
         c_traj, u0, v0, *, wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
         gamma, c_b, rescaling, tol=1e-6, iters=60, cheb_iters=20, warm=True,
-        precond="dct", conv_degree=5, vmem_limit_mb=120):
+        precond="dct", conv_degree=5, vmem_limit_mb=120, with_stats=False):
     """Large-grid Schnakenberg forward sweep: the synth analogue of
     fused_schnak_forward_sweep — M/K synthesized from iota masks, the wind
     stencil assembled in-kernel each step (``wind_fn(x, y) -> (wx, wy)``
@@ -3370,15 +3460,16 @@ def fused_schnak_forward_sweep_synth(
         [(Du, 1.0 + dt * gamma), (Dv, 1.0 + dt * gamma)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame, field, field, field, field, field],
-        out_specs=(frame, frame),
+        out_specs=(frame, frame, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),
             pltpu.VMEM((n, n), u0.dtype),
@@ -3396,14 +3487,15 @@ def fused_schnak_forward_sweep_synth(
         ),
         interpret=_interp(),
     )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
-    return (jnp.concatenate([u0[None], u_traj], axis=0),
-            jnp.concatenate([v0[None], v_traj], axis=0))
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _schnak_adj_kernel_synth(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, A7_ref, D7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref,
     *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, tol, iters,
@@ -3425,6 +3517,7 @@ def _schnak_adj_kernel_synth(
     def _():
         pcur_ref[:, :] = pT_ref[:, :]
         qcur_ref[:, :] = qT_ref[:, :]
+        _inv_init(inv_ref)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -3511,7 +3604,7 @@ def _schnak_adj_kernel_synth(
         A_ref, D_ref, pad_ref, M_syn, Md_ref, ml_diag(), p_np1, rhs_p,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
         prec=prec_p, m_swap=m_swap, S_at=S_at, A_direct=A_direct,
-        xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
+        xpads=(xpad1_ref, xpad2_ref, xpad3_ref), inv_ref=inv_ref,
     )
 
     pcur_ref[:, :] = p_n
@@ -3523,7 +3616,8 @@ def _schnak_adj_kernel_synth(
 def fused_schnak_adjoint_sweep_synth(
         u_traj, v_traj, pT, qT, mis_u=None, mis_v=None, *, wind_fn, h, a1,
         dt, Du, Dv, omega1, omega2, gamma, tol=1e-6, iters=60,
-        cheb_iters=20, precond="jacobi", conv_degree=5, vmem_limit_mb=120):
+        cheb_iters=20, precond="jacobi", conv_degree=5, vmem_limit_mb=120,
+        with_stats=False):
     """Large-grid Schnakenberg adjoint sweep (synth analogue of
     fused_schnak_adjoint_sweep; default Jacobi like the resident kernel —
     the adjoint mass coefficients swing with the stored pattern state)."""
@@ -3554,16 +3648,17 @@ def fused_schnak_adjoint_sweep_synth(
                                 memory_space=pltpu.VMEM)
     else:
         mis_spec = rev
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[rev, rev, mis_spec, mis_spec, field, field,
                   field, field, field],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),
             pltpu.VMEM((n, n), pT.dtype),
@@ -3580,13 +3675,14 @@ def fused_schnak_adjoint_sweep_synth(
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
       dct_C, ilam_p, ilam_q)
-    return (jnp.concatenate([p_traj, pT[None]], axis=0),
-            jnp.concatenate([q_traj, qT[None]], axis=0))
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _scalar_sweep_kernel_lean(
     load_ref, x0_ref, A7h_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, A7_ref, pad_ref, xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref,
     sem_park, sem_io,
     *, n, steps, dt, tol, iters, cheb_iters, h2,
@@ -3615,6 +3711,7 @@ def _scalar_sweep_kernel_lean(
         cp = pltpu.make_async_copy(x0_ref, cur_ref, sem_io)
         cp.start()
         cp.wait()
+        _inv_init(inv_ref)
 
     x_n = cur_ref[:, :]
 
@@ -3663,7 +3760,7 @@ def _scalar_sweep_kernel_lean(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0w,
         S=S, m_swap=m_swap,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
-        park=(A7_ref, A7h_ref, sem_park, xpad4_ref, False),
+        park=(A7_ref, A7h_ref, sem_park, xpad4_ref, False), inv_ref=inv_ref,
     )
     cur_ref[:, :] = x_np1
     cp = pltpu.make_async_copy(cur_ref, out_ref.at[idx], sem_io)
@@ -3674,7 +3771,8 @@ def _scalar_sweep_kernel_lean(
 def fused_scalar_fct_sweep_lean(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
                                 h, dt, tol=1e-6, iters=60, cheb_iters=20,
                                 warm=True, nonflux_mode=0, load_is_mass=True,
-                                reverse=False, reaction=False):
+                                reverse=False, reaction=False,
+                                with_stats=False):
     """≥lean-budget variant of fused_scalar_fct_sweep (same contract; the
     M/M_diag/ML_diag arguments are accepted for signature compatibility but
     synthesized in-kernel — valid on unpadded grids only, which is all the
@@ -3701,12 +3799,13 @@ def fused_scalar_fct_sweep_lean(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
     def kern2(load_ref, *rest):
         return kern(load_ref[0], *rest)
 
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern2,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+                   _inv_shape(x0.dtype)),
         in_specs=[frame_in, hbm, hbm],
-        out_specs=hbm,
+        out_specs=(hbm, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), x0.dtype),      # carried state
             pltpu.VMEM((7, n, n), x0.dtype),   # A -> Low -> M -> A
@@ -3723,12 +3822,12 @@ def fused_scalar_fct_sweep_lean(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(load_traj, x0, A7c)
-    return out
+    return (out, jnp.min(inv)) if with_stats else out
 
 
 def _schnak_fwd_kernel_lean(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, A7_ref, ahbm_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol,
@@ -3757,6 +3856,7 @@ def _schnak_fwd_kernel_lean(
         cp = pltpu.make_async_copy(v0_ref, vcur_ref, sem_io)
         cp.start()
         cp.wait()
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -3813,7 +3913,7 @@ def _schnak_fwd_kernel_lean(
         prec=prec_u, m_swap=m_swap,
         S_at=lambda d: gamma * plane(d, 1.0, 0.0),
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
-        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref), inv_ref=inv_ref,
     )
 
     # ---- v implicit with the NEW u (helpers.py:590-596) -----------------
@@ -3848,7 +3948,7 @@ def _schnak_fwd_kernel_lean(
 def fused_schnak_forward_sweep_lean(
         c_traj, u0, v0, *, wind_fn, h, a1, dt, Du, Dv, omega1, omega2,
         gamma, c_b, rescaling, tol=1e-6, iters=60, cheb_iters=20,
-        precond="dct", conv_degree=5, vmem_limit_mb=127):
+        precond="dct", conv_degree=5, vmem_limit_mb=127, with_stats=False):
     """≥1024²-capable Schnakenberg forward sweep (lean analogue of
     fused_schnak_forward_sweep_synth; see _schnak_fwd_kernel_lean)."""
     n = u0.shape[-1]
@@ -3870,15 +3970,16 @@ def fused_schnak_forward_sweep_lean(
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
         ),
         in_specs=[frame, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm),
+        out_specs=(hbm, hbm, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),
             pltpu.VMEM((n, n), u0.dtype),
@@ -3897,14 +3998,15 @@ def fused_schnak_forward_sweep_lean(
         ),
         interpret=_interp(),
     )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
-    return (jnp.concatenate([u0[None], u_traj], axis=0),
-            jnp.concatenate([v0[None], v_traj], axis=0))
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
 
 
 def _schnak_adj_kernel_lean(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, ustg_ref, vstg_ref, A7_ref, ahbm_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, steps, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, tol, iters,
@@ -3934,6 +4036,7 @@ def _schnak_adj_kernel_lean(
         cp = pltpu.make_async_copy(qT_ref, qcur_ref, sem_io)
         cp.start()
         cp.wait()
+        _inv_init(inv_ref)
 
     for src, dst in ((u_ref, ustg_ref), (v_ref, vstg_ref)):
         cp = pltpu.make_async_copy(src.at[ridx], dst, sem_io)
@@ -4017,7 +4120,7 @@ def _schnak_adj_kernel_lean(
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters,
         prec=prec_p, m_swap=m_swap, S_at=S_at,
         xpads=(xpad1_ref, xpad2_ref, xpad3_ref),
-        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref),
+        park=(A7_ref, ahbm_ref, sem_park, xpad4_ref), inv_ref=inv_ref,
     )
 
     pcur_ref[:, :] = p_n
@@ -4033,7 +4136,8 @@ def _schnak_adj_kernel_lean(
 def fused_schnak_adjoint_sweep_lean(
         u_traj, v_traj, pT, qT, mis_u=None, mis_v=None, *, wind_fn, h, a1,
         dt, Du, Dv, omega1, omega2, gamma, tol=1e-6, iters=60,
-        cheb_iters=20, precond="jacobi", conv_degree=5, vmem_limit_mb=127):
+        cheb_iters=20, precond="jacobi", conv_degree=5, vmem_limit_mb=127,
+        with_stats=False):
     """≥1024²-capable Schnakenberg adjoint sweep (lean analogue of
     fused_schnak_adjoint_sweep_synth; default Jacobi like the synth
     kernel)."""
@@ -4059,15 +4163,16 @@ def fused_schnak_adjoint_sweep_lean(
     if not has_mis:
         mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
         mis_v = mis_u
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
         ),
         in_specs=[hbm, hbm, hbm, hbm, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm),
+        out_specs=(hbm, hbm, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),      # p current
             pltpu.VMEM((n, n), pT.dtype),      # q current
@@ -4089,5 +4194,6 @@ def fused_schnak_adjoint_sweep_lean(
         interpret=_interp(),
     )(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
       dct_C, ilam_p, ilam_q)
-    return (jnp.concatenate([p_traj, pT[None]], axis=0),
-            jnp.concatenate([q_traj, qT[None]], axis=0))
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out

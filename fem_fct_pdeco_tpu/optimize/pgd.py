@@ -72,6 +72,7 @@ def projected_gradient_descent(
     callback: Callable | None = None,     # (it, locals dict) -> None
     linear_increments: Callable | None = None,  # (direction) -> increments
     batched_solver: Callable | None = None,  # (stacked controls) -> states
+    invariant_fn: Callable | None = None,  # () -> dict | None (FCT telemetry)
 ) -> PGDResult:
     cfg = config
     t_start = time.time()
@@ -108,6 +109,7 @@ def projected_gradient_descent(
             "fidelity": [],
             "control_norm_sq": [],
             "armijo_iters": [],
+            "min_rowsum": [],
         }
         it = 0
         fail_count = 0
@@ -170,6 +172,13 @@ def projected_gradient_descent(
         if fidelity_fn is not None:
             history["fidelity"].append(fidelity_fn(state))
         history["control_norm_sq"].append(float(control_norm_sq(ck)))
+        if invariant_fn is not None:
+            # always-on FCT safety telemetry (reference: unconditional
+            # per-step M-matrix check, helpers.py:1784-1810): min low-order
+            # row sum over ALL sweeps this iteration ran
+            inv = invariant_fn()
+            history.setdefault("min_rowsum", []).append(
+                inv["min_rowsum"] if inv else float("nan"))
 
         if callback is not None:
             callback(it, dict(cost=cost_new, stop_crit=stop_crit,

@@ -39,6 +39,53 @@ def forward_sweep(
     )
 
 
+def _stats_body(step_fn):
+    """Scan body wrapping ``step_fn`` in the fct.collect_stats context: the
+    carry gains a running MIN of every FCT low-order min-rowsum recorded
+    during the step (the always-on safety telemetry, helpers.py:1784-1810)."""
+    from fem_fct_pdeco_tpu.ops import fct
+
+    def body(carry, x):
+        state, m = carry
+        with fct.collect_stats() as c:
+            new = step_fn(state, x)
+        return (new, jnp.minimum(m, c.min(m.dtype))), new
+
+    return body
+
+
+def _stats_init(init_state):
+    from fem_fct_pdeco_tpu.ops import fct
+
+    dt0 = jax.tree.leaves(init_state)[0].dtype
+    return jnp.asarray(fct.STATS_SENTINEL, dt0)
+
+
+def forward_sweep_stats(step_fn, init_state, xs, unroll: int = 1):
+    """``forward_sweep`` that ALSO returns the sweep-wide minimum FCT
+    low-order row sum (STATS_SENTINEL if no FCT step ran). One extra scalar
+    in the scan carry — free next to the per-step Krylov solves."""
+    (final, m), traj = jax.lax.scan(
+        _stats_body(step_fn), (init_state, _stats_init(init_state)), xs,
+        unroll=unroll)
+    traj = jax.tree.map(
+        lambda i, t: jnp.concatenate([i[None], t], axis=0), init_state, traj
+    )
+    return traj, m
+
+
+def adjoint_sweep_stats(step_fn, final_state, xs, unroll: int = 1):
+    """``adjoint_sweep`` with the same min-rowsum telemetry as
+    ``forward_sweep_stats``."""
+    (_, m), traj = jax.lax.scan(
+        _stats_body(step_fn), (final_state, _stats_init(final_state)), xs,
+        reverse=True, unroll=unroll)
+    traj = jax.tree.map(
+        lambda f, t: jnp.concatenate([t, f[None]], axis=0), final_state, traj
+    )
+    return traj, m
+
+
 def adjoint_sweep(
     step_fn: Callable,
     final_state,
@@ -87,27 +134,32 @@ def checkpointed_adjoint(
       recomputed forward trajectory of the segment INCLUDING its initial
       state (leading axis seg+1).
 
-    Returns the full adjoint trajectory (leading axis num_steps+1, terminal
-    state last), identical (to solver tolerance) to
-    ``adjoint_sweep(adj_step, terminal_fn(...), ...)`` on the stored
-    trajectory.
+    Returns ``(adj_traj, min_rowsum)``: the full adjoint trajectory (leading
+    axis num_steps+1, terminal state last), identical (to solver tolerance)
+    to ``adjoint_sweep(adj_step, terminal_fn(...), ...)`` on the stored
+    trajectory, plus the min FCT low-order row sum over EVERY step executed
+    (initial forward, recomputed forward segments, adjoint sweeps — the
+    always-on telemetry of forward_sweep_stats).
     """
     steps = jax.tree.leaves(fwd_xs)[0].shape[0]
     assert steps % num_segments == 0, (steps, num_segments)
     seg = steps // num_segments
 
     # 1. forward, keeping only segment-boundary states
+    stats_body = _stats_body(fwd_step)
+
     def seg_fwd(carry, xs_seg):
         def body(c2, x):
-            return fwd_step(c2, x), None
+            return stats_body(c2, x)[0], None
 
         out, _ = jax.lax.scan(body, carry, xs_seg)
-        return out, carry
+        return out, carry[0]
 
     xs_seg = jax.tree.map(
         lambda a: a.reshape(num_segments, seg, *a.shape[1:]), fwd_xs
     )
-    final_state, bounds = jax.lax.scan(seg_fwd, init_state, xs_seg)
+    (final_state, m), bounds = jax.lax.scan(
+        seg_fwd, (init_state, _stats_init(init_state)), xs_seg)
     adj_carry = terminal_fn(final_state)
 
     # 2. backward over segments (static Python loop): recompute the
@@ -119,8 +171,10 @@ def checkpointed_adjoint(
             lambda a: jax.lax.dynamic_slice_in_dim(a, s * seg, seg, axis=0),
             fwd_xs,
         )
-        seg_traj = forward_sweep(fwd_step, b0, sxs)
-        adj_traj = adjoint_sweep(adj_step, adj_carry, adj_xs_fn(seg_traj, s, seg))
+        seg_traj, mf = forward_sweep_stats(fwd_step, b0, sxs)
+        adj_traj, ma = adjoint_sweep_stats(
+            adj_step, adj_carry, adj_xs_fn(seg_traj, s, seg))
+        m = jnp.minimum(m, jnp.minimum(mf, ma))
         # segment s covers global indices s*seg..(s+1)*seg; its first entry
         # duplicates segment s-1's last — keep the full chunk only for s = 0
         chunks.append(
@@ -128,4 +182,4 @@ def checkpointed_adjoint(
         )
         adj_carry = jax.tree.map(lambda t: t[0], adj_traj)
     chunks.reverse()
-    return jax.tree.map(lambda *ts: jnp.concatenate(ts, axis=0), *chunks)
+    return jax.tree.map(lambda *ts: jnp.concatenate(ts, axis=0), *chunks), m
