@@ -770,8 +770,9 @@ def _dist_fwd_kernel(
         hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
         drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
         credit_dot=credit_dot,
-        tsend=tsend, trecv=trecv, tsend_sem=tsend_sem, trecv_sem=trecv_sem,
-        credit_tr=credit_tr)
+        **({"tsend": tsend, "trecv": trecv, "tsend_sem": tsend_sem,
+            "trecv_sem": trecv_sem, "credit_tr": credit_tr}
+           if precond == "dct" else {}))
     row0 = ops.row0
     if precond == "dct":
         prec_u = _dct_pinv_dist(ops, C_ref, ilamu_ref, ucur_ref.dtype)
@@ -899,8 +900,9 @@ def _dist_adj_kernel(
         hsend_sem=hsend_sem, hrecv_sem=hrecv_sem, dsend_sem=dsend_sem,
         drecv_sem=drecv_sem, credit_up=credit_up, credit_dn=credit_dn,
         credit_dot=credit_dot,
-        tsend=tsend, trecv=trecv, tsend_sem=tsend_sem, trecv_sem=trecv_sem,
-        credit_tr=credit_tr)
+        **({"tsend": tsend, "trecv": trecv, "tsend_sem": tsend_sem,
+            "trecv_sem": trecv_sem, "credit_tr": credit_tr}
+           if precond == "dct" else {}))
     row0 = ops.row0
     if precond == "dct":
         prec_p = _dct_pinv_dist(ops, C_ref, ilamu_ref, pcur_ref.dtype)
@@ -1029,7 +1031,11 @@ def _dist_adj_kernel(
 def _comm_scratch(nd, n, dtype, sbuf_rows, nl=None, transpose=False):
     """The communication scratch block shared by the sweep kernels;
     ``transpose=True`` appends the distributed-transpose tile buffers +
-    semaphores (ops.dtranspose, for the spectral DCT preconditioner)."""
+    semaphores (ops.dtranspose, for the spectral DCT preconditioner);
+    ``transpose="dummy"`` appends minimal placeholders so a kernel whose
+    signature declares the transpose refs can run precond="jacobi" without
+    the 2*nd*nl^2 dead VMEM (the kernel passes them as None to _make_ops,
+    so they are never read or signalled)."""
     out = [
         pltpu.VMEM((sbuf_rows, n), dtype),          # halo send up
         pltpu.VMEM((sbuf_rows, n), dtype),          # halo send down
@@ -1045,7 +1051,15 @@ def _comm_scratch(nd, n, dtype, sbuf_rows, nl=None, transpose=False):
         pltpu.SemaphoreType.REGULAR,                # credit: may send down
         pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
     ]
-    if transpose:
+    if transpose == "dummy":
+        out += [
+            pltpu.VMEM((1, 128), dtype),            # placeholders (unread)
+            pltpu.VMEM((1, 128), dtype),
+            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),
+            pltpu.SemaphoreType.DMA((max(nd - 1, 1),)),
+            pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),
+        ]
+    elif transpose:
         out += [
             pltpu.VMEM((nd, nl, nl), dtype),        # transpose send tiles
             pltpu.VMEM((nd, nl, nl), dtype),        # transpose recv tiles
@@ -1054,6 +1068,17 @@ def _comm_scratch(nd, n, dtype, sbuf_rows, nl=None, transpose=False):
             pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # tr credits
         ]
     return out
+
+
+def _dct_specs(n, use_dct, field_spec):
+    """in_specs for (C, ilam_u, ilam_v): the real (n, n) + per-device row
+    blocks under precond="dct", tiny placeholder blocks otherwise."""
+    if use_dct:
+        return [pl.BlockSpec((n, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                field_spec, field_spec]
+    dmy = pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return [dmy, dmy, dmy]
 
 
 def _slice_device_rows(K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, row0, nl):
@@ -1090,12 +1115,22 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
     """Per-device body run under shard_map: slice this device's operator
     rows, then run the whole sweep in one pallas_call."""
     me = jax.lax.axis_index(axis)
+    use_dct = precond == "dct"
     Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
         K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
-    ilamu_loc = jax.lax.dynamic_slice_in_dim(ilamu_rep, me * nl, nl, axis=0)
-    ilamv_loc = jax.lax.dynamic_slice_in_dim(ilamv_rep, me * nl, nl, axis=0)
-
     dtype = u0_loc.dtype
+    if use_dct:
+        C_in = C_rep
+        ilamu_loc = jax.lax.dynamic_slice_in_dim(ilamu_rep, me * nl, nl,
+                                                 axis=0)
+        ilamv_loc = jax.lax.dynamic_slice_in_dim(ilamv_rep, me * nl, nl,
+                                                 axis=0)
+    else:
+        # jacobi: the DCT operands are never read — pass tiny placeholders
+        # instead of the (n, n) plane + (nl, n) ilams (dead VMEM otherwise)
+        C_in = jnp.zeros((1, 128), dtype)
+        ilamu_loc = ilamv_loc = C_in
+
     kern = functools.partial(
         _dist_fwd_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
         chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
@@ -1117,10 +1152,7 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
         ),
         in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
-                  field, stencil_loc,
-                  pl.BlockSpec((n, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  field, field],
+                  field, stencil_loc] + _dct_specs(n, use_dct, field),
         out_specs=(frame, frame),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # u current
@@ -1133,11 +1165,12 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             pltpu.VMEM((nl + 4, n), dtype),      # u ext (2-row halo)
             pltpu.VMEM((nl + 4, n), dtype),      # v ext
             pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
-        ] + _comm_scratch(nd, n, dtype, 3, nl=nl, transpose=True),
+        ] + _comm_scratch(nd, n, dtype, 3, nl=nl,
+                          transpose=True if use_dct else "dummy"),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc,
-      C_rep, ilamu_loc, ilamv_loc)
+      C_in, ilamu_loc, ilamv_loc)
     u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
     return u_traj, v_traj
@@ -1150,12 +1183,20 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
                       iters, cheb_iters, wts5, bary5, wts4, bary4, h2,
                       grads, warm, has_mis, reaction, precond):
     me = jax.lax.axis_index(axis)
+    use_dct = precond == "dct"
     Kx, M_loc, Md_loc, ML_loc, Mat2_loc = _slice_device_rows(
         K_rep, M_rep, Md_rep, ML_rep, Mat2_rep, me * nl, nl)
-    ilamu_loc = jax.lax.dynamic_slice_in_dim(ilamu_rep, me * nl, nl, axis=0)
-    ilamv_loc = jax.lax.dynamic_slice_in_dim(ilamv_rep, me * nl, nl, axis=0)
-
     dtype = pT_loc.dtype
+    if use_dct:
+        C_in = C_rep
+        ilamu_loc = jax.lax.dynamic_slice_in_dim(ilamu_rep, me * nl, nl,
+                                                 axis=0)
+        ilamv_loc = jax.lax.dynamic_slice_in_dim(ilamv_rep, me * nl, nl,
+                                                 axis=0)
+    else:
+        C_in = jnp.zeros((1, 128), dtype)
+        ilamu_loc = ilamv_loc = C_in
+
     kern = functools.partial(
         _dist_adj_kernel, axis=axis, n=n, nl=nl, nd=nd, dt=dt, Dm=Dm,
         chi=chi, eta=eta, inv_r=inv_r, tol=tol, iters=iters,
@@ -1181,10 +1222,8 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
-                  stencil_ext, stencil_loc, field, field, stencil_loc,
-                  pl.BlockSpec((n, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  field, field],
+                  stencil_ext, stencil_loc, field, field, stencil_loc]
+                 + _dct_specs(n, use_dct, field),
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # p current
@@ -1199,11 +1238,12 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
             pltpu.VMEM((nl + 2, n), dtype),      # c ext (1-row halo)
             pltpu.VMEM((nl + 2, n), dtype),      # q ext
             pltpu.VMEM((nl + 2, n), dtype),      # p ext
-        ] + _comm_scratch(nd, n, dtype, 6, nl=nl, transpose=True),
+        ] + _comm_scratch(nd, n, dtype, 6, nl=nl,
+                          transpose=True if use_dct else "dummy"),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
-      Kx, M_loc, Md_loc, ML_loc, Mat2_loc, C_rep, ilamu_loc, ilamv_loc)
+      Kx, M_loc, Md_loc, ML_loc, Mat2_loc, C_in, ilamu_loc, ilamv_loc)
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
     return p_traj, q_traj

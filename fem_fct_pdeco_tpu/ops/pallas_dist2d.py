@@ -528,7 +528,10 @@ def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k, gather=False):
     halo buffers (nlr + 2*row_k, col_k) (column phase ships row-extended
     columns), the dot all-to-all block, and the credit semaphores.
     ``gather=True`` appends the per-axis block all-gather buffers of the
-    2-D DCT preconditioner (allgather_x / allgather_y)."""
+    2-D DCT preconditioner (allgather_x / allgather_y);
+    ``gather="dummy"`` appends minimal placeholders so the chemotaxis
+    kernels can run precond="jacobi" without the dead all-gather VMEM
+    (the kernel passes the refs as None to _make_ops2d)."""
     nd = nr * nc
     out = [
         pltpu.VMEM((row_k, nlc), dtype),            # row send up
@@ -553,7 +556,20 @@ def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k, gather=False):
         pltpu.SemaphoreType.REGULAR,                # credit right
         pltpu.SemaphoreType.REGULAR((max(nd - 1, 1),)),  # dot credits
     ]
-    if gather:
+    if gather == "dummy":
+        out += [
+            pltpu.VMEM((1, 1, 128), dtype),         # placeholders (unread)
+            pltpu.VMEM((1, 1, 128), dtype),
+            pltpu.VMEM((1, 1, 128), dtype),
+            pltpu.VMEM((1, 1, 128), dtype),
+            pltpu.SemaphoreType.DMA((max(nr - 1, 1),)),
+            pltpu.SemaphoreType.DMA((max(nr - 1, 1),)),
+            pltpu.SemaphoreType.DMA((max(nc - 1, 1),)),
+            pltpu.SemaphoreType.DMA((max(nc - 1, 1),)),
+            pltpu.SemaphoreType.REGULAR((max(nr - 1, 1),)),
+            pltpu.SemaphoreType.REGULAR((max(nc - 1, 1),)),
+        ]
+    elif gather:
         out += [
             pltpu.VMEM((1, nlr, nlc), dtype),       # allgather-x send stage
             pltpu.VMEM((nr, nlr, nlc), dtype),      # allgather-x recv slots
@@ -765,10 +781,11 @@ def _dist2d_fwd_kernel(
         crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
         credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
         credit_rt=credit_rt, credit_dot=credit_dot,
-        agx_s=agx_s, agx_r=agx_r, agy_s=agy_s, agy_r=agy_r,
-        agx_send_sem=agx_send_sem, agx_recv_sem=agx_recv_sem,
-        agy_send_sem=agy_send_sem, agy_recv_sem=agy_recv_sem,
-        credit_agx=credit_agx, credit_agy=credit_agy)
+        **({"agx_s": agx_s, "agx_r": agx_r, "agy_s": agy_s,
+            "agy_r": agy_r, "agx_send_sem": agx_send_sem,
+            "agx_recv_sem": agx_recv_sem, "agy_send_sem": agy_send_sem,
+            "agy_recv_sem": agy_recv_sem, "credit_agx": credit_agx,
+            "credit_agy": credit_agy} if precond == "dct" else {}))
     if precond == "dct":
         prec_u = _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref,
                                   ilamu_ref, ucur_ref.dtype)
@@ -876,8 +893,13 @@ def _slice_dct2d(C_rep, ilamu_rep, ilamv_rep, r0, c0, nlr, nlc):
     return Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc
 
 
-def _dct2d_specs(nlr, nlc, n):
-    """in_specs for the six DCT-preconditioner kernel inputs."""
+def _dct2d_specs(nlr, nlc, n, use_dct=True):
+    """in_specs for the six DCT-preconditioner kernel inputs (tiny
+    placeholders under precond="jacobi", where they are never read)."""
+    if not use_dct:
+        dmy = pl.BlockSpec((1, 128), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+        return [dmy] * 6
     row_slice = pl.BlockSpec((nlr, n), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     col_slice = pl.BlockSpec((nlc, n), lambda i: (0, 0),
@@ -901,10 +923,16 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
     Mat2_loc = _slice_block(Mat2_rep, r0, c0, nlr, nlc)
     Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
     ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
-    Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc = _slice_dct2d(
-        C_rep, ilamu_rep, ilamv_rep, r0, c0, nlr, nlc)
-
     dtype = u0_loc.dtype
+    use_dct = precond == "dct"
+    if use_dct:
+        Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc = _slice_dct2d(
+            C_rep, ilamu_rep, ilamv_rep, r0, c0, nlr, nlc)
+    else:
+        # jacobi: the DCT operands are never read — tiny placeholders
+        Cr = jnp.zeros((1, 128), dtype)
+        Cc = CTr = CTc = ilamu_loc = ilamv_loc = Cr
+
     kern = functools.partial(
         _dist2d_fwd_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
         nr=nr, nc=nc, dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r, tol=tol,
@@ -927,7 +955,7 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
         ),
         in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
-                  field, stencil_loc] + _dct2d_specs(nlr, nlc, n),
+                  field, stencil_loc] + _dct2d_specs(nlr, nlc, n, use_dct),
         out_specs=(frame, frame),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),            # u current
@@ -938,7 +966,7 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
             pltpu.VMEM((9, nlr, nlc), dtype),         # D
             pltpu.VMEM((nlr + 2, nlc + 2), dtype),    # hpad
         ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2,
-                            gather=True),
+                            gather=True if use_dct else "dummy"),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(c_loc[1:], u0_loc, v0_loc, Kx, M_loc, Md_loc, ML_loc, Mat2_loc,
@@ -1040,10 +1068,11 @@ def _dist2d_adj_kernel(
         crecv_sem=crecv_sem, dsend_sem=dsend_sem, drecv_sem=drecv_sem,
         credit_up=credit_up, credit_dn=credit_dn, credit_lf=credit_lf,
         credit_rt=credit_rt, credit_dot=credit_dot,
-        agx_s=agx_s, agx_r=agx_r, agy_s=agy_s, agy_r=agy_r,
-        agx_send_sem=agx_send_sem, agx_recv_sem=agx_recv_sem,
-        agy_send_sem=agy_send_sem, agy_recv_sem=agy_recv_sem,
-        credit_agx=credit_agx, credit_agy=credit_agy)
+        **({"agx_s": agx_s, "agx_r": agx_r, "agy_s": agy_s,
+            "agy_r": agy_r, "agx_send_sem": agx_send_sem,
+            "agx_recv_sem": agx_recv_sem, "agy_send_sem": agy_send_sem,
+            "agy_recv_sem": agy_recv_sem, "credit_agx": credit_agx,
+            "credit_agy": credit_agy} if precond == "dct" else {}))
     if precond == "dct":
         prec_p = _dct_pinv_dist2d(ops, Cr_ref, Cc_ref, CTr_ref, CTc_ref,
                                   ilamp_ref, pcur_ref.dtype)
@@ -1151,10 +1180,14 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
     Mat2_loc = _slice_block(Mat2_rep, r0, c0, nlr, nlc)
     Md_loc = _slice_block(Md_rep, r0, c0, nlr, nlc)
     ML_loc = _slice_block(ML_rep, r0, c0, nlr, nlc)
-    Cr, Cc, CTr, CTc, ilamp_loc, ilamq_loc = _slice_dct2d(
-        C_rep, ilamp_rep, ilamq_rep, r0, c0, nlr, nlc)
-
     dtype = pT_loc.dtype
+    use_dct = precond == "dct"
+    if use_dct:
+        Cr, Cc, CTr, CTc, ilamp_loc, ilamq_loc = _slice_dct2d(
+            C_rep, ilamp_rep, ilamq_rep, r0, c0, nlr, nlc)
+    else:
+        Cr = jnp.zeros((1, 128), dtype)
+        Cc = CTr = CTc = ilamp_loc = ilamq_loc = Cr
     kern = functools.partial(
         _dist2d_adj_kernel, ax_r=ax_r, ax_c=ax_c, n=n, nlr=nlr, nlc=nlc,
         nr=nr, nc=nc, dt=dt, Dm=Dm, chi=chi, eta=eta, inv_r=inv_r, tol=tol,
@@ -1181,7 +1214,7 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
                   stencil_ext, stencil_loc, field, field, stencil_loc]
-        + _dct2d_specs(nlr, nlc, n),
+        + _dct2d_specs(nlr, nlc, n, use_dct),
         out_specs=(rev, rev),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),            # p current
@@ -1192,7 +1225,7 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
             pltpu.VMEM((9, nlr, nlc), dtype),         # D
             pltpu.VMEM((nlr + 2, nlc + 2), dtype),    # hpad
         ] + _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k=2, col_k=2,
-                            gather=True),
+                            gather=True if use_dct else "dummy"),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
