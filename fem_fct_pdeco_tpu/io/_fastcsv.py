@@ -48,6 +48,15 @@ def _load():
     lib.fastcsv_parse_mt.restype = ctypes.c_int
     lib.fastcsv_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
     lib.fastcsv_free.restype = None
+    lib.fastcsv_write_mt.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.fastcsv_write_mt.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -72,3 +81,20 @@ def parse_file(path: str, threads: int = 0) -> np.ndarray:
         if count.value:
             lib.fastcsv_free(out)
     return arr
+
+
+def write_file(values, path: str, threads: int = 0, append: bool = False,
+               lead_sep: bool = False) -> None:
+    """Write a 1-D float64 array as one comma-separated ASCII line
+    (shortest-round-trip formatting; the reference's tofile(sep=',')
+    layout). ``append`` extends an existing file; ``lead_sep`` emits a
+    leading comma first (streaming-chunk continuation). Chunks are
+    formatted in parallel but written in order — the bytes are
+    independent of ``threads``."""
+    lib = _load()
+    arr = np.ascontiguousarray(values, dtype=np.float64).reshape(-1)
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = lib.fastcsv_write_mt(ptr, arr.size, str(path).encode(), threads,
+                              1 if append else 0, 1 if lead_sep else 0)
+    if rc != 0:
+        raise OSError(f"fastcsv_write failed with code {rc} for {path}")

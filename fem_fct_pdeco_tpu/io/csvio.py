@@ -42,12 +42,42 @@ def load_trajectory_csv(path: str, grid: Grid, num_steps: int | None = None) -> 
     return grid.field_from_dof(data.reshape(frames, nodes))
 
 
+def _write_flat(flat: np.ndarray, path: str, append: bool = False,
+                lead_sep: bool = False) -> None:
+    """Write a flat value array in the reference's one-line CSV layout,
+    through the native multithreaded writer when built (shortest
+    round-trip formatting — values survive write+parse bit-identically);
+    numpy ``tofile(sep=',')`` is the fallback. Both spellings parse to
+    the same float64s."""
+    try:
+        from fem_fct_pdeco_tpu.io import _fastcsv
+
+        _fastcsv.write_file(flat, path, append=append, lead_sep=lead_sep)
+        return
+    except Exception:
+        pass
+    if not append:
+        flat.tofile(path, sep=",")
+        return
+    import shutil
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as tf:
+        tmp = tf.name
+    flat.tofile(tmp, sep=",")
+    with open(path, "ab") as out, open(tmp, "rb") as src:
+        if lead_sep:
+            out.write(b",")
+        shutil.copyfileobj(src, out)
+    os.remove(tmp)
+
+
 def save_trajectory_csv(path: str, traj, grid: Grid) -> None:
     """Save (frames, n, n) vertex-ordered fields as a flat DoF-ordered CSV
     (the reference's ``tofile(..., sep=',')`` layout)."""
     traj = np.asarray(traj)
     flat = grid.field_to_dof(traj).reshape(-1)
-    flat.tofile(path, sep=",")
+    _write_flat(flat, path)
 
 
 def append_trajectory_csv(path: str, traj, grid: Grid, first: bool = False) -> None:

@@ -201,3 +201,80 @@ int fastcsv_parse(const char* path, double** out, long* count) {
 void fastcsv_free(double* p) { free(p); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded CSV WRITER: the inverse of the parser. Formats `count`
+// doubles as comma-separated shortest-round-trip ASCII (std::to_chars,
+// C++17) — the layout the reference produces with ndarray.tofile(sep=',')
+// (Schnak_FCT_PDECO_refactored.py:271). Values survive a write+parse
+// round trip bit-identically; chunks are formatted in parallel (one
+// worker per ~4 MB of output) and written sequentially in order, so the
+// file is independent of the thread count.
+// ---------------------------------------------------------------------------
+
+#include <charconv>
+#include <string>
+
+namespace {
+
+void format_range(const double* vals, long lo, long hi, bool lead_sep,
+                  std::string* out) {
+    out->reserve((size_t)(hi - lo) * 26 + 2);
+    char tmp[40];
+    for (long i = lo; i < hi; ++i) {
+        if (i > lo || lead_sep) out->push_back(',');
+        auto res = std::to_chars(tmp, tmp + sizeof(tmp), vals[i]);
+        out->append(tmp, res.ptr);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Write `count` doubles to `path` as one comma-separated line.
+// `append` != 0 opens in append mode; `lead_sep` != 0 emits a leading
+// comma before the first value (the streaming-chunk continuation of
+// io/csvio.append_trajectory_csv). Returns 0 on success.
+int fastcsv_write_mt(const double* vals, long count, const char* path,
+                     int max_threads, int append, int lead_sep) {
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) return 1;
+    if (count <= 0) { fclose(f); return 0; }
+
+    long hw = (long)std::thread::hardware_concurrency();
+    if (hw < 1) hw = 1;
+    long want = max_threads == 0 ? hw : (long)max_threads;
+    if (want > 64) want = 64;
+    // ~4 MB of ASCII output per worker (~170k values)
+    long by_size = max_threads == 0 ? count / 170000 + 1 : count;
+    long T = want < by_size ? want : by_size;
+    if (T < 1) T = 1;
+    if (T > count) T = count;
+
+    std::vector<std::string> bufs((size_t)T);
+    if (T == 1) {
+        format_range(vals, 0, count, lead_sep != 0, &bufs[0]);
+    } else {
+        std::vector<std::thread> workers;
+        workers.reserve((size_t)T);
+        for (long i = 0; i < T; ++i) {
+            long lo = (count * i) / T;
+            long hi = (count * (i + 1)) / T;
+            bool ls = (i == 0) ? (lead_sep != 0) : true;
+            workers.emplace_back(format_range, vals, lo, hi, ls, &bufs[i]);
+        }
+        for (auto& w : workers) w.join();
+    }
+    int rc = 0;
+    for (auto& b : bufs) {
+        if (!b.empty() && fwrite(b.data(), 1, b.size(), f) != b.size()) {
+            rc = 2;
+            break;
+        }
+    }
+    if (fclose(f) != 0 && rc == 0) rc = 3;
+    return rc;
+}
+
+}  // extern "C"

@@ -158,3 +158,55 @@ def test_streamed_generation_matches_unchunked(tmp_path):
         b = np.array([float(x) for x in open(os.path.join(d2, name)).read().split(",")])
         assert a.shape == b.shape, name
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-13)
+
+
+def test_native_writer_roundtrip(tmp_path):
+    """The native multithreaded CSV writer (fastcsv_write_mt): values
+    survive a write+parse round trip BIT-identically (shortest-round-trip
+    formatting), the bytes are independent of the thread count, and
+    append/lead_sep chunking reproduces the one-shot file exactly."""
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.io import _fastcsv
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.randn(10000) * 10.0 ** rng.randint(-30, 30, 10000),
+        np.array([0.0, -0.0, 1.0, -1.0, 0.1, 1e-300, 1e300, 123456789.0]),
+    ])
+    p1 = str(tmp_path / "a.csv")
+    _fastcsv.write_file(vals, p1, threads=1)
+    assert np.array_equal(_fastcsv.parse_file(p1), vals)
+
+    p4 = str(tmp_path / "b.csv")
+    _fastcsv.write_file(vals, p4, threads=4)
+    assert open(p1, "rb").read() == open(p4, "rb").read()
+
+    pc = str(tmp_path / "c.csv")
+    _fastcsv.write_file(vals[:3000], pc, threads=4)
+    _fastcsv.write_file(vals[3000:], pc, threads=4, append=True,
+                        lead_sep=True)
+    assert open(p1, "rb").read() == open(pc, "rb").read()
+
+
+def test_save_trajectory_uses_native_writer(tmp_path):
+    """save/append_trajectory_csv produce load-identical files through the
+    native writer, including the chunked streaming path."""
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.io.csvio import (append_trajectory_csv,
+                                            load_trajectory_csv,
+                                            save_trajectory_csv)
+
+    g = Grid(0.0, 1.0, 9)
+    rng = np.random.RandomState(11)
+    traj = rng.randn(5, 9, 9)
+    p = str(tmp_path / "t.csv")
+    save_trajectory_csv(p, traj, g)
+    assert np.array_equal(load_trajectory_csv(p, g), traj)
+
+    pa = str(tmp_path / "t2.csv")
+    append_trajectory_csv(pa, traj[:2], g, first=True)
+    append_trajectory_csv(pa, traj[2:], g)
+    assert open(p, "rb").read() == open(pa, "rb").read()
