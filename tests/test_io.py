@@ -210,3 +210,22 @@ def test_save_trajectory_uses_native_writer(tmp_path):
     append_trajectory_csv(pa, traj[:2], g, first=True)
     append_trajectory_csv(pa, traj[2:], g)
     assert open(p, "rb").read() == open(pa, "rb").read()
+
+
+def test_registry_schema_upgrade(tmp_path):
+    """append_results_row upgrades an old-header registry in place when a
+    new column appears (union header, old rows blank-filled) instead of
+    silently appending misaligned fields."""
+    import csv
+
+    from fem_fct_pdeco_tpu.io import append_results_row
+
+    p = str(tmp_path / "reg.csv")
+    append_results_row(p, {"a": 1, "status": "ok"})
+    append_results_row(p, {"a": 2, "new_col": 7.5, "status": "ok"})
+    append_results_row(p, {"a": 3, "status": "ok"})  # fewer keys: blank fill
+    with open(p, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["a"] for r in rows] == ["1", "2", "3"]
+    assert rows[0]["new_col"] == "" and rows[1]["new_col"] == "7.5"
+    assert all(len(r) == 4 for r in rows)  # timestamp, a, status, new_col
