@@ -137,14 +137,15 @@ class AdvectionModel(ModelBase):
                         load = control_traj[1:]
                         if has_src:
                             load = load + rest[0][1:]  # rhs = M(c + f)
-                        frames = dist_scalar_fct_sweep(
+                        frames, stats = dist_scalar_fct_sweep(
                             load[:, None], u0, self.A_state, self.M,
                             self.M_diag, self.ML_diag, self.mesh,
                             h=self.grid.h, dt=dt, tol=self.solver_opts.tol,
                             load_is_mass=True, iters=self.solver_opts.maxiter,
+                            with_stats=True,
                         )
                         return (jnp.concatenate([u0[None], frames], axis=0),
-                                None)
+                                stats)
 
                     return run_dist
             if self.backend == "pallas_fused":
@@ -231,14 +232,15 @@ class AdvectionModel(ModelBase):
 
                             loads = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
                                 uhat[:-1], u_traj[:-1])
-                        frames = dist_scalar_fct_sweep(
+                        frames, stats = dist_scalar_fct_sweep(
                             loads[:, None], pT, self.A_adjoint, self.M,
                             self.M_diag, self.ML_diag, self.mesh, h=self.grid.h,
                             dt=dt, tol=self.solver_opts.tol, load_is_mass=False,
                             reverse=True, iters=self.solver_opts.maxiter,
+                            with_stats=True,
                         )
                         return (jnp.concatenate([frames, pT[None]], axis=0),
-                                None)
+                                stats)
 
                     return run_dist
             if self.backend == "pallas_fused":
@@ -456,15 +458,16 @@ class DriftControlModel(ModelBase):
                 from fem_fct_pdeco_tpu.ops.pallas_dist import dist_drift_fct_sweep
 
                 def run_dist(c, u0):
-                    frames = dist_drift_fct_sweep(
+                    frames, stats = dist_drift_fct_sweep(
                         c[1:][:, None], u0,
                         self.eps * self.K - self.Nrot, self.M, self.M_diag,
                         self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
                         sign=-1.0, drift=self.drift,
                         tol=self.solver_opts.tol,
-                        iters=self.solver_opts.maxiter,
+                        iters=self.solver_opts.maxiter, with_stats=True,
                     )
-                    return jnp.concatenate([u0[None], frames], axis=0), None
+                    return (jnp.concatenate([u0[None], frames], axis=0),
+                            stats)
 
                 return run_dist
             if self.backend == "pallas_fused":
@@ -525,10 +528,7 @@ class DriftControlModel(ModelBase):
                             self.M_diag, self.ML_diag]
                     if extra:
                         args.append(self.mesh)
-                        p = sweep_fn(*args, **kw)
-                        stats = None
-                    else:
-                        p, stats = sweep_fn(*args, with_stats=True, **kw)
+                    p, stats = sweep_fn(*args, with_stats=True, **kw)
                     return jnp.concatenate([p, pT[None]], axis=0), stats
 
                 return run_kern

@@ -317,8 +317,16 @@ class ModelBase:
 
     def _call_sweep(self, fn, *args):
         """Run a jitted sweep built on the (result, stats) contract: stash
-        the telemetry, hand back the result unchanged."""
+        the telemetry, hand back the result unchanged. Dist sweeps running
+        in TPU interpret mode are materialized before returning
+        (pallas_dist._sync_interpret rationale: queuing dependent eager
+        work while the interpreter's io_callbacks are in flight can
+        deadlock the host executor; no-op on real TPU)."""
         res, stats = fn(*args)
+        if self.backend == "pallas_dist":
+            from fem_fct_pdeco_tpu.ops.pallas_dist import _sync_interpret
+
+            _sync_interpret(res, stats)
         self._stash_invariants(stats)
         return res
 

@@ -235,6 +235,12 @@ class ChemotaxisModel(ModelBase):
     # BEFORE the first forward() — the jitted sweep is cached per dt.
     lane_aligned = False
 
+    # Krylov preconditioner for the DIST (RDMA) sweeps: "dct" (default,
+    # distributed spectral inverse) or "jacobi" (no replicated DCT plane /
+    # transpose buffers — smaller per-device VMEM, more iterations). Set
+    # BEFORE the first dist sweep (cached per dt).
+    dist_precond = "dct"
+
     def _uses_dist_sweep(self):
         if self.backend != "pallas_dist":
             return False
@@ -254,14 +260,15 @@ class ChemotaxisModel(ModelBase):
 
             def run_dist(control_traj, u0, v0):
                 Mat2 = self._rd_matrix(dt)
-                return (dist_chemotaxis_forward_sweep(
+                *res, stats = dist_chemotaxis_forward_sweep(
                     control_traj, u0, v0, self.K, self.M, self.M_diag,
                     self.ML_diag, Mat2, self.mesh, h=self.grid.h, dt=dt,
                     Dm=p.Dm, chi=p.chi, eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol,
                     iters=self.solver_opts.maxiter,
-                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta),
-                        None)
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta,
+                    precond=self.dist_precond, with_stats=True)
+                return tuple(res), stats
 
             return run_dist
         if self._uses_fused_sweep():
@@ -439,15 +446,16 @@ class ChemotaxisModel(ModelBase):
                     if self.consistent_alltime_misfit:
                         mis_u = jax.vmap(lambda m: st.apply(self.M, m))(mis_u)
                         mis_v = jax.vmap(lambda m: st.apply(self.M, m))(mis_v)
-                return (dist_chemotaxis_adjoint_sweep(
+                *res, stats = dist_chemotaxis_adjoint_sweep(
                     u_traj, v_traj, control_traj, pT, qT, self.K, self.M,
                     self.M_diag, self.ML_diag, Mat2, self.mesh, mis_u,
                     mis_v, h=self.grid.h, dt=dt, Dm=p.Dm, chi=p.chi,
                     eta=p.eta, rescaling=self.rescaling,
                     tol=self.solver_opts.tol,
                     iters=self.solver_opts.maxiter,
-                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta),
-                        None)
+                    reaction=self._fused_reaction, Df=p.Df, delta=p.delta,
+                    precond=self.dist_precond, with_stats=True)
+                return tuple(res), stats
 
             return run_dist
         if self._uses_fused_sweep():

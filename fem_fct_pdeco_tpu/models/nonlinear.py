@@ -99,14 +99,15 @@ class NonlinearModel(ModelBase):
                     dist_scalar_fct_sweep)
 
                 def run_dist(c, u0):
-                    frames = dist_scalar_fct_sweep(
+                    frames, stats = dist_scalar_fct_sweep(
                         c[1:, None], u0, self.A_state, self.M, self.M_diag,
                         self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, nonflux_mode=+1,
                         load_is_mass=True, iters=self.solver_opts.maxiter,
+                        with_stats=True,
                     )
                     return ((jnp.concatenate([u0[None], frames], axis=0),),
-                            None)
+                            stats)
 
                 return run_dist
             if self.backend == "pallas_fused":
@@ -161,15 +162,15 @@ class NonlinearModel(ModelBase):
                 def run_dist(u_traj, uhat):
                     pT, mis = terminal(u_traj, uhat)
                     loads = jnp.stack([mis, u_traj[:-1]], axis=1)
-                    frames = dist_scalar_fct_sweep(
+                    frames, stats = dist_scalar_fct_sweep(
                         loads, pT, self.A_adjoint, self.M, self.M_diag,
                         self.ML_diag, self.mesh, h=self.grid.h, dt=dt,
                         tol=self.solver_opts.tol, nonflux_mode=-1,
                         load_is_mass=False, reverse=True,
-                        iters=self.solver_opts.maxiter,
+                        iters=self.solver_opts.maxiter, with_stats=True,
                     )
                     return ((jnp.concatenate([frames, pT[None]], axis=0),),
-                            None)
+                            stats)
 
                 return run_dist
             if self.backend == "pallas_fused":

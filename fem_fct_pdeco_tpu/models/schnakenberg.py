@@ -218,12 +218,13 @@ class SchnakenbergModel(ModelBase):
 
                 def run_dist(c, u0, v0):
                     Mbase_v = self.M + dt * self.B_v
-                    return (dist_schnak_forward_sweep(
+                    *res, stats = dist_schnak_forward_sweep(
                         c, u0, v0, self.A_u, self.M, self.M_diag,
                         self.ML_diag, Mbase_v, self.mesh, h=self.grid.h,
                         dt=dt, gamma=p.gamma, c_b=p.c_b,
                         rescaling=self.rescaling, tol=self.solver_opts.tol,
-                        iters=self.solver_opts.maxiter), None)
+                        iters=self.solver_opts.maxiter, with_stats=True)
+                    return tuple(res), stats
 
                 return run_dist
             if self.backend == "pallas_fused":
@@ -326,12 +327,13 @@ class SchnakenbergModel(ModelBase):
                             uhat[:-1], u_traj[:-1])
                         mis_v = jax.vmap(lambda a, b: st.apply(self.M, a - b))(
                             vhat[:-1], v_traj[:-1])
-                    return (dist_schnak_adjoint_sweep(
+                    *res, stats = dist_schnak_adjoint_sweep(
                         u_traj, v_traj, pT, qT, self.A_u_adj, self.M,
                         self.M_diag, self.ML_diag, Mbase_q, self.mesh,
                         mis_u, mis_v, h=self.grid.h, dt=dt, gamma=p.gamma,
                         tol=self.solver_opts.tol,
-                        iters=self.solver_opts.maxiter), None)
+                        iters=self.solver_opts.maxiter, with_stats=True)
+                    return tuple(res), stats
 
                 return run_dist
             if self.backend == "pallas_fused":

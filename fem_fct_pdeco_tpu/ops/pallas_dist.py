@@ -59,7 +59,8 @@ from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS, opposite
 from fem_fct_pdeco_tpu.ops.assembly import TRI_CORNERS, _offset_index
 from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 from fem_fct_pdeco_tpu.ops.pallas_fused import (
-    _moments, _quad_consts, _safe_div)
+    _INV_BLOCK, _inv_init, _inv_shape, _inv_spec, _moments, _quad_consts,
+    _safe_div)
 
 
 # Flip on (tests) to run the interpret-mode data-race detector over the
@@ -72,6 +73,23 @@ def _dist_interp():
     if jax.default_backend() == "tpu":
         return False
     return pltpu.InterpretParams(detect_races=_DETECT_RACES)
+
+
+def _sync_interpret(*arrays):
+    """Interpret mode ONLY: materialize a dist sweep's outputs before
+    returning them. Dependent eager work queued while the interpreter's
+    io_callback store threads are still in flight can deadlock the host
+    executor (observed deterministically on a 1-CPU host with a warm
+    compile cache: four callback threads blocked in interpret store, the
+    main thread blocked dispatching a dependent primitive). Serializing
+    at the sweep boundary removes the hazard; no-op on real TPU. Inside
+    an outer trace (the models' jitted sweeps) this is a no-op too —
+    ModelBase._call_sweep syncs after the jitted call instead."""
+    if _dist_interp():
+        leaves = jax.tree_util.tree_leaves(arrays)
+        if any(isinstance(a, jax.core.Tracer) for a in leaves):
+            return
+        jax.block_until_ready(arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -579,7 +597,7 @@ def _dct_pinv_dist(ops, C_ref, ilam_ref, dtype):
 
 def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
                    u_prev, rhs, x0, *, n, nl, dt, cheb_iters, S=None,
-                   prec=None):
+                   prec=None, inv_ref=None):
     """Distributed FCT step tail, given the assembled flux matrix in the
     row-extended Aext_ref (ext row e = global row row0-2+e): artificial
     diffusion -> Low (in place, local rows) -> distributed BiCGStab ->
@@ -614,6 +632,15 @@ def _dist_fct_tail(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
         if d == CENTER:
             plane = plane + ML
         Aext_ref[d, 2 : nl + 2, :] = plane
+    if inv_ref is not None:
+        # always-on M-matrix telemetry (helpers.py:1784-1810): min LOCAL
+        # row sum of Low, min-accumulated across the sweep; the host
+        # reduces the per-device blocks to the global min
+        rs = None
+        for d in range(9):
+            pl_ = Aext_ref[d, 2 : nl + 2, :]
+            rs = pl_ if rs is None else rs + pl_
+        inv_ref[:, :] = jnp.minimum(inv_ref[:, :], jnp.min(rs))
 
     low_at = lambda d: Aext_ref[d, 2 : nl + 2, :]
 
@@ -749,7 +776,7 @@ def _dist_fwd_kernel(
     c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
     C_ref, ilamu_ref, ilamv_ref,
     # outputs
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     # scratch
     ucur_ref, vcur_ref, uprev_ref, vprev_ref,
     Aext_ref, D_ref, hpad_ref,
@@ -792,6 +819,7 @@ def _dist_fwd_kernel(
         cext_ref[:, :] = jnp.zeros_like(cext_ref)
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -856,7 +884,7 @@ def _dist_fwd_kernel(
     u_np1 = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         u_n, rhs_u, x0u, n=n, nl=nl, dt=dt,
-        cheb_iters=cheb_iters, prec=prec_u)
+        cheb_iters=cheb_iters, prec=prec_u, inv_ref=inv_ref)
 
     uprev_ref[:, :] = u_n
     vprev_ref[:, :] = v_n
@@ -876,7 +904,7 @@ def _dist_adj_kernel(
     Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
     C_ref, ilamu_ref, ilamv_ref,
     # outputs
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     # scratch
     pcur_ref, qcur_ref, pprev_ref, qprev_ref,
     Aext_ref, D_ref, hpad_ref,
@@ -924,6 +952,7 @@ def _dist_adj_kernel(
         pext_ref[:, :] = jnp.zeros_like(pext_ref)
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -991,7 +1020,7 @@ def _dist_adj_kernel(
     p_n = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         p_np1, rhs, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S,
-        prec=prec_p)
+        prec=prec_p, inv_ref=inv_ref)
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
     thp, bhp = ops.exchange(p_n[0:1, :], p_n[nl - 1 : nl, :])
@@ -1144,16 +1173,17 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
                                memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            _inv_shape(dtype),
         ),
         in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
                   field, stencil_loc] + _dct_specs(n, use_dct, field),
-        out_specs=(frame, frame),
+        out_specs=(frame, frame, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # u current
             pltpu.VMEM((nl, n), dtype),          # v current
@@ -1173,7 +1203,7 @@ def _device_sweep(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
       C_in, ilamu_loc, ilamv_loc)
     u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
-    return u_traj, v_traj
+    return u_traj, v_traj, inv
 
 
 def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
@@ -1214,17 +1244,18 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
                        memory_space=pltpu.VMEM)
     mis_spec = rev if has_mis else pl.BlockSpec(
         (1, nl, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            _inv_shape(dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
                   stencil_ext, stencil_loc, field, field, stencil_loc]
                  + _dct_specs(n, use_dct, field),
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # p current
             pltpu.VMEM((nl, n), dtype),          # q current
@@ -1246,7 +1277,7 @@ def _device_adj_sweep(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc,
       Kx, M_loc, Md_loc, ML_loc, Mat2_loc, C_in, ilamu_loc, ilamv_loc)
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
-    return p_traj, q_traj
+    return p_traj, q_traj, inv
 
 
 def _resolve_mesh(mesh, axis, n):
@@ -1263,7 +1294,7 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                   rescaling, tol=1e-6, iters=60,
                                   cheb_iters=20, warm=True, reaction=None,
                                   axis=None, precond="dct", Df=None,
-                                  delta=None):
+                                  delta=None, with_stats=False):
     """Multi-chip fused chemotaxis forward sweep over a 1-D device axis.
 
     Semantics identical to pallas_fused.fused_chemotaxis_forward_sweep
@@ -1282,7 +1313,7 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
             c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, mesh, h=h, dt=dt,
             Dm=Dm, chi=chi, eta=eta, rescaling=rescaling, tol=tol,
             iters=iters, cheb_iters=cheb_iters, warm=warm, reaction=reaction,
-            precond=precond, Df=Df, delta=delta)
+            precond=precond, Df=Df, delta=delta, with_stats=with_stats)
 
     n = u0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1314,10 +1345,15 @@ def dist_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         body, mesh=mesh,
         in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3,
                   rep2, rep2, rep2),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(axis, None)),
         check_vma=False,
     )
-    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, C, ilam_u, ilam_v)
+    u_traj, v_traj, inv = fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2,
+                             C, ilam_u, ilam_v)
+    _sync_interpret(u_traj, v_traj, inv)
+    if with_stats:
+        return u_traj, v_traj, jnp.min(inv)
+    return u_traj, v_traj
 
 
 def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
@@ -1326,7 +1362,7 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                   rescaling, tol=1e-6, iters=60,
                                   cheb_iters=20, warm=True, reaction=None,
                                   axis=None, precond="dct", Df=None,
-                                  delta=None):
+                                  delta=None, with_stats=False):
     """Multi-chip fused chemotaxis adjoint sweep (reverse-streamed frames).
 
     Semantics identical to pallas_fused.fused_chemotaxis_adjoint_sweep
@@ -1345,7 +1381,7 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
             mesh, mis_u, mis_v, h=h, dt=dt, Dm=Dm, chi=chi, eta=eta,
             rescaling=rescaling, tol=tol, iters=iters,
             cheb_iters=cheb_iters, warm=warm, reaction=reaction,
-            precond=precond, Df=Df, delta=delta)
+            precond=precond, Df=Df, delta=delta, with_stats=with_stats)
 
     n = pT.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1387,11 +1423,16 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         body, mesh=mesh,
         in_specs=(spec_t, spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
                   rep3, rep3, rep2, rep2, rep3, rep2, rep2, rep2),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(axis, None)),
         check_vma=False,
     )
-    return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
-              K, M, M_diag, ML_diag, Mat2, C, ilam_p, ilam_q)
+    p_traj, q_traj, inv = fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u,
+                             mis_v, pT, qT, K, M, M_diag, ML_diag, Mat2,
+                             C, ilam_p, ilam_q)
+    _sync_interpret(p_traj, q_traj, inv)
+    if with_stats:
+        return p_traj, q_traj, jnp.min(inv)
+    return p_traj, q_traj
 
 
 # ---------------------------------------------------------------------------
@@ -1401,7 +1442,7 @@ def dist_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
 
 def _dist_scalar_kernel(
     load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref, xS_ext_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
     dot_s, dot_r,
@@ -1431,6 +1472,7 @@ def _dist_scalar_kernel(
         xS_ext_ref[:, :] = jnp.zeros_like(xS_ext_ref)
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     x_n = cur_ref[:, :]
 
@@ -1468,7 +1510,8 @@ def _dist_scalar_kernel(
     x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
     x_np1 = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        x_n, rhs, x0w, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+        x_n, rhs, x0w, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S,
+        inv_ref=inv_ref)
 
     prev_ref[:, :] = x_n
     cur_ref[:, :] = x_np1
@@ -1513,12 +1556,13 @@ def _device_scalar_sweep(load_loc, x0_loc, A_rep, M_rep, Md_rep, ML_rep, *,
                                 memory_space=pltpu.VMEM)
         frame_out = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, nl, n), dtype),
+                   _inv_shape(dtype)),
         in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
-        out_specs=frame_out,
+        out_specs=(frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # x current
             pltpu.VMEM((nl, n), dtype),          # x prev (warm start)
@@ -1530,13 +1574,13 @@ def _device_scalar_sweep(load_loc, x0_loc, A_rep, M_rep, Md_rep, ML_rep, *,
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(load_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
-    return out
+    return out, inv
 
 
 def dist_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
                           *, h, dt, tol=1e-6, iters=60, cheb_iters=20,
                           warm=True, nonflux_mode=0, load_is_mass=True,
-                          reverse=False, axis=None):
+                          reverse=False, axis=None, with_stats=False):
     """Multi-chip single-field FCT sweep over a 1-D device axis.
 
     Semantics identical to pallas_fused.fused_scalar_fct_sweep (nonlinear
@@ -1553,7 +1597,7 @@ def dist_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
             load_traj, x0, A_flux, M, M_diag, ML_diag, mesh, h=h, dt=dt,
             tol=tol, iters=iters, cheb_iters=cheb_iters, warm=warm,
             nonflux_mode=nonflux_mode, load_is_mass=load_is_mass,
-            reverse=reverse)
+            reverse=reverse, with_stats=with_stats)
 
     n = x0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1575,10 +1619,12 @@ def dist_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
-        out_specs=spec_t,
+        out_specs=(spec_t, P(axis, None)),
         check_vma=False,
     )
-    return fn(load_traj, x0, A_flux, M, M_diag, ML_diag)
+    out, inv = fn(load_traj, x0, A_flux, M, M_diag, ML_diag)
+    _sync_interpret(out, inv)
+    return (out, jnp.min(inv)) if with_stats else out
 
 
 # ---------------------------------------------------------------------------
@@ -1588,7 +1634,7 @@ def dist_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
 
 def _dist_schnak_fwd_kernel(
     c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref,
     Aext_ref, D_ref, hpad_ref, uext_ref, vext_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
@@ -1621,6 +1667,7 @@ def _dist_schnak_fwd_kernel(
         vext_ref[:, :] = jnp.zeros_like(vext_ref)
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     u_n = ucur_ref[:, :]
     v_n = vcur_ref[:, :]
@@ -1658,7 +1705,8 @@ def _dist_schnak_fwd_kernel(
     x0u = 2.0 * u_n - uprev_ref[:, :] if warm else u_n
     u_np1 = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        u_n, rhs_u, x0u, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+        u_n, rhs_u, x0u, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S,
+        inv_ref=inv_ref)
 
     # v implicit with the NEW u: Mat_v = Mbv + dt γ M_{u²}
     th, bh = ops.exchange(u_np1[0:1, :], u_np1[nl - 1 : nl, :])
@@ -1699,7 +1747,7 @@ def _dist_schnak_fwd_kernel(
 def _dist_schnak_adj_kernel(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref,
     Aext_ref, D_ref, hpad_ref, uext_ref, vext_ref, pext_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
@@ -1733,6 +1781,7 @@ def _dist_schnak_adj_kernel(
         pext_ref[:, :] = jnp.zeros_like(pext_ref)
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     p_np1 = pcur_ref[:, :]
     q_np1 = qcur_ref[:, :]
@@ -1807,7 +1856,8 @@ def _dist_schnak_adj_kernel(
     x0p = 2.0 * p_np1 - pprev_ref[:, :] if warm else p_np1
     p_n = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        p_np1, rhs_p, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S)
+        p_np1, rhs_p, x0p, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=S,
+        inv_ref=inv_ref)
 
     pprev_ref[:, :] = p_np1
     qprev_ref[:, :] = q_np1
@@ -1848,16 +1898,17 @@ def _device_schnak_sweep(adjoint, *arrays, axis, n, nl, nd, steps, dt,
             cheb_iters=cheb_iters, h2=h2, warm=warm)
         frame = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        u_traj, v_traj = pl.pallas_call(
+        u_traj, v_traj, inv = pl.pallas_call(
             kern,
             grid=(steps,),
             out_shape=(
                 jax.ShapeDtypeStruct((steps, nl, n), dtype),
                 jax.ShapeDtypeStruct((steps, nl, n), dtype),
+                _inv_shape(dtype),
             ),
             in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
                       field, stencil_loc],
-            out_specs=(frame, frame),
+            out_specs=(frame, frame, _inv_spec()),
             scratch_shapes=[
                 pltpu.VMEM((nl, n), dtype),
                 pltpu.VMEM((nl, n), dtype),
@@ -1875,7 +1926,7 @@ def _device_schnak_sweep(adjoint, *arrays, axis, n, nl, nd, steps, dt,
           loc(Mbv))
         u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
         v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
-        return u_traj, v_traj
+        return u_traj, v_traj, inv
 
     u_loc, v_loc, misu, misv, pT_loc, qT_loc, A_adj, M, Md, ML, Mbq = arrays
     dtype = pT_loc.dtype
@@ -1887,16 +1938,17 @@ def _device_schnak_sweep(adjoint, *arrays, axis, n, nl, nd, steps, dt,
                        memory_space=pltpu.VMEM)
     mis_spec = rev if has_mis else pl.BlockSpec(
         (1, nl, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
             jax.ShapeDtypeStruct((steps, nl, n), dtype),
+            _inv_shape(dtype),
         ),
         in_specs=[rev, rev, mis_spec, mis_spec, field, field,
                   stencil_ext, stencil_loc, field, field, stencil_loc],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),
             pltpu.VMEM((nl, n), dtype),
@@ -1915,13 +1967,13 @@ def _device_schnak_sweep(adjoint, *arrays, axis, n, nl, nd, steps, dt,
       loc(Md), loc(ML), loc(Mbq))
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
-    return p_traj, q_traj
+    return p_traj, q_traj, inv
 
 
 def dist_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
                               Mbase_v, mesh, *, h, dt, gamma, c_b,
                               rescaling, tol=1e-6, iters=60, cheb_iters=20,
-                              warm=True, axis=None):
+                              warm=True, axis=None, with_stats=False):
     """Multi-chip Schnakenberg forward sweep (stationary wind only),
     semantics identical to pallas_fused.fused_schnak_forward_sweep
     (helpers.py:511-597)."""
@@ -1933,7 +1985,8 @@ def dist_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
         return d2.dist2d_schnak_forward_sweep(
             c_traj, u0, v0, A_u, M, M_diag, ML_diag, Mbase_v, mesh, h=h,
             dt=dt, gamma=gamma, c_b=c_b, rescaling=rescaling, tol=tol,
-            iters=iters, cheb_iters=cheb_iters, warm=warm)
+            iters=iters, cheb_iters=cheb_iters, warm=warm,
+            with_stats=with_stats)
 
     n = u0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1952,17 +2005,22 @@ def dist_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(axis, None)),
         check_vma=False,
     )
-    return fn(c_traj, u0, v0, A_u, M, M_diag, ML_diag, Mbase_v)
+    u_traj, v_traj, inv = fn(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
+                             Mbase_v)
+    _sync_interpret(u_traj, v_traj, inv)
+    if with_stats:
+        return u_traj, v_traj, jnp.min(inv)
+    return u_traj, v_traj
 
 
 def dist_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
                               ML_diag, Mbase_q, mesh, mis_u=None,
                               mis_v=None, *, h, dt, gamma, tol=1e-6,
                               iters=60, cheb_iters=20, warm=True,
-                              axis=None):
+                              axis=None, with_stats=False):
     """Multi-chip Schnakenberg adjoint sweep, semantics identical to
     pallas_fused.fused_schnak_adjoint_sweep (helpers.py:599-698)."""
     from jax import shard_map
@@ -1973,7 +2031,8 @@ def dist_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
         return d2.dist2d_schnak_adjoint_sweep(
             u_traj, v_traj, pT, qT, A_u_adj, M, M_diag, ML_diag, Mbase_q,
             mesh, mis_u, mis_v, h=h, dt=dt, gamma=gamma, tol=tol,
-            iters=iters, cheb_iters=cheb_iters, warm=warm)
+            iters=iters, cheb_iters=cheb_iters, warm=warm,
+            with_stats=with_stats)
 
     n = pT.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -1997,11 +2056,15 @@ def dist_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
         body, mesh=mesh,
         in_specs=(spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
                   rep3, rep3, rep2, rep2, rep3),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(axis, None)),
         check_vma=False,
     )
-    return fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
-              A_u_adj, M, M_diag, ML_diag, Mbase_q)
+    p_traj, q_traj, inv = fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT,
+                             qT, A_u_adj, M, M_diag, ML_diag, Mbase_q)
+    _sync_interpret(p_traj, q_traj, inv)
+    if with_stats:
+        return p_traj, q_traj, jnp.min(inv)
+    return p_traj, q_traj
 
 
 # ---------------------------------------------------------------------------
@@ -2040,7 +2103,7 @@ def _drift_planes_rect(c, *, ncr, ncc, h2, m, grads, cmask):
 
 def _dist_drift_kernel(
     frames_ref, x0_ref, Abase_ref, M_ref, Md_ref, ML_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref, cext_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
     dot_s, dot_r,
@@ -2070,6 +2133,7 @@ def _dist_drift_kernel(
         cext_ref[:, :] = jnp.zeros_like(cext_ref)
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     x_n = cur_ref[:, :]
     c_i = frames_ref[0, 0, :, :]
@@ -2096,7 +2160,8 @@ def _dist_drift_kernel(
     x0w = 2.0 * x_n - prev_ref[:, :] if warm else x_n
     x_np1 = _dist_fct_tail(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
-        x_n, rhs, x0w, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=None)
+        x_n, rhs, x0w, n=n, nl=nl, dt=dt, cheb_iters=cheb_iters, S=None,
+        inv_ref=inv_ref)
 
     prev_ref[:, :] = x_n
     cur_ref[:, :] = x_np1
@@ -2140,12 +2205,13 @@ def _device_drift_sweep(frames_loc, x0_loc, Abase_rep, M_rep, Md_rep, ML_rep,
                                 memory_space=pltpu.VMEM)
         frame_out = pl.BlockSpec((1, nl, n), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, nl, n), dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, nl, n), dtype),
+                   _inv_shape(dtype)),
         in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
-        out_specs=frame_out,
+        out_specs=(frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nl, n), dtype),          # x current
             pltpu.VMEM((nl, n), dtype),          # x prev (warm start)
@@ -2157,13 +2223,13 @@ def _device_drift_sweep(frames_loc, x0_loc, Abase_rep, M_rep, Md_rep, ML_rep,
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(frames_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
-    return out
+    return out, inv
 
 
 def dist_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
                          h, dt, sign, drift, tol=1e-6, iters=60,
                          cheb_iters=20, warm=True, reverse=False,
-                         has_mis=False, axis=None):
+                         has_mis=False, axis=None, with_stats=False):
     """Multi-chip drift-control FCT sweep over a 1-D device axis: semantics
     identical to pallas_fused.fused_drift_fct_sweep (per-step in-kernel
     Adrift assembly; sign=-1 state / +1 adjoint), distributed with the same
@@ -2179,7 +2245,7 @@ def dist_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
             frames, x0, A_base, M, M_diag, ML_diag, mesh, h=h, dt=dt,
             sign=sign, drift=drift, tol=tol, iters=iters,
             cheb_iters=cheb_iters, warm=warm, reverse=reverse,
-            has_mis=has_mis)
+            has_mis=has_mis, with_stats=with_stats)
 
     n = x0.shape[-1]
     axis, nd = _resolve_mesh(mesh, axis, n)
@@ -2202,7 +2268,9 @@ def dist_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
-        out_specs=spec_t,
+        out_specs=(spec_t, P(axis, None)),
         check_vma=False,
     )
-    return fn(frames, x0, A_base, M, M_diag, ML_diag)
+    out, inv = fn(frames, x0, A_base, M, M_diag, ML_diag)
+    _sync_interpret(out, inv)
+    return (out, jnp.min(inv)) if with_stats else out

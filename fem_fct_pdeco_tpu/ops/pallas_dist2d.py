@@ -48,11 +48,13 @@ from jax.sharding import PartitionSpec as P
 
 from fem_fct_pdeco_tpu.grid import CENTER, EDGE_NEIGHBOR_IDS, OFFSETS, opposite
 from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
-from fem_fct_pdeco_tpu.ops.pallas_fused import _quad_consts, _safe_div
+from fem_fct_pdeco_tpu.ops.pallas_fused import (_INV_BLOCK, _inv_init,
+                                                _inv_shape, _inv_spec,
+                                                _quad_consts, _safe_div)
 from fem_fct_pdeco_tpu.ops.pallas_dist import (
-    _assemble_forward_A_rect, _assemble_adjoint_A_rect, _lf_prod_rect,
-    _wm_prod_rect, _q_load_rect, _drift_planes_rect, _dist_interp,
-    _compiler_params)
+    _assemble_adjoint_A_rect, _assemble_forward_A_rect,
+    _compiler_params, _dist_interp, _drift_planes_rect, _lf_prod_rect,
+    _q_load_rect, _sync_interpret, _wm_prod_rect)
 
 
 def mesh_is_2d(mesh, axes=None):
@@ -587,7 +589,7 @@ def _comm_scratch2d(nr, nc, nlr, nlc, dtype, row_k, col_k, gather=False):
 
 def _dist_fct_tail_2d(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
                       u_prev, rhs, x0, *, n, nlr, nlc, dt, cheb_iters,
-                      S=None, prec=None):
+                      S=None, prec=None, inv_ref=None):
     """2-D analogue of pallas_dist._dist_fct_tail: the assembled flux matrix
     sits in Aext_ref with 2-deep halos in BOTH dimensions (ext index e =
     global - block0 + 2)."""
@@ -614,6 +616,15 @@ def _dist_fct_tail_2d(ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML,
         if d == CENTER:
             plane = plane + ML
         Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2] = plane
+    if inv_ref is not None:
+        # always-on M-matrix telemetry (helpers.py:1784-1810): min LOCAL
+        # row sum of Low; the host reduces per-device blocks to the
+        # global min
+        rs = None
+        for d in range(9):
+            pl_ = Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2]
+            rs = pl_ if rs is None else rs + pl_
+        inv_ref[:, :] = jnp.minimum(inv_ref[:, :], jnp.min(rs))
 
     low_at = lambda d: Aext_ref[d, 2 : nlr + 2, 2 : nlc + 2]
 
@@ -755,7 +766,7 @@ def _cell_mask2d(row0, col0, ncr, ncc, n, dtype):
 def _dist2d_fwd_kernel(
     c_ref, u0_ref, v0_ref, Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
     Cr_ref, Cc_ref, CTr_ref, CTc_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref,
     Aext_ref, D_ref, hpad_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
@@ -803,6 +814,7 @@ def _dist2d_fwd_kernel(
         vprev_ref[:, :] = v0_ref[:, :]
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     dtype = ucur_ref.dtype
     u_n = ucur_ref[:, :]
@@ -850,7 +862,7 @@ def _dist2d_fwd_kernel(
     u_np1 = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         u_n, rhs_u, x0u, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, prec=prec_u)
+        cheb_iters=cheb_iters, prec=prec_u, inv_ref=inv_ref)
 
     uprev_ref[:, :] = u_n
     vprev_ref[:, :] = v_n
@@ -947,16 +959,17 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
                                memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, nlr, nlc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    u_traj, v_traj = pl.pallas_call(
+    u_traj, v_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            _inv_shape(dtype),
         ),
         in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
                   field, stencil_loc] + _dct2d_specs(nlr, nlc, n, use_dct),
-        out_specs=(frame, frame),
+        out_specs=(frame, frame, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),            # u current
             pltpu.VMEM((nlr, nlc), dtype),            # v current
@@ -973,7 +986,7 @@ def _device2d_fwd(c_loc, u0_loc, v0_loc, K_rep, M_rep, Md_rep, ML_rep,
       Cr, Cc, CTr, CTc, ilamu_loc, ilamv_loc)
     u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
     v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
-    return u_traj, v_traj
+    return u_traj, v_traj, inv
 
 
 def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
@@ -981,7 +994,7 @@ def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
                                     rescaling, tol=1e-6, iters=60,
                                     cheb_iters=20, warm=True, reaction=None,
                                     axes=None, precond="dct", Df=None,
-                                    delta=None):
+                                    delta=None, with_stats=False):
     """Multi-chip chemotaxis forward sweep over a 2-D (rows x cols) device
     mesh: each device owns an (n/nr, n/nc) block; halos move over ICI in a
     row phase + a column phase (corners ride the column phase). Semantics
@@ -1029,17 +1042,22 @@ def dist2d_chemotaxis_forward_sweep(c_traj, u0, v0, K, M, M_diag, ML_diag,
         body, mesh=mesh,
         in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3,
                   rep2, rep2, rep2),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(ax_r, ax_c)),
         check_vma=False,
     )
-    return fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2, C, ilam_u, ilam_v)
+    u_traj, v_traj, inv = fn(c_traj, u0, v0, K, M, M_diag, ML_diag, Mat2,
+                             C, ilam_u, ilam_v)
+    _sync_interpret(u_traj, v_traj, inv)
+    if with_stats:
+        return u_traj, v_traj, jnp.min(inv)
+    return u_traj, v_traj
 
 
 def _dist2d_adj_kernel(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Kx_ref, M_ref, Md_ref, ML_ref, Mat2_ref,
     Cr_ref, Cc_ref, CTr_ref, CTc_ref, ilamp_ref, ilamq_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref,
     Aext_ref, D_ref, hpad_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
@@ -1090,6 +1108,7 @@ def _dist2d_adj_kernel(
         qprev_ref[:, :] = qT_ref[:, :]
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     dtype = pcur_ref.dtype
     p_np1 = pcur_ref[:, :]
@@ -1135,7 +1154,7 @@ def _dist2d_adj_kernel(
     p_n = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         p_np1, rhs, x0p, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, S=S, prec=prec_p)
+        cheb_iters=cheb_iters, S=S, prec=prec_p, inv_ref=inv_ref)
 
     # ---- q implicit half-step (helpers.py:1531-1538) --------------------
     pext1 = ops.exchange2d(p_n, 1)
@@ -1205,17 +1224,18 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
                        memory_space=pltpu.VMEM)
     mis_spec = rev if has_mis else pl.BlockSpec(
         (1, nlr, nlc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            _inv_shape(dtype),
         ),
         in_specs=[rev, rev, rev, mis_spec, mis_spec, field, field,
                   stencil_ext, stencil_loc, field, field, stencil_loc]
         + _dct2d_specs(nlr, nlc, n, use_dct),
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),            # p current
             pltpu.VMEM((nlr, nlc), dtype),            # q current
@@ -1233,7 +1253,7 @@ def _device2d_adj(u_loc, v_loc, c_loc, misu_loc, misv_loc, pT_loc, qT_loc,
       ilamp_loc, ilamq_loc)
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
-    return p_traj, q_traj
+    return p_traj, q_traj, inv
 
 
 def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
@@ -1242,7 +1262,7 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
                                     rescaling, tol=1e-6, iters=60,
                                     cheb_iters=20, warm=True, reaction=None,
                                     axes=None, precond="dct", Df=None,
-                                    delta=None):
+                                    delta=None, with_stats=False):
     """Multi-chip chemotaxis adjoint sweep over a 2-D device mesh (the
     reverse-streamed analogue of dist2d_chemotaxis_forward_sweep)."""
     from jax import shard_map
@@ -1293,11 +1313,16 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
         body, mesh=mesh,
         in_specs=(spec_t, spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
                   rep3, rep3, rep2, rep2, rep3, rep2, rep2, rep2),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(ax_r, ax_c)),
         check_vma=False,
     )
-    return fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
-              K, M, M_diag, ML_diag, Mat2, C, ilam_p, ilam_q)
+    p_traj, q_traj, inv = fn(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u,
+                             mis_v, pT, qT, K, M, M_diag, ML_diag, Mat2,
+                             C, ilam_p, ilam_q)
+    _sync_interpret(p_traj, q_traj, inv)
+    if with_stats:
+        return p_traj, q_traj, jnp.min(inv)
+    return p_traj, q_traj
 
 # ---------------------------------------------------------------------------
 # 2-D distributed single-field FCT sweep (nonlinear equation, linear
@@ -1308,7 +1333,7 @@ def dist2d_chemotaxis_adjoint_sweep(u_traj, v_traj, c_traj, pT, qT, K, M,
 
 def _dist2d_scalar_kernel(
     load_ref, x0_ref, Aflux_ref, M_ref, Md_ref, ML_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
     sbuf_lf, sbuf_rt, rlef, rrig,
@@ -1339,6 +1364,7 @@ def _dist2d_scalar_kernel(
         prev_ref[:, :] = x0_ref[:, :]
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     dtype = cur_ref.dtype
     x_n = cur_ref[:, :]
@@ -1375,7 +1401,7 @@ def _dist2d_scalar_kernel(
     x_np1 = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         x_n, rhs, x0w, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, S=S)
+        cheb_iters=cheb_iters, S=S, inv_ref=inv_ref)
 
     prev_ref[:, :] = x_n
     cur_ref[:, :] = x_np1
@@ -1429,12 +1455,13 @@ def _device2d_scalar(load_loc, x0_loc, A_rep, M_rep, Md_rep, ML_rep, *,
     stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
     frame_in, frame_out = _frame_specs2d(steps, F, nlr, nlc, reverse)
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+                   _inv_shape(dtype)),
         in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
-        out_specs=frame_out,
+        out_specs=(frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),             # x current
             pltpu.VMEM((nlr, nlc), dtype),             # x prev (warm start)
@@ -1445,13 +1472,13 @@ def _device2d_scalar(load_loc, x0_loc, A_rep, M_rep, Md_rep, ML_rep, *,
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(load_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
-    return out
+    return out, inv
 
 
 def dist2d_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
                             *, h, dt, tol=1e-6, iters=60, cheb_iters=20,
                             warm=True, nonflux_mode=0, load_is_mass=True,
-                            reverse=False, axes=None):
+                            reverse=False, axes=None, with_stats=False):
     """Multi-chip single-field FCT sweep over a 2-D (rows x cols) device
     mesh — semantics identical to pallas_dist.dist_scalar_fct_sweep, halos
     via the two-phase 2-D RDMA protocol."""
@@ -1484,10 +1511,12 @@ def dist2d_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
-        out_specs=spec_t,
+        out_specs=(spec_t, P(ax_r, ax_c)),
         check_vma=False,
     )
-    return fn(load_traj, x0, A_flux, M, M_diag, ML_diag)
+    out, inv = fn(load_traj, x0, A_flux, M, M_diag, ML_diag)
+    _sync_interpret(out, inv)
+    return (out, jnp.min(inv)) if with_stats else out
 
 # ---------------------------------------------------------------------------
 # 2-D distributed Schnakenberg sweeps (helpers.py:511-698)
@@ -1496,7 +1525,7 @@ def dist2d_scalar_fct_sweep(load_traj, x0, A_flux, M, M_diag, ML_diag, mesh,
 
 def _dist2d_schnak_fwd_kernel(
     c_ref, u0_ref, v0_ref, Au_ref, M_ref, Md_ref, ML_ref, Mbv_ref,
-    uout_ref, vout_ref,
+    uout_ref, vout_ref, inv_ref,
     ucur_ref, vcur_ref, uprev_ref, vprev_ref,
     Aext_ref, D_ref, hpad_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
@@ -1530,6 +1559,7 @@ def _dist2d_schnak_fwd_kernel(
         vprev_ref[:, :] = v0_ref[:, :]
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     dtype = ucur_ref.dtype
     u_n = ucur_ref[:, :]
@@ -1555,7 +1585,7 @@ def _dist2d_schnak_fwd_kernel(
     u_np1 = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         u_n, rhs_u, x0u, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, S=S)
+        cheb_iters=cheb_iters, S=S, inv_ref=inv_ref)
 
     # v implicit with the NEW u: Mat_v = Mbv + dt γ M_{u²}
     uext1n = ops.exchange2d(u_np1, 1)
@@ -1591,7 +1621,7 @@ def _dist2d_schnak_fwd_kernel(
 def _dist2d_schnak_adj_kernel(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     Aadj_ref, M_ref, Md_ref, ML_ref, Mbq_ref,
-    pout_ref, qout_ref,
+    pout_ref, qout_ref, inv_ref,
     pcur_ref, qcur_ref, pprev_ref, qprev_ref,
     Aext_ref, D_ref, hpad_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
@@ -1625,6 +1655,7 @@ def _dist2d_schnak_adj_kernel(
         qprev_ref[:, :] = qT_ref[:, :]
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     dtype = pcur_ref.dtype
     p_np1 = pcur_ref[:, :]
@@ -1681,7 +1712,7 @@ def _dist2d_schnak_adj_kernel(
     p_n = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         p_np1, rhs_p, x0p, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, S=S)
+        cheb_iters=cheb_iters, S=S, inv_ref=inv_ref)
 
     pprev_ref[:, :] = p_np1
     qprev_ref[:, :] = q_np1
@@ -1735,16 +1766,17 @@ def _device2d_schnak(adjoint, *arrays, ax_r, ax_c, n, nlr, nlc, nr, nc,
             h2=h2, warm=warm)
         frame = pl.BlockSpec((1, nlr, nlc), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        u_traj, v_traj = pl.pallas_call(
+        u_traj, v_traj, inv = pl.pallas_call(
             kern,
             grid=(steps,),
             out_shape=(
                 jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
                 jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+                _inv_shape(dtype),
             ),
             in_specs=[frame, field, field, stencil_ext, stencil_loc, field,
                       field, stencil_loc],
-            out_specs=(frame, frame),
+            out_specs=(frame, frame, _inv_spec()),
             scratch_shapes=base_scratch(dtype),
             compiler_params=_compiler_params(),
             interpret=_dist_interp(),
@@ -1752,7 +1784,7 @@ def _device2d_schnak(adjoint, *arrays, ax_r, ax_c, n, nlr, nlc, nr, nc,
           loc(Mbv))
         u_traj = jnp.concatenate([u0_loc[None], u_traj], axis=0)
         v_traj = jnp.concatenate([v0_loc[None], v_traj], axis=0)
-        return u_traj, v_traj
+        return u_traj, v_traj, inv
 
     u_loc, v_loc, misu, misv, pT_loc, qT_loc, A_adj, M, Md, ML, Mbq = arrays
     dtype = pT_loc.dtype
@@ -1764,16 +1796,17 @@ def _device2d_schnak(adjoint, *arrays, ax_r, ax_c, n, nlr, nlc, nr, nc,
                        memory_space=pltpu.VMEM)
     mis_spec = rev if has_mis else pl.BlockSpec(
         (1, nlr, nlc), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-    p_traj, q_traj = pl.pallas_call(
+    p_traj, q_traj, inv = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
             jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+            _inv_shape(dtype),
         ),
         in_specs=[rev, rev, mis_spec, mis_spec, field, field,
                   stencil_ext, stencil_loc, field, field, stencil_loc],
-        out_specs=(rev, rev),
+        out_specs=(rev, rev, _inv_spec()),
         scratch_shapes=base_scratch(dtype),
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
@@ -1781,7 +1814,7 @@ def _device2d_schnak(adjoint, *arrays, ax_r, ax_c, n, nlr, nlc, nr, nc,
       loc(Md), loc(ML), loc(Mbq))
     p_traj = jnp.concatenate([p_traj, pT_loc[None]], axis=0)
     q_traj = jnp.concatenate([q_traj, qT_loc[None]], axis=0)
-    return p_traj, q_traj
+    return p_traj, q_traj, inv
 
 
 def _resolve_mesh2d(mesh, axes, n):
@@ -1798,7 +1831,8 @@ def _resolve_mesh2d(mesh, axes, n):
 def dist2d_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
                                 Mbase_v, mesh, *, h, dt, gamma, c_b,
                                 rescaling, tol=1e-6, iters=60,
-                                cheb_iters=20, warm=True, axes=None):
+                                cheb_iters=20, warm=True, axes=None,
+                                with_stats=False):
     """Multi-chip Schnakenberg forward sweep over a 2-D device mesh —
     semantics identical to pallas_dist.dist_schnak_forward_sweep
     (helpers.py:511-597)."""
@@ -1821,17 +1855,22 @@ def dist2d_schnak_forward_sweep(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_t, spec_f, spec_f, rep3, rep3, rep2, rep2, rep3),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(ax_r, ax_c)),
         check_vma=False,
     )
-    return fn(c_traj, u0, v0, A_u, M, M_diag, ML_diag, Mbase_v)
+    u_traj, v_traj, inv = fn(c_traj, u0, v0, A_u, M, M_diag, ML_diag,
+                             Mbase_v)
+    _sync_interpret(u_traj, v_traj, inv)
+    if with_stats:
+        return u_traj, v_traj, jnp.min(inv)
+    return u_traj, v_traj
 
 
 def dist2d_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
                                 ML_diag, Mbase_q, mesh, mis_u=None,
                                 mis_v=None, *, h, dt, gamma, tol=1e-6,
                                 iters=60, cheb_iters=20, warm=True,
-                                axes=None):
+                                axes=None, with_stats=False):
     """Multi-chip Schnakenberg adjoint sweep over a 2-D device mesh —
     semantics identical to pallas_dist.dist_schnak_adjoint_sweep
     (helpers.py:599-698)."""
@@ -1859,11 +1898,15 @@ def dist2d_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
         body, mesh=mesh,
         in_specs=(spec_t, spec_t, spec_t, spec_t, spec_f, spec_f,
                   rep3, rep3, rep2, rep2, rep3),
-        out_specs=(spec_t, spec_t),
+        out_specs=(spec_t, spec_t, P(ax_r, ax_c)),
         check_vma=False,
     )
-    return fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT, qT,
-              A_u_adj, M, M_diag, ML_diag, Mbase_q)
+    p_traj, q_traj, inv = fn(u_traj[:-1], v_traj[:-1], mis_u, mis_v, pT,
+                             qT, A_u_adj, M, M_diag, ML_diag, Mbase_q)
+    _sync_interpret(p_traj, q_traj, inv)
+    if with_stats:
+        return p_traj, q_traj, jnp.min(inv)
+    return p_traj, q_traj
 
 
 # ---------------------------------------------------------------------------
@@ -1874,7 +1917,7 @@ def dist2d_schnak_adjoint_sweep(u_traj, v_traj, pT, qT, A_u_adj, M, M_diag,
 
 def _dist2d_drift_kernel(
     frames_ref, x0_ref, Abase_ref, M_ref, Md_ref, ML_ref,
-    out_ref,
+    out_ref, inv_ref,
     cur_ref, prev_ref, Aext_ref, D_ref, hpad_ref,
     sbuf_up, sbuf_dn, rtop, rbot,
     sbuf_lf, sbuf_rt, rlef, rrig,
@@ -1905,6 +1948,7 @@ def _dist2d_drift_kernel(
         prev_ref[:, :] = x0_ref[:, :]
         ops.init_buffers()
         ops.init_credits()
+        _inv_init(inv_ref)
 
     dtype = cur_ref.dtype
     x_n = cur_ref[:, :]
@@ -1926,7 +1970,7 @@ def _dist2d_drift_kernel(
     x_np1 = _dist_fct_tail_2d(
         ops, Aext_ref, D_ref, hpad_ref, M_ref, Md_ref, ML_ref[:, :],
         x_n, rhs, x0w, n=n, nlr=nlr, nlc=nlc, dt=dt,
-        cheb_iters=cheb_iters, S=None)
+        cheb_iters=cheb_iters, S=None, inv_ref=inv_ref)
 
     prev_ref[:, :] = x_n
     cur_ref[:, :] = x_np1
@@ -1964,12 +2008,13 @@ def _device2d_drift(frames_loc, x0_loc, Abase_rep, M_rep, Md_rep, ML_rep, *,
     stencil_ext = pl.BlockSpec((9, nlr + 4, nlc + 4), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
     frame_in, frame_out = _frame_specs2d(steps, F, nlr, nlc, reverse)
-    out = pl.pallas_call(
+    out, inv = pl.pallas_call(
         kern,
         grid=(steps,),
-        out_shape=jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+        out_shape=(jax.ShapeDtypeStruct((steps, nlr, nlc), dtype),
+                   _inv_shape(dtype)),
         in_specs=[frame_in, field, stencil_ext, stencil_loc, field, field],
-        out_specs=frame_out,
+        out_specs=(frame_out, _inv_spec()),
         scratch_shapes=[
             pltpu.VMEM((nlr, nlc), dtype),             # x current
             pltpu.VMEM((nlr, nlc), dtype),             # x prev (warm start)
@@ -1980,13 +2025,13 @@ def _device2d_drift(frames_loc, x0_loc, Abase_rep, M_rep, Md_rep, ML_rep, *,
         compiler_params=_compiler_params(),
         interpret=_dist_interp(),
     )(frames_loc, x0_loc, Ax, M_loc, Md_loc, ML_loc)
-    return out
+    return out, inv
 
 
 def dist2d_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
                            h, dt, sign, drift, tol=1e-6, iters=60,
                            cheb_iters=20, warm=True, reverse=False,
-                           has_mis=False, axes=None):
+                           has_mis=False, axes=None, with_stats=False):
     """Multi-chip drift-control FCT sweep over a 2-D device mesh —
     semantics identical to pallas_dist.dist_drift_fct_sweep (per-step
     in-kernel Adrift assembly; sign=-1 state / +1 adjoint)."""
@@ -2016,7 +2061,9 @@ def dist2d_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, mesh, *,
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(spec_l, spec_f, rep3, rep3, rep2, rep2),
-        out_specs=spec_t,
+        out_specs=(spec_t, P(ax_r, ax_c)),
         check_vma=False,
     )
-    return fn(frames, x0, A_base, M, M_diag, ML_diag)
+    out, inv = fn(frames, x0, A_base, M, M_diag, ML_diag)
+    _sync_interpret(out, inv)
+    return (out, jnp.min(inv)) if with_stats else out

@@ -51,6 +51,7 @@ def test_smoke_chemotaxis_fwd_adj():
     u0, v0 = (jnp.asarray(a, jnp.float64) for a in m.ic())
     c = jnp.full((STEPS + 1, N, N), m.params.gamma, jnp.float64)
     u_ref, v_ref = m.forward(c, u0, v0, DT)
+    ref_inv = m.invariant_report()  # BEFORE the adjoint overwrites it
     p_ref, q_ref = m.adjoint(u_ref, v_ref, 1.01 * u_ref[-1], 1.02 * v_ref[-1],
                              c, DT, "finaltime")
 
@@ -61,6 +62,11 @@ def test_smoke_chemotaxis_fwd_adj():
     u_d, v_d = md.forward(c_s, u0_s, v0_s, DT)
     assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
     assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
+    # the RDMA path reports the always-on min-rowsum telemetry too, and it
+    # matches the single-device value (global min over device blocks)
+    got_inv = md.invariant_report()
+    assert got_inv is not None and got_inv["reported"]
+    assert abs(got_inv["min_rowsum"] - ref_inv["min_rowsum"]) < 1e-9
     u_s, v_s = _put(mesh, traj=[u_ref, v_ref])
     p_d, q_d = md.adjoint(u_s, v_s, 1.01 * u_ref[-1], 1.02 * v_ref[-1],
                           c_s, DT, "finaltime")
@@ -175,3 +181,7 @@ def test_smoke_2d_chemotaxis():
                           jax.device_put(v0, sh_f), DT)
     assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
     assert np.abs(np.asarray(v_d) - np.asarray(v_ref)).max() < 1e-9
+    ref_inv = m.invariant_report()
+    got_inv = md.invariant_report()
+    assert got_inv is not None and got_inv["reported"]
+    assert abs(got_inv["min_rowsum"] - ref_inv["min_rowsum"]) < 1e-9

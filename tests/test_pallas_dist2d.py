@@ -273,3 +273,52 @@ def test_dist2d_advection():
     sh_t, sh_f = _shards(mesh)
     u_d = md.forward(jax.device_put(c, sh_t), jax.device_put(u0, sh_f), DT)
     assert np.abs(np.asarray(u_d) - np.asarray(u_ref)).max() < 1e-9
+
+
+def test_dist2d_full_pgd_iteration_cost_parity():
+    """One FULL PGD iteration on the 2-D RDMA path — dist forward, dist
+    adjoint, gradient equation, projected update, cost — matches the
+    single-device XLA iteration at solver tolerance (the multi-chip
+    equivalent of the reference loop, chemotaxis_FCT_PDECO_refactored.py:
+    183-287; VERDICT r3 item 6)."""
+    from fem_fct_pdeco_tpu.optimize.cost import cost_functional
+
+    # smaller than the module default: the iteration runs BOTH dist sweeps
+    # (fwd + adj) plus the XLA reference pair — N=32 takes ~an hour in
+    # interpret mode with the 2-D DCT preconditioner
+    n_, steps_ = 16, 2
+    g = Grid(0.0, 1.0, n_)
+    m = ChemotaxisModel(g, rescaling=1.0, backend="xla", **_SOLVE)
+    u0np, v0np = m.ic()
+    u0 = jnp.asarray(u0np, jnp.float64)
+    v0 = jnp.asarray(v0np, jnp.float64)
+    c = jnp.full((steps_ + 1, n_, n_), m.params.gamma, jnp.float64)
+    beta, s = 1e-3, 1e-2
+    uhat = jnp.ones((n_, n_), jnp.float64)
+    vhat = jnp.ones((n_, n_), jnp.float64)
+
+    def pgd_iter(model, c_t, u0_t, v0_t, uh, vh):
+        u_t, v_t = model.forward(c_t, u0_t, v0_t, DT)
+        p_t, q_t = model.adjoint(u_t, v_t, uh, vh, c_t, DT, "finaltime")
+        dk = model.descent_direction(beta, c_t, u_t, q_t)
+        c_new = jnp.clip(c_t + s * dk, 0.0, 200.0)
+        J = cost_functional(u_t, uh, c_new, DT, model.M, beta, "finaltime",
+                            var2_traj=v_t, var2_target=vh)
+        return c_new, J
+
+    c_ref, J_ref = pgd_iter(m, c, u0, v0, uhat, vhat)
+
+    mesh = _mesh2d(2, 2)
+    md = ChemotaxisModel(g, rescaling=1.0, backend="pallas_dist", mesh=mesh,
+                         **_SOLVE)
+    # jacobi keeps the interpret-mode runtime tractable; the DCT path is
+    # pinned by the dedicated forward/adjoint dct parametrizations above
+    md.dist_precond = "jacobi"
+    assert md.backend == "pallas_dist"
+    sh_t, sh_f = _shards(mesh)
+    c_d, J_d = pgd_iter(
+        md, jax.device_put(c, sh_t), jax.device_put(u0, sh_f),
+        jax.device_put(v0, sh_f), jax.device_put(uhat, sh_f),
+        jax.device_put(vhat, sh_f))
+    assert abs(float(J_d) - float(J_ref)) / abs(float(J_ref)) < 1e-9
+    assert np.abs(np.asarray(c_d) - np.asarray(c_ref)).max() < 1e-9
