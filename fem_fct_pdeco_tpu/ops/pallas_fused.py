@@ -2173,8 +2173,8 @@ def fused_chemotaxis_forward_sweep_synth(
 
 def _fwd_sweep_kernel_lean(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref, inv_ref,
-    ucur_ref, vcur_ref, A7_ref, ahbm_ref, pad_ref,
+    uout_ref, vout_ref, inv_ref, ahbm_ref,
+    ucur_ref, vcur_ref, A7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters, cheb_iters,
     wts4, bary4, grads, reaction, precond,
@@ -2312,21 +2312,25 @@ def fused_chemotaxis_forward_sweep_lean(
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    u_traj, v_traj, inv = pl.pallas_call(
+    # The raw-A park lives in an HBM OUTPUT ref (discarded): real Mosaic
+    # only allocates vmem/smem/semaphore scratch memrefs, so an HBM
+    # "scratch" must be an ANY/HBM-space operand. Outputs persist across
+    # the sequential TPU grid and the kernel writes before reading.
+    u_traj, v_traj, inv, _park = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             _inv_shape(u0.dtype),
+            jax.ShapeDtypeStruct((7, n, n), u0.dtype),
         ),
         in_specs=[frame, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm, _inv_spec()),
+        out_specs=(hbm, hbm, _inv_spec(), hbm),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
             pltpu.VMEM((n, n), u0.dtype),      # v current
             pltpu.VMEM((7, n, n), u0.dtype),   # Mat2 -> A -> Low -> A
-            pltpu.HBM((7, n, n), u0.dtype),    # raw-A parking (HBM)
             pltpu.VMEM((n + 2, n + 2), u0.dtype),  # shift pad
             pltpu.VMEM((n + 2, n + 2), u0.dtype),  # limiter xpads
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
@@ -2508,8 +2512,8 @@ def fused_chemotaxis_adjoint_sweep_synth(
 def _adj_sweep_kernel_lean(
     u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref, dct_ref,
     ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref, inv_ref,
-    pcur_ref, qcur_ref, ustg_ref, vstg_ref, cstg_ref, A7_ref, ahbm_ref,
+    pout_ref, qout_ref, inv_ref, ahbm_ref,
+    pcur_ref, qcur_ref, ustg_ref, vstg_ref, cstg_ref, A7_ref,
     pad_ref, xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, steps, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
     cheb_iters, wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
@@ -2651,16 +2655,18 @@ def fused_chemotaxis_adjoint_sweep_lean(
     if not has_mis:
         mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
         mis_v = mis_u
-    p_traj, q_traj, inv = pl.pallas_call(
+    # HBM park as a discarded output ref (real Mosaic rejects HBM scratch)
+    p_traj, q_traj, inv, _park = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             _inv_shape(pT.dtype),
+            jax.ShapeDtypeStruct((7, n, n), pT.dtype),
         ),
         in_specs=[hbm, hbm, hbm, hbm, hbm, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm, _inv_spec()),
+        out_specs=(hbm, hbm, _inv_spec(), hbm),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),      # p current
             pltpu.VMEM((n, n), pT.dtype),      # q current
@@ -2668,7 +2674,6 @@ def fused_chemotaxis_adjoint_sweep_lean(
             pltpu.VMEM((n, n), pT.dtype),      # v staging
             pltpu.VMEM((n, n), pT.dtype),      # c staging
             pltpu.VMEM((7, n, n), pT.dtype),   # A -> Low -> A -> Mat2
-            pltpu.HBM((7, n, n), pT.dtype),    # raw-A parking (HBM)
             pltpu.VMEM((n + 2, n + 2), pT.dtype),  # shift pad
             pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
@@ -3186,8 +3191,8 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
 
 def _drift_sweep_kernel_lean(
     frames_ref, x0_ref, Abase7_ref,
-    out_ref, inv_ref,
-    cur_ref, A7_ref, ahbm_ref, pad_ref,
+    out_ref, inv_ref, ahbm_ref,
+    cur_ref, A7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, steps, dt, sign, m, tol, iters, cheb_iters, h2, has_mis, grads,
     reverse,
@@ -3280,17 +3285,18 @@ def fused_drift_fct_sweep_lean(frames, x0, A_base, M, M_diag, ML_diag, *,
     def kern2(frames_ref, *rest):
         return kern(frames_ref[0], *rest)
 
-    out, inv = pl.pallas_call(
+    # HBM park as a discarded output ref (real Mosaic rejects HBM scratch)
+    out, inv, _park = pl.pallas_call(
         kern2,
         grid=(steps,),
         out_shape=(jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
-                   _inv_shape(x0.dtype)),
+                   _inv_shape(x0.dtype),
+                   jax.ShapeDtypeStruct((7, n, n), x0.dtype)),
         in_specs=[frame_in, hbm, hbm],
-        out_specs=(hbm, _inv_spec()),
+        out_specs=(hbm, _inv_spec(), hbm),
         scratch_shapes=[
             pltpu.VMEM((n, n), x0.dtype),      # carried state
             pltpu.VMEM((7, n, n), x0.dtype),   # A -> Low -> M -> A
-            pltpu.HBM((7, n, n), x0.dtype),    # raw-A parking (HBM)
             pltpu.VMEM((n + 2, n + 2), x0.dtype),  # shift pad
             pltpu.VMEM((n + 2, n + 2), x0.dtype),  # limiter xpads
             pltpu.VMEM((n + 2, n + 2), x0.dtype),
@@ -3827,8 +3833,8 @@ def fused_scalar_fct_sweep_lean(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
 
 def _schnak_fwd_kernel_lean(
     c_ref, u0_ref, v0_ref, dct_ref, ilamu_ref, ilamv_ref,
-    uout_ref, vout_ref, inv_ref,
-    ucur_ref, vcur_ref, A7_ref, ahbm_ref, pad_ref,
+    uout_ref, vout_ref, inv_ref, ahbm_ref,
+    ucur_ref, vcur_ref, A7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, c_b, inv_r, tol,
     iters, cheb_iters, precond, wind_fn, pts, wts, bary, grads,
@@ -3970,21 +3976,22 @@ def fused_schnak_forward_sweep_lean(
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    u_traj, v_traj, inv = pl.pallas_call(
+    # HBM park as a discarded output ref (real Mosaic rejects HBM scratch)
+    u_traj, v_traj, inv, _park = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
             _inv_shape(u0.dtype),
+            jax.ShapeDtypeStruct((7, n, n), u0.dtype),
         ),
         in_specs=[frame, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm, _inv_spec()),
+        out_specs=(hbm, hbm, _inv_spec(), hbm),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),
             pltpu.VMEM((n, n), u0.dtype),
             pltpu.VMEM((7, n, n), u0.dtype),   # A -> Low -> A -> Mat_v
-            pltpu.HBM((7, n, n), u0.dtype),    # raw-A parking (HBM)
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
             pltpu.VMEM((n + 2, n + 2), u0.dtype),  # limiter xpads
             pltpu.VMEM((n + 2, n + 2), u0.dtype),
@@ -4006,8 +4013,8 @@ def fused_schnak_forward_sweep_lean(
 def _schnak_adj_kernel_lean(
     u_ref, v_ref, misu_ref, misv_ref, pT_ref, qT_ref,
     dct_ref, ilamu_ref, ilamv_ref,
-    pout_ref, qout_ref, inv_ref,
-    pcur_ref, qcur_ref, ustg_ref, vstg_ref, A7_ref, ahbm_ref, pad_ref,
+    pout_ref, qout_ref, inv_ref, ahbm_ref,
+    pcur_ref, qcur_ref, ustg_ref, vstg_ref, A7_ref, pad_ref,
     xpad1_ref, xpad2_ref, xpad3_ref, xpad4_ref, sem_park, sem_io,
     *, n, steps, h, a1, h2, dt, Du, Dv, omega1, omega2, gamma, tol, iters,
     cheb_iters, has_mis, precond, wind_fn, pts, wts, bary, grads,
@@ -4163,23 +4170,24 @@ def fused_schnak_adjoint_sweep_lean(
     if not has_mis:
         mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
         mis_v = mis_u
-    p_traj, q_traj, inv = pl.pallas_call(
+    # HBM park as a discarded output ref (real Mosaic rejects HBM scratch)
+    p_traj, q_traj, inv, _park = pl.pallas_call(
         kern,
         grid=(steps,),
         out_shape=(
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
             _inv_shape(pT.dtype),
+            jax.ShapeDtypeStruct((7, n, n), pT.dtype),
         ),
         in_specs=[hbm, hbm, hbm, hbm, hbm, hbm, field, field, field],
-        out_specs=(hbm, hbm, _inv_spec()),
+        out_specs=(hbm, hbm, _inv_spec(), hbm),
         scratch_shapes=[
             pltpu.VMEM((n, n), pT.dtype),      # p current
             pltpu.VMEM((n, n), pT.dtype),      # q current
             pltpu.VMEM((n, n), pT.dtype),      # u staging
             pltpu.VMEM((n, n), pT.dtype),      # v staging
             pltpu.VMEM((7, n, n), pT.dtype),   # Mat -> A -> Low -> A
-            pltpu.HBM((7, n, n), pT.dtype),    # raw-A parking (HBM)
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
             pltpu.VMEM((n + 2, n + 2), pT.dtype),  # limiter xpads
             pltpu.VMEM((n + 2, n + 2), pT.dtype),
