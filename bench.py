@@ -26,6 +26,21 @@ STEPS_PER_CALL = 500  # long scans amortize the axon tunnel's per-call RPC cost
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
 
 
+def _sync(out) -> float:
+    """Force COMPLETION of a timed computation, not just dispatch.
+
+    Through the axon TPU tunnel ``jax.block_until_ready`` returns at
+    dispatch time (measured round 4: a 500-step 256^2 sweep "finished" in
+    0.2 ms, ~700x faster than the hardware can run it), so every timed
+    call must fetch a value that data-depends on the result. Fetching one
+    scalar keeps the transfer overhead to a ~1 ms round trip, amortized
+    over the hundreds of steps in each sweep."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
 def _model_256(backend="pallas_fused", quad_degree=4):
     import jax.numpy as jnp
 
@@ -76,7 +91,7 @@ def tpu_steps_per_sec(backend="pallas_fused") -> dict:
     for _ in range(4):
         t0 = time.perf_counter()
         out = model.forward(c, u0, v0, DT)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     fwd_sps = STEPS_PER_CALL / best
 
@@ -89,7 +104,7 @@ def tpu_steps_per_sec(backend="pallas_fused") -> dict:
     for _ in range(4):
         t0 = time.perf_counter()
         out = model.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     adj_sps = STEPS_PER_CALL / best
     return {"forward_steps_per_sec": fwd_sps, "adjoint_steps_per_sec": adj_sps}
@@ -123,7 +138,7 @@ def tpu_fastquad_steps_per_sec() -> dict:
     for _ in range(4):
         t0 = time.perf_counter()
         out = model.forward(c, u0, v0, DT)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return {"fastquad_forward_steps_per_sec": round(STEPS_PER_CALL / best, 3)}
 
@@ -154,7 +169,7 @@ def tpu_schnak_steps_per_sec() -> dict:
     for _ in range(3):
         t0 = time.perf_counter()
         out = model.forward(c, u0, v0, DT)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return {"schnak_forward_steps_per_sec": round(STEPS_PER_CALL / best, 3)}
 
@@ -197,7 +212,7 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
         for _ in range(3):
             t0 = time.perf_counter()
             o = model.forward(c, u0, v0, DT)
-            jax.block_until_ready(o)
+            _sync(o)
             best = min(best, time.perf_counter() - t0)
         return model, (u, v), steps_b / best
 
@@ -328,7 +343,7 @@ def tpu_dist_smoke(n: int = 256, steps: int = 50) -> dict:
     for _ in range(3):
         t0 = time.perf_counter()
         o = md.forward(c, u0, v0, DT)
-        jax.block_until_ready(o)
+        _sync(o)
         best = min(best, time.perf_counter() - t0)
     return {"dist_smoke_steps_per_sec": round(steps / best, 3),
             "dist_vs_fused_rel": rel}

@@ -130,18 +130,97 @@ def _make_dct_pinv(C_ref, ilam_ref, dtype, precision=None):
     return pinv
 
 
-def _bicgstab(apply_A, prec, b, x0, tol, iters):
+def _make_dct_pinv2(C2_ref, ilam_ref, dtype, precision=None):
+    """_make_dct_pinv on a stacked (2, n, n) ref holding {C, C^T}.
+
+    The four products are all plain (1,)x(0,) row-major contractions, so
+    Mosaic never materializes relayout copies of C inside the Krylov
+    while_loop — the register-allocator spill fix for the large-grid
+    kernels (a (1,1)/(0,0) contraction of a loop-read (n, n) operand costs
+    a transposed staging copy PER APPLY, measured round 4 as the dominant
+    VMEM spill source at >=512^2)."""
+    hi = precision if precision is not None else jax.lax.Precision.DEFAULT
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=hi, preferred_element_type=dtype)
+
+    def pinv(r):
+        C = C2_ref[0, :, :]
+        Ct = C2_ref[1, :, :]
+        rh = mm(mm(C, r), Ct)
+        rh = rh * ilam_ref[:, :]
+        return mm(mm(Ct, rh), C)
+
+    return pinv
+
+
+def _dct_inputs2(n, h, dt, dtype, coefs):
+    """(stacked {C, C^T}, ilam...) device inputs for _make_dct_pinv2."""
+    C = jnp.asarray(dct_matrix(n), dtype=dtype)
+    C2 = jnp.stack([C, C.T])
+    ilams = [
+        jnp.asarray(dct_precond_ilam(n, h, dt, dc, mc), dtype=dtype)
+        for (dc, mc) in coefs
+    ]
+    return (C2, *ilams)
+
+
+def _bicgstab(apply_A, prec, b, x0, tol, iters, st=None):
     """Preconditioned BiCGStab to relative tolerance ``tol`` (vs ‖b‖),
     fixed-shape in-kernel while loop. ``prec``: Jacobi array or P^{-1}
     callable (_as_pinv). Matches scipy semantics closely enough
-    for the low-order FCT solve (M-matrix, diagonally dominant)."""
+    for the low-order FCT solve (M-matrix, diagonally dominant).
+
+    ``st``: optional tuple of FOUR (n, n) VMEM ref windows (x, r, rhat, p).
+    When given, the solver state lives in the refs and the while_loop
+    carries only scalars — the register-spill diet of the lean (≥large
+    grid) kernels: Mosaic gives every loop's (n, n) carries dedicated
+    VMEM spill slots with no cross-region reuse (measured round 4:
+    ~46 field planes of spill slots across the whole lean step kernel,
+    270 MB at 1024² f32), so plane-valued carries are the enemy. The refs
+    are scratch the caller is not using during the solve."""
     Pinv = _as_pinv(prec)
+    atol2 = tol * tol * jnp.sum(b * b)
+    if st is not None:
+        x_ref, r_ref, rhat_ref, p_ref = st
+        x_ref[...] = x0
+        r = b - apply_A(x0)
+        r_ref[...] = r
+        rhat_ref[...] = r
+        p_ref[...] = r
+        rho0 = jnp.sum(r * r)
+
+        def cond_st(c):
+            k, rho, rn2 = c
+            return (k < iters) & (rn2 > atol2)
+
+        def body_st(c):
+            k, rho, _ = c
+            p = p_ref[...]
+            phat = Pinv(p)
+            v = apply_A(phat)
+            alpha = _safe_div(rho, jnp.sum(rhat_ref[...] * v))
+            s = r_ref[...] - alpha * v
+            shat = Pinv(s)
+            t2 = apply_A(shat)
+            omega = _safe_div(jnp.sum(t2 * s), jnp.sum(t2 * t2))
+            x_ref[...] = x_ref[...] + alpha * phat + omega * shat
+            r2 = s - omega * t2
+            r_ref[...] = r2
+            rho2 = jnp.sum(rhat_ref[...] * r2)
+            beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
+            p_ref[...] = r2 + beta * (p - omega * v)
+            return k + 1, rho2, jnp.sum(r2 * r2)
+
+        jax.lax.while_loop(cond_st, body_st,
+                           (jnp.asarray(0, jnp.int32), rho0, rho0))
+        return x_ref[...]
     x = x0
     r = b - apply_A(x)
     rhat = r
     rho = jnp.sum(rhat * r)
     p = r
-    atol2 = tol * tol * jnp.sum(b * b)
 
     def cond(c):
         k, x, r, p, rho, rn2 = c
@@ -168,16 +247,51 @@ def _bicgstab(apply_A, prec, b, x0, tol, iters):
     return x
 
 
-def _cg(apply_A, prec, b, x0, tol, iters):
+def _cg(apply_A, prec, b, x0, tol, iters, st=None):
     """Preconditioned CG to relative tolerance ``tol`` (vs ‖b‖). ``prec``:
-    Jacobi array or SPD P^{-1} callable (_as_pinv)."""
+    Jacobi array or SPD P^{-1} callable (_as_pinv). ``st``: optional tuple
+    of FOUR (n, n) VMEM ref windows (x, r, z, p) for ref-state mode (see
+    _bicgstab; scalar-only while_loop carries)."""
     Pinv = _as_pinv(prec)
+    atol2 = tol * tol * jnp.sum(b * b)
+    if st is not None:
+        x_ref, r_ref, z_ref, p_ref = st
+        x_ref[...] = x0
+        r = b - apply_A(x0)
+        r_ref[...] = r
+        z = Pinv(r)
+        z_ref[...] = z
+        p_ref[...] = z
+        rz0 = jnp.sum(r * z)
+        rn0 = jnp.sum(r * r)
+
+        def cond_st(c):
+            k, rz, rn2 = c
+            return (k < iters) & (rn2 > atol2)
+
+        def body_st(c):
+            k, rz, _ = c
+            p = p_ref[...]
+            Ap = apply_A(p)
+            alpha = _safe_div(rz, jnp.sum(p * Ap))
+            x_ref[...] = x_ref[...] + alpha * p
+            r2 = r_ref[...] - alpha * Ap
+            r_ref[...] = r2
+            z2 = Pinv(r2)
+            z_ref[...] = z2
+            rz2 = jnp.sum(r2 * z2)
+            beta = _safe_div(rz2, rz)
+            p_ref[...] = z2 + beta * p
+            return k + 1, rz2, jnp.sum(r2 * r2)
+
+        jax.lax.while_loop(cond_st, body_st,
+                           (jnp.asarray(0, jnp.int32), rz0, rn0))
+        return x_ref[...]
     x = x0
     r = b - apply_A(x)
     z = Pinv(r)
     p = z
     rz = jnp.sum(r * z)
-    atol2 = tol * tol * jnp.sum(b * b)
 
     def cond(c):
         k, x, r, z, p, rz, rn2 = c
@@ -499,8 +613,17 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         b = ML * u_prev + dt * rhs
     if probe == "pre":
         return b
+    if park is not None:
+        # ref-state Krylov (scalar-only while_loop carries): the solver
+        # state lives in the xpad windows, which are unused between the
+        # Low transform and the limiter — the register-spill diet that
+        # makes the lean kernels fit large grids (see _bicgstab's st)
+        st4 = (xpads[0].at[:n, :n], xpads[1].at[:n, :n],
+               xpads[2].at[:n, :n], xpad4.at[:n, :n])
+    else:
+        st4 = None
     u_low = _bicgstab(apply_low, 1.0 / A_ref[CENTER] if prec is None else prec,
-                      b, u_prev if x0 is None else x0, tol, iters)
+                      b, u_prev if x0 is None else x0, tol, iters, st=st4)
     if probe == "low":
         return u_low
 
@@ -544,7 +667,34 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
     # removes the om-recurrence special cases from the body.
     #   iter 1 (om=1, yold=ymid=0):  ymid_1 = rdot * Mdinv
     du = rdot * Mdinv
-    if cheb_iters >= 2:
+    if cheb_iters >= 2 and park is not None:
+        # ref-state Chebyshev (same spill diet as the Krylov solves): the
+        # y/rdot/Mdinv planes live in the xpad windows freed by the
+        # finished BiCGStab; the fori_loop carries only the om scalar.
+        # The ping-pong costs one extra VMEM copy per iteration.
+        yold_ref, ymid_ref, rdot_ref = (
+            xpads[0].at[:n, :n], xpads[1].at[:n, :n], xpads[2].at[:n, :n])
+        mdinv_ref = xpad4.at[:n, :n]
+        rdot_ref[...] = rdot
+        mdinv_ref[...] = Mdinv
+        yold_ref[...] = du
+        rr = rdot - apply_M(du)
+        ymid_ref[...] = om2 * (rr * Mdinv + du)
+
+        def cheb_body_st(k, om):
+            om = 1.0 / (1.0 - om * rc2 / 4.0)
+            ymid = ymid_ref[...]
+            rr = rdot_ref[...] - apply_M(ymid)
+            ynew = (om * (rr * mdinv_ref[...] + ymid - yold_ref[...])
+                    + yold_ref[...])
+            yold_ref[...] = ymid
+            ymid_ref[...] = ynew
+            return om
+
+        jax.lax.fori_loop(2, cheb_iters, cheb_body_st,
+                          jnp.asarray(om2, rdot.dtype))
+        du = ymid_ref[...]
+    elif cheb_iters >= 2:
         #   iter 2 (om=om2, yold_2=0): ynew_2 = om2 (rr Mdinv + ymid_1)
         rr = rdot - apply_M(du)
         du2 = om2 * (rr * Mdinv + du)
@@ -566,6 +716,10 @@ def _fct_core(A_ref, D_ref, pad_ref, M_ref, Md_ref, ML, u_prev, rhs,
         cp = pltpu.make_async_copy(ahbm_ref, rawA7_ref, park_sem)
         cp.start()
         cp.wait()
+        # the limiter's D_at shifted reads expect zeroed xpad4 borders; the
+        # ref-state Krylov/Chebyshev stages left residue in its [:n, :n]
+        # window (p-slot / Mdinv)
+        xpad4[:, :] = jnp.zeros_like(xpad4)
     if probe == "cheb":
         return du
 
@@ -2211,8 +2365,8 @@ def _fwd_sweep_kernel_lean(
     v_n = vcur_ref[:, :]
     c_i = c_ref[0, :, :]
     if precond == "dct":
-        prec_u = _make_dct_pinv(dct_ref, ilamu_ref, dtype)
-        prec_v = _make_dct_pinv(dct_ref, ilamv_ref, dtype)
+        prec_u = _make_dct_pinv2(dct_ref, ilamu_ref, dtype)
+        prec_v = _make_dct_pinv2(dct_ref, ilamv_ref, dtype)
     else:
         prec_u = None
         prec_v = None
@@ -2226,16 +2380,26 @@ def _fwd_sweep_kernel_lean(
     # destination must start tile-aligned (offset 0), and _fct_core fully
     # re-initializes the xpads before the limiter uses them anyway.
     im2 = jnp.maximum(i - 2, 0)
-    cp = pltpu.make_async_copy(uout_ref.at[im2],
-                               xpad1_ref.at[:n, :n], sem_io)
-    cp.start()
-    cp.wait()
-    x0u = jnp.where(i > 1, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
     cp = pltpu.make_async_copy(vout_ref.at[im2],
                                xpad2_ref.at[:n, :n], sem_io)
     cp.start()
     cp.wait()
     x0v = jnp.where(i > 1, 2.0 * v_n - xpad2_ref[:n, :n], v_n)
+
+    # kernel-level VMEM stage probes (see _fct_core's FEMFCT_STAGE_PROBE):
+    # "warm" truncates after the warm-start staging, "vsolve" after the v
+    # half-step, "asm" after the transport assembly
+    probe = os.environ.get("FEMFCT_STAGE_PROBE", "")
+    if probe == "warm":
+        ucur_ref[:, :] = x0v
+        vcur_ref[:, :] = x0v
+        cpu = pltpu.make_async_copy(ucur_ref, uout_ref.at[i], sem_io)
+        cpu.start()
+        cpu.wait()
+        cpv = pltpu.make_async_copy(vcur_ref, vout_ref.at[i], sem_io)
+        cpv.start()
+        cpv.wait()
+        return
 
     # ---- v half-step (helpers.py:1339-1342) -----------------------------
     for k7, d in enumerate(P7):
@@ -2251,11 +2415,35 @@ def _fwd_sweep_kernel_lean(
     b = apply_M(v_n) + (dt * inv_r) * load
     v_np1 = _cg(apply_mat,
                 prec_v if prec_v is not None else 1.0 / A_ref[CENTER],
-                b, x0v, tol, iters)
+                b, x0v, tol, iters,
+                st=(xpad1_ref.at[:n, :n], xpad2_ref.at[:n, :n],
+                    xpad3_ref.at[:n, :n], xpad4_ref.at[:n, :n]))
+    # retire v_np1 to its scratch immediately: a value carried across the
+    # whole u half-step costs a dedicated spill slot at large n
+    vcur_ref[:, :] = v_np1
+    if probe == "vsolve":
+        ucur_ref[:, :] = u_n
+        cpu = pltpu.make_async_copy(ucur_ref, uout_ref.at[i], sem_io)
+        cpu.start()
+        cpu.wait()
+        cpv = pltpu.make_async_copy(vcur_ref, vout_ref.at[i], sem_io)
+        cpv.start()
+        cpv.wait()
+        return
 
     # ---- u half-step (helpers.py:1350-1356) -----------------------------
-    _assemble_forward_A(u_n, v_np1, K_ref, A_ref, nc=n - 1, Dm=Dm, chi=chi,
-                        eta=eta, wts=wts4, bary=bary4, grads=grads)
+    _assemble_forward_A(u_n, vcur_ref[:, :], K_ref, A_ref, nc=n - 1,
+                        Dm=Dm, chi=chi, eta=eta, wts=wts4, bary=bary4,
+                        grads=grads)
+    if probe == "asm":
+        ucur_ref[:, :] = u_n + A_ref[CENTER, :, :]
+        cpu = pltpu.make_async_copy(ucur_ref, uout_ref.at[i], sem_io)
+        cpu.start()
+        cpu.wait()
+        cpv = pltpu.make_async_copy(vcur_ref, vout_ref.at[i], sem_io)
+        cpv.start()
+        cpv.wait()
+        return
     if reaction == "mimura":
         rhs_u = (_lf_prod([u_n, u_n], nc=n - 1, h2=h2)
                  + _lf_prod([u_n, u_n, u_n], nc=n - 1, h2=h2, scale=-1.0))
@@ -2269,6 +2457,11 @@ def _fwd_sweep_kernel_lean(
             A7_ref[k7] = plane(d, 1.0, 0.0)
         return A_ref
 
+    cp = pltpu.make_async_copy(uout_ref.at[im2],
+                               xpad1_ref.at[:n, :n], sem_io)
+    cp.start()
+    cp.wait()
+    x0u = jnp.where(i > 1, 2.0 * u_n - xpad1_ref[:n, :n], u_n)
     u_np1 = _fct_core(
         A_ref, None, pad_ref, M_syn, Md_ref, ml_diag(), u_n, rhs_u,
         n=n, dt=dt, tol=tol, iters=iters, cheb_iters=cheb_iters, x0=x0u,
@@ -2278,7 +2471,6 @@ def _fwd_sweep_kernel_lean(
     )
 
     ucur_ref[:, :] = u_np1
-    vcur_ref[:, :] = v_np1
     cpu = pltpu.make_async_copy(ucur_ref, uout_ref.at[i], sem_io)
     cpu.start()
     cpu.wait()
@@ -2307,9 +2499,11 @@ def fused_chemotaxis_forward_sweep_lean(
         iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
         grads=grads, reaction=reaction, precond=precond,
     )
-    dct_C, ilam_u, ilam_v = _dct_inputs(
+    dct_C, ilam_u, ilam_v = _dct_inputs2(
         n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
     field = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    field2 = pl.BlockSpec((2, n, n), lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
     frame = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     # The raw-A park lives in an HBM OUTPUT ref (discarded): real Mosaic
@@ -2325,7 +2519,7 @@ def fused_chemotaxis_forward_sweep_lean(
             _inv_shape(u0.dtype),
             jax.ShapeDtypeStruct((7, n, n), u0.dtype),
         ),
-        in_specs=[frame, hbm, hbm, field, field, field],
+        in_specs=[frame, hbm, hbm, field2, field, field],
         out_specs=(hbm, hbm, _inv_spec(), hbm),
         scratch_shapes=[
             pltpu.VMEM((n, n), u0.dtype),      # u current
