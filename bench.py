@@ -193,6 +193,19 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
     u0np, v0np = None, None
     out = {}
 
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+        fits_vmem, fits_vmem_lean, fits_vmem_synth)
+
+    if include_fused and not (fits_vmem(n) or fits_vmem_synth(n)
+                              or fits_vmem_lean(n)):
+        # single-block fused tier capped near 640^2 f32 by real-Mosaic
+        # scoped-VMEM requirements (see fits_vmem_lean); report the XLA
+        # number honestly instead of asserting on the routing fallback
+        out["large_grid_fused_note"] = (
+            f"{n}^2 exceeds the calibrated single-block VMEM cap; "
+            "XLA path reported")
+        include_fused = False
+
     def measure(backend, steps_b):
         nonlocal u0np, v0np
         # the XLA path gets the spectral-DCT preconditioner (the fused

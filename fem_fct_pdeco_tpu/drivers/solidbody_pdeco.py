@@ -178,11 +178,22 @@ def main(argv=None):
     ap.add_argument("--backend",
                     choices=["xla", "pallas", "pallas_fused", "pallas_dist"],
                     default="xla")
-    ap.add_argument("--armijo-batch", type=int, default=1,
+    ap.add_argument("--armijo-batch", type=int, default=None,
                     help="evaluate N Armijo candidate steps per vmapped "
-                         "sweep (same accepted-step sequence)")
+                         "sweep (same accepted-step sequence; default 4, a "
+                         "measured 32%% PDECO wall-clock win on TPU; "
+                         "linear-increment Armijo runs default to 1)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
+    if args.armijo_batch is None:
+        # batched trials are a measured 32% PDECO wall-clock win on TPU but
+        # pure extra work on CPU (trials usually accept at the first step);
+        # linear-increment Armijo keeps the sequential path (optimize/armijo)
+        import jax
+
+        args.armijo_batch = (4 if jax.default_backend() != "cpu"
+                             and not getattr(args, "linear_armijo", False)
+                             else 1)
     d = {**DEFAULTS, "optim": args.optim, "T": args.T, "T_data": args.T,
          "dt": args.dt, "beta": args.beta, "tol": args.tol,
          "max_iter_gd": args.max_iter_gd,

@@ -41,9 +41,13 @@ class ModelBase:
     # ... and an even larger-grid "lean" variant (one resident stencil
     # buffer, raw flux matrix HBM-parked around the Krylov solve).
     _lean_capable: bool = False
-    # test hooks forcing the synth/lean kernel tiers at any grid size
+    # ... and the banded "XL" tier (full-plane VMEM state slots + banded
+    # solver-loop bodies; the >= 1024^2 single-chip kernels)
+    _xl_capable: bool = False
+    # test hooks forcing the synth/lean/xl kernel tiers at any grid size
     force_synth = False
     force_lean = False
+    force_xl = False
 
     def _synth_blocked(self) -> bool:
         """Model-specific reason the synth/lean tiers don't apply (e.g. the
@@ -56,7 +60,7 @@ class ModelBase:
         VMEM (the resident variants are slightly faster at small n)."""
         if self._synth_blocked():
             return False
-        if self.force_synth or self.force_lean:
+        if self.force_synth or self.force_lean or self.force_xl:
             return True
         from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
 
@@ -67,11 +71,29 @@ class ModelBase:
         VMEM (the synth variants are faster: resident D + mass)."""
         if self.force_lean:
             return True
-        if self.force_synth:
+        if self.force_synth or self.force_xl:
             return False
         from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
 
         return not fits_vmem_synth(self.grid.n, self.dtype)
+
+    def _use_xl_sweep(self):
+        """Pick the banded XL kernels when even the lean ones exceed the
+        calibrated single-block VMEM requirement (fits_vmem_lean)."""
+        if not getattr(self, "_xl_capable", False):
+            return False
+        if self.force_xl:
+            return True
+        if self.force_lean or self.force_synth:
+            return False
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+            fits_vmem_lean, fits_vmem_xl)
+
+        n = self.grid.n
+        nb = max(2, n // 128)
+        divisible = n % nb == 0 and (n // nb) % 8 == 0
+        return (not fits_vmem_lean(n, self.dtype) and divisible
+                and fits_vmem_xl(n, self.dtype))
 
     def __init__(
         self,
@@ -128,16 +150,19 @@ class ModelBase:
             backend = "xla"
         if backend in ("pallas", "pallas_fused"):
             from fem_fct_pdeco_tpu.ops.pallas_kernels import (
-                fits_vmem, fits_vmem_lean, fits_vmem_synth)
+                fits_vmem, fits_vmem_lean, fits_vmem_synth, fits_vmem_xl)
 
             # models with synth whole-sweep kernels (in-kernel synthesized
             # stationary operators, pallas_fused.py) keep the fused path up
             # to the larger synth budget — and, for families that also have
-            # the lean kernels (HBM-parked raw A), up to the lean budget
+            # the lean (HBM-parked raw A) or banded XL kernels, up to those
+            # tiers' budgets
             synth_ok = (backend == "pallas_fused" and self._synth_capable
                         and (fits_vmem_synth(grid.n, dtype)
                              or (getattr(self, "_lean_capable", False)
-                                 and fits_vmem_lean(grid.n, dtype))))
+                                 and fits_vmem_lean(grid.n, dtype))
+                             or (getattr(self, "_xl_capable", False)
+                                 and fits_vmem_xl(grid.n, dtype))))
             if not fits_vmem(grid.n, dtype) and not synth_ok:
                 import warnings
 

@@ -230,6 +230,10 @@ class ChemotaxisModel(ModelBase):
     # the force_synth/force_lean test hooks live on ModelBase
     _lean_capable = True
 
+    # ... and the banded XL forward kernel for grids past the lean tier's
+    # calibrated VMEM cap (>= 1024^2 f32; adjoint falls back to XLA there)
+    _xl_capable = True
+
     # experimental Mosaic-layout lever: resident fused forward assembly on
     # rolled full planes (pallas_fused._assemble_forward_A_aligned). Set
     # BEFORE the first forward() — the jitted sweep is cached per dt.
@@ -274,7 +278,11 @@ class ChemotaxisModel(ModelBase):
         if self._uses_fused_sweep():
             p = self.params
             if self._use_synth_sweep():
-                if self._use_lean_sweep():
+                if self._use_xl_sweep():
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_chemotaxis_forward_sweep_xl)
+                    sweep_fn = fused_chemotaxis_forward_sweep_xl
+                elif self._use_lean_sweep():
                     from fem_fct_pdeco_tpu.ops.pallas_fused import (
                         fused_chemotaxis_forward_sweep_lean)
                     sweep_fn = fused_chemotaxis_forward_sweep_lean
@@ -458,7 +466,10 @@ class ChemotaxisModel(ModelBase):
                 return tuple(res), stats
 
             return run_dist
-        if self._uses_fused_sweep():
+        # No XL adjoint kernel yet: at XL sizes the adjoint runs the
+        # step-based XLA path (spectral-preconditioned), which is what the
+        # pre-XL routing fell back to for the whole model anyway.
+        if self._uses_fused_sweep() and not self._use_xl_sweep():
             p = self.params
 
             def _terminal(u_traj, v_traj, uhat, vhat):

@@ -4399,3 +4399,696 @@ def fused_schnak_adjoint_sweep_lean(
     out = (jnp.concatenate([p_traj, pT[None]], axis=0),
            jnp.concatenate([q_traj, qT[None]], axis=0))
     return out + (jnp.min(inv),) if with_stats else out
+
+
+# ---------------------------------------------------------------------------
+# XL (banded-lean) whole-sweep kernels: the >= 1024^2 single-chip tier.
+#
+# Round-4 hardware calibration (docs/roadmap.md) showed the single-block
+# lean kernels cannot compile past ~640^2 f32: Mosaic's register allocator
+# gives each loop region its own pool of (n, n)-sized spill slots (~46
+# field planes across the whole step kernel = 271 MB scoped at 1024^2 vs
+# the 128 MB VMEM). The XL kernels keep the FULL-PLANE state in explicit
+# VMEM scratch slots (a (10, n, n) "ST" register file + the (7, n, n)
+# per-step stencil) and run every solver-loop body BANDED: each sweep
+# iterates nb row bands of nr = n/nb rows, so loop-region temporaries are
+# (nr, n)-sized and the spill pools shrink by ~nb. Only the spectral DCT
+# preconditioner applies stay full-plane (four MXU matmuls; their
+# operands/outputs fit comfortably). The raw flux matrix is parked in an
+# HBM output ref around the low-order solve exactly like the lean kernels.
+#
+# ST slot map (chemotaxis forward):
+#   0 U  u_n, then u_{n+1}          5 P  Krylov p / Cheb yold
+#   1 V  v_n, then v_{n+1}          6 B  rhs/b / CG Ap / Cheb rdot
+#   2 X  Krylov x / u_low           7 W  BiCGStab phat+shat / Cheb ymid (du)
+#   3 R  Krylov r / s               8 RP BiCGStab v / limiter R+
+#   4 Z  CG z / BiCGStab rhat /     9 RN BiCGStab t / Cheb ynew /
+#        warm-start staging / Mdinv      limiter R-
+# ---------------------------------------------------------------------------
+
+
+def _bands_of(n, nb):
+    nr = n // nb
+    return [(b * nr, b == 0, b == nb - 1) for b in range(nb)], nr
+
+
+def _make_synth_xl(n, dtype, h2):
+    """Band-windowed _make_synth: plane(d, mc, kc, r0, nr) -> the (nr, n)
+    window [r0, r0+nr) of the synthesized alpha*M + beta*K stencil plane."""
+    combos, ml_combo = _mk_combos()
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+
+    def mask(ai, aj, r0, nr):
+        row = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 0) + r0
+        col = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 1)
+        rk = (row <= n - 2) if ai == 0 else (row >= 1)
+        ck = (col <= n - 2) if aj == 0 else (col >= 1)
+        return jnp.where(rk & ck, one, zero)
+
+    def plane(d, mcoef, kcoef, r0, nr):
+        acc = None
+        for (ai, aj), (em, ek) in combos[d].items():
+            cst = float(mcoef) * h2 * em + float(kcoef) * ek
+            if cst == 0.0:
+                continue
+            term = cst * mask(ai, aj, r0, nr)
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = jnp.zeros((nr, n), dtype)
+        return acc
+
+    def ml_diag(r0, nr):
+        acc = None
+        for (ai, aj), em in ml_combo.items():
+            term = (h2 * em) * mask(ai, aj, r0, nr)
+            acc = term if acc is None else acc + term
+        return acc
+
+    return plane, ml_diag
+
+
+def _xl_stage(pad_ref, read_rows, r0, nr, n, top, bot, border=0.0):
+    """Fill the (nr+2, n+2) band pad with global rows r0-1..r0+nr of a full
+    (n, n) plane (``read_rows(lo, hi)`` -> value), ``border`` elsewhere.
+    pad row k holds global row r0-1+k; out-of-domain rows/cols hold the
+    border value (0 = masked-assembly semantics, 1 = the limiter's R
+    convention)."""
+    pad_ref[:, :] = jnp.full_like(pad_ref, border)
+    lo = r0 - (0 if top else 1)
+    hi = r0 + nr + (0 if bot else 1)
+    d0 = 1 if top else 0
+    pad_ref[d0 : d0 + (hi - lo), 1 : n + 1] = read_rows(lo, hi)
+
+
+def _xl_apply(S_at, pad_ref, r0, nr, n):
+    """Band stencil apply: out[i] = sum_d S[d][i] * x[i + off_d] for the
+    band rows, reading x through a staged band pad."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    acc = None
+    for d in range(9):
+        if d in ANTI_DIAGONAL_IDS:
+            continue
+        w = S_at(d, r0, nr)
+        if w is None:
+            continue
+        di, dj = OFFSETS[d]
+        t = w * pad_ref[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _xl_corner(f, t, i, ncr, ncc):
+    ai, aj = TRI_CORNERS[t][i]
+    return f[ai : ai + ncr, aj : aj + ncc]
+
+
+def _xl_lf_prod(fields, *, ncr, ncc, h2, scale=1.0):
+    """Rectangular-patch _lf_prod: exact load (ncr+1, ncc+1) of
+    scale * int (prod_k f_k,h) phi_a dx over the patch cells."""
+    k = len(fields)
+    T = _moments(k + 1) * h2
+    out = None
+    for t in range(2):
+        contribs = [None, None, None]
+        for idx in np.ndindex(*((3,) * k)):
+            p = _xl_corner(fields[0], t, idx[0], ncr, ncc)
+            for m in range(1, k):
+                p = p * _xl_corner(fields[m], t, idx[m], ncr, ncc)
+            for a in range(3):
+                w = scale * float(T[idx + (a,)])
+                add = w * p
+                contribs[a] = add if contribs[a] is None else contribs[a] + add
+        for a, (ai, aj) in enumerate(TRI_CORNERS[t]):
+            placed = jnp.pad(contribs[a], ((ai, 1 - ai), (aj, 1 - aj)))
+            out = placed if out is None else out + placed
+    return out
+
+
+def _xl_asm_transport(u_b, v_b, *, ncr, ncc, chi, eta, wts, bary, grads):
+    """Band-patch chemotaxis transport assembly: planes of
+    -chi * (e^{-eta u} grad v_h . grad phi_a, phi_b) as a dict
+    d -> (ncr+1, ncc+1) value (None for the structurally-zero planes);
+    same math as _assemble_forward_A (helpers.py:1350-1352)."""
+    out = {d: None for d in range(9)}
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        gvx = sum(_xl_corner(v_b, t, a, ncr, ncc) * grads[t, a, 0]
+                  for a in range(3))
+        gvy = sum(_xl_corner(v_b, t, a, ncr, ncc) * grads[t, a, 1]
+                  for a in range(3))
+        Vb = [None] * 3
+        for q in range(len(wts)):
+            uq = (bary[q, 0] * _xl_corner(u_b, t, 0, ncr, ncc)
+                  + bary[q, 1] * _xl_corner(u_b, t, 1, ncr, ncc)
+                  + bary[q, 2] * _xl_corner(u_b, t, 2, ncr, ncc))
+            e = wts[q] * jnp.exp(-eta * uq)
+            for b in range(3):
+                contrib = bary[q, b] * e
+                Vb[b] = contrib if Vb[b] is None else Vb[b] + contrib
+        for a, (ai, aj) in enumerate(corners):
+            ga = (-chi * grads[t, a, 0]) * gvx + (-chi * grads[t, a, 1]) * gvy
+            for b, (bi, bj) in enumerate(corners):
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(ga * Vb[b], ((ai, 1 - ai), (aj, 1 - aj)))
+                out[d] = placed if out[d] is None else out[d] + placed
+    return out
+
+
+def _xl_cg(ST, slots, S_at, pinv, diag_at, bsq, pad, BANDS, nr, n, tol,
+           iters, dtype):
+    """Banded preconditioned CG on the ST slots (x, r, z, p, Ap); the
+    while_loop carries only scalars (same semantics as _cg)."""
+    X, R, Z, P, AP = slots
+    zero = jnp.asarray(0.0, dtype)
+
+    rn0 = zero
+    for (r0, top, bot) in BANDS:
+        _xl_stage(pad, lambda lo, hi: ST[X, lo:hi, :], r0, nr, n, top, bot)
+        Ax = _xl_apply(S_at, pad, r0, nr, n)
+        rb = ST[AP, r0 : r0 + nr, :] - Ax   # AP holds b on entry
+        ST[R, r0 : r0 + nr, :] = rb
+        rn0 = rn0 + jnp.sum(rb * rb)
+
+    def apply_pinv():
+        if pinv is not None:
+            z = pinv(ST[R, :, :])
+            ST[Z, :, :] = z
+            return jnp.sum(ST[R, :, :] * z)
+        rz = zero
+        for (r0, top, bot) in BANDS:
+            rb = ST[R, r0 : r0 + nr, :]
+            zb = rb / diag_at(r0, nr)
+            ST[Z, r0 : r0 + nr, :] = zb
+            rz = rz + jnp.sum(rb * zb)
+        return rz
+
+    rz0 = apply_pinv()
+    ST[P, :, :] = ST[Z, :, :]
+    atol2 = tol * tol * bsq
+
+    def cond(c):
+        k, rz, rn2 = c
+        return (k < iters) & (rn2 > atol2)
+
+    def body(c):
+        k, rz, _ = c
+        pAp = zero
+        for (r0, top, bot) in BANDS:
+            _xl_stage(pad, lambda lo, hi: ST[P, lo:hi, :], r0, nr, n, top, bot)
+            Ap = _xl_apply(S_at, pad, r0, nr, n)
+            ST[AP, r0 : r0 + nr, :] = Ap
+            pAp = pAp + jnp.sum(ST[P, r0 : r0 + nr, :] * Ap)
+        alpha = _safe_div(rz, pAp)
+        rn2 = zero
+        for (r0, top, bot) in BANDS:
+            ST[X, r0 : r0 + nr, :] = (ST[X, r0 : r0 + nr, :]
+                                      + alpha * ST[P, r0 : r0 + nr, :])
+            rb = ST[R, r0 : r0 + nr, :] - alpha * ST[AP, r0 : r0 + nr, :]
+            ST[R, r0 : r0 + nr, :] = rb
+            rn2 = rn2 + jnp.sum(rb * rb)
+        rz2 = apply_pinv()
+        beta = _safe_div(rz2, rz)
+        for (r0, top, bot) in BANDS:
+            ST[P, r0 : r0 + nr, :] = (ST[Z, r0 : r0 + nr, :]
+                                      + beta * ST[P, r0 : r0 + nr, :])
+        return k + 1, rz2, rn2
+
+    jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), rz0, rn0))
+
+
+def _xl_bicgstab(ST, slots, S_at, pinv, diag_at, bsq, pad, BANDS, nr, n,
+                 tol, iters, dtype):
+    """Banded preconditioned BiCGStab on the ST slots
+    (x, r, rhat, p, v, t, b, phat); scalar-only while_loop carries (same
+    semantics as _bicgstab)."""
+    X, R, RH, P, VV, T, B, PH = slots
+    zero = jnp.asarray(0.0, dtype)
+
+    rho0 = zero
+    for (r0, top, bot) in BANDS:
+        _xl_stage(pad, lambda lo, hi: ST[X, lo:hi, :], r0, nr, n, top, bot)
+        Ax = _xl_apply(S_at, pad, r0, nr, n)
+        rb = ST[B, r0 : r0 + nr, :] - Ax
+        ST[R, r0 : r0 + nr, :] = rb
+        ST[RH, r0 : r0 + nr, :] = rb
+        ST[P, r0 : r0 + nr, :] = rb
+        rho0 = rho0 + jnp.sum(rb * rb)
+    atol2 = tol * tol * bsq
+
+    def precond(src):
+        if pinv is not None:
+            ST[PH, :, :] = pinv(ST[src, :, :])
+        else:
+            for (r0, top, bot) in BANDS:
+                ST[PH, r0 : r0 + nr, :] = (ST[src, r0 : r0 + nr, :]
+                                           / diag_at(r0, nr))
+
+    def cond(c):
+        k, rho, rn2 = c
+        return (k < iters) & (rn2 > atol2)
+
+    def body(c):
+        k, rho, _ = c
+        precond(P)                                     # phat
+        rhv = zero
+        for (r0, top, bot) in BANDS:
+            _xl_stage(pad, lambda lo, hi: ST[PH, lo:hi, :], r0, nr, n, top, bot)
+            vb = _xl_apply(S_at, pad, r0, nr, n)
+            ST[VV, r0 : r0 + nr, :] = vb
+            rhv = rhv + jnp.sum(ST[RH, r0 : r0 + nr, :] * vb)
+        alpha = _safe_div(rho, rhv)
+        for (r0, top, bot) in BANDS:
+            ST[X, r0 : r0 + nr, :] = (ST[X, r0 : r0 + nr, :]
+                                      + alpha * ST[PH, r0 : r0 + nr, :])
+            ST[R, r0 : r0 + nr, :] = (ST[R, r0 : r0 + nr, :]
+                                      - alpha * ST[VV, r0 : r0 + nr, :])
+        precond(R)                                     # shat (s lives in R)
+        ts = zero
+        tt = zero
+        for (r0, top, bot) in BANDS:
+            _xl_stage(pad, lambda lo, hi: ST[PH, lo:hi, :], r0, nr, n, top, bot)
+            tb = _xl_apply(S_at, pad, r0, nr, n)
+            ST[T, r0 : r0 + nr, :] = tb
+            ts = ts + jnp.sum(tb * ST[R, r0 : r0 + nr, :])
+            tt = tt + jnp.sum(tb * tb)
+        omega = _safe_div(ts, tt)
+        rho2 = zero
+        rn2 = zero
+        for (r0, top, bot) in BANDS:
+            ST[X, r0 : r0 + nr, :] = (ST[X, r0 : r0 + nr, :]
+                                      + omega * ST[PH, r0 : r0 + nr, :])
+            rb = ST[R, r0 : r0 + nr, :] - omega * ST[T, r0 : r0 + nr, :]
+            ST[R, r0 : r0 + nr, :] = rb
+            rho2 = rho2 + jnp.sum(ST[RH, r0 : r0 + nr, :] * rb)
+            rn2 = rn2 + jnp.sum(rb * rb)
+        beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
+        for (r0, top, bot) in BANDS:
+            ST[P, r0 : r0 + nr, :] = (
+                ST[R, r0 : r0 + nr, :]
+                + beta * (ST[P, r0 : r0 + nr, :]
+                          - omega * ST[VV, r0 : r0 + nr, :]))
+        return k + 1, rho2, rn2
+
+    jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), rho0, rho0))
+
+
+def _fwd_sweep_kernel_xl(
+    c_ref, u0_ref, v0_ref, dctC_in, ilamu_in, ilamv_in,
+    uout_ref, vout_ref, inv_ref, ahbm_ref,
+    ST, A7_ref, C_s, ilu_s, ilv_s, cstg_ref,
+    pad1, pad2, pad3, pad4, pad5, save_ref, sem_io, sem_park,
+    *, n, nb, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
+    cheb_iters, wts4, bary4, grads, reaction, precond,
+):
+    """Banded-lean chemotaxis forward step (the >= 1024^2 tier; identical
+    math to _fwd_sweep_kernel_lean / helpers.py:1321-1385). See the XL
+    section header for the memory model and the ST slot map."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = cstg_ref.dtype
+    BANDS, nr = _bands_of(n, nb)
+    plane, ml_diag = _make_synth_xl(n, dtype, h2)
+    i = pl.program_id(0)
+    U, V, X, R, Z, P, B, W, RP, RN = range(10)
+
+    def rows(slot):
+        return lambda lo, hi: ST[slot, lo:hi, :]
+
+    @pl.when(i == 0)
+    def _():
+        for src, dst in ((u0_ref, ST.at[U]), (v0_ref, ST.at[V]),
+                         (dctC_in, C_s), (ilamu_in, ilu_s),
+                         (ilamv_in, ilv_s)):
+            cp0 = pltpu.make_async_copy(src, dst, sem_io)
+            cp0.start()
+            cp0.wait()
+        _inv_init(inv_ref)
+
+    cp = pltpu.make_async_copy(c_ref.at[i], cstg_ref, sem_io)
+    cp.start()
+    cp.wait()
+
+    if precond == "dct":
+        pinv_u = _make_dct_pinv(C_s, ilu_s, dtype)
+        pinv_v = _make_dct_pinv(C_s, ilv_s, dtype)
+    else:
+        pinv_u = pinv_v = None
+
+    # ---- v half-step (helpers.py:1339-1342) -----------------------------
+    def matv_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0 + dt * delta, dt * Df, r0, nrw)
+
+    def mass_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0, 0.0, r0, nrw)
+
+    zero = jnp.asarray(0.0, dtype)
+    bsq = zero
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        load = _xl_lf_prod([cstg_ref[lo:hi, :], ST[U, lo:hi, :]],
+                           ncr=ncr, ncc=n - 1, h2=h2)[d0 : d0 + nr]
+        _xl_stage(pad1, rows(V), r0, nr, n, top, bot)
+        bb = _xl_apply(mass_at, pad1, r0, nr, n) + (dt * inv_r) * load
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+
+    # warm start x0 = 2 v_n - v_{n-1} from the HBM trajectory (out[i] is
+    # x_{i+1}, so x_{n-1} lives in slot i-2; discarded by the select at
+    # i <= 1 -- same contract as the lean kernels)
+    im2 = jnp.maximum(i - 2, 0)
+    cp = pltpu.make_async_copy(vout_ref.at[im2], ST.at[Z], sem_io)
+    cp.start()
+    cp.wait()
+    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[V, :, :] - ST[Z, :, :],
+                            ST[V, :, :])
+
+    def matv_diag(r0, nrw):
+        return plane(CENTER, 1.0 + dt * delta, dt * Df, r0, nrw)
+
+    _xl_cg(ST, (X, R, Z, P, B), matv_at, pinv_v, matv_diag, bsq, pad1,
+           BANDS, nr, n, tol, iters, dtype)
+    ST[V, :, :] = ST[X, :, :]  # v_{n+1}
+
+    # ---- u half-step: transport assembly (helpers.py:1350-1352) --------
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        tr = _xl_asm_transport(ST[U, lo:hi, :], ST[V, lo:hi, :], ncr=ncr,
+                               ncc=n - 1, chi=chi, eta=eta, wts=wts4,
+                               bary=bary4, grads=grads)
+        for k7, d in enumerate(P7):
+            kp = plane(d, 0.0, Dm, r0, nr)
+            t = tr[d]
+            A7_ref[k7, r0 : r0 + nr, :] = (kp if t is None
+                                           else kp + t[d0 : d0 + nr])
+
+    # b = ML u_n + dt rhs  (rhs = m^2(1-m) IMEX terms for the Mimura
+    # reaction, helpers.py of mimura_data_helpers.py:19-109; zero for the
+    # plain Keller-Segel system)
+    bsq = zero
+    for (r0, top, bot) in BANDS:
+        ub = ST[U, r0 : r0 + nr, :]
+        bb = ml_diag(r0, nr) * ub
+        if reaction == "mimura":
+            lo = r0 - (0 if top else 1)
+            hi = r0 + nr + (0 if bot else 1)
+            d0 = 0 if top else 1
+            ncr = hi - lo - 1
+            ubh = ST[U, lo:hi, :]
+            rhs_b = (_xl_lf_prod([ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2)
+                     + _xl_lf_prod([ubh, ubh, ubh], ncr=ncr, ncc=n - 1,
+                                   h2=h2, scale=-1.0))[d0 : d0 + nr]
+            bb = bb + dt * rhs_b
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+
+    # park raw A in the HBM output ref, then transform A -> Low in place,
+    # band by band: each band's Low planes are computed as values from the
+    # still-raw A7 rows; the one raw row a later band needs from an
+    # already-transformed earlier band (global row r0-1) is saved first.
+    cp = pltpu.make_async_copy(A7_ref, ahbm_ref, sem_park)
+    cp.start()
+    cp.wait()
+    for bidx in range(1, nb):
+        r0s = bidx * nr
+        for k7 in range(7):
+            save_ref[k7, 8 * bidx, :] = A7_ref[k7, r0s - 1, :]
+    minrs = None
+    for (r0, top, bot) in BANDS:
+        bandidx = r0 // nr
+
+        def stage_raw(k7):
+            pad1[:, :] = jnp.zeros_like(pad1)
+            hi = r0 + nr + (0 if bot else 1)
+            if top:
+                pad1[1 : 1 + hi - r0, 1 : n + 1] = A7_ref[k7, r0:hi, :]
+            else:
+                pad1[0, 1 : n + 1] = save_ref[k7, 8 * bandidx, :]
+                pad1[1 : 1 + hi - r0, 1 : n + 1] = A7_ref[k7, r0:hi, :]
+
+        lowp = {}
+        offsum = None
+        for d in range(9):
+            if d in _ZERO_PLANES or d == CENTER:
+                continue
+            od = opposite(d)
+            stage_raw(P7IDX[od])
+            di, dj = OFFSETS[d]
+            Ad = A7_ref[P7IDX[d], r0 : r0 + nr, :]
+            Dd = jnp.maximum(
+                0.0, jnp.maximum(Ad, pad1[1 + di : 1 + di + nr,
+                                          1 + dj : 1 + dj + n]))
+            lowp[d] = dt * (Ad - Dd)
+            offsum = Dd if offsum is None else offsum + Dd
+        cd = A7_ref[P7IDX[CENTER], r0 : r0 + nr, :] + offsum
+        lowp[CENTER] = ml_diag(r0, nr) + dt * cd
+        rs = None
+        for d, v in lowp.items():
+            rs = v if rs is None else rs + v
+            A7_ref[P7IDX[d], r0 : r0 + nr, :] = v
+        mb = jnp.min(rs)
+        minrs = mb if minrs is None else jnp.minimum(minrs, mb)
+    inv_ref[:, :] = jnp.minimum(inv_ref[:, :], minrs)
+
+    # warm start for the low-order solve
+    cp = pltpu.make_async_copy(uout_ref.at[im2], ST.at[Z], sem_io)
+    cp.start()
+    cp.wait()
+    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[U, :, :] - ST[Z, :, :],
+                            ST[U, :, :])
+
+    def low_at(d, r0, nrw):
+        if d in _ZERO_PLANES:
+            return None
+        return A7_ref[P7IDX[d], r0 : r0 + nrw, :]
+
+    def low_diag(r0, nrw):
+        return A7_ref[P7IDX[CENTER], r0 : r0 + nrw, :]
+
+    _xl_bicgstab(ST, (X, R, Z, P, RP, RN, B, W), low_at, pinv_u, low_diag,
+                 bsq, pad1, BANDS, nr, n, tol, iters, dtype)
+    # u_low stays in ST[X]
+
+    # ---- Chebyshev du/dt on M du = -A u_low + rhs (helpers.py:1812-1815)
+    cp = pltpu.make_async_copy(ahbm_ref, A7_ref, sem_park)
+    cp.start()
+    cp.wait()
+    for (r0, top, bot) in BANDS:
+        _xl_stage(pad1, rows(X), r0, nr, n, top, bot)
+        rdot_b = -_xl_apply(low_at, pad1, r0, nr, n)
+        if reaction == "mimura":
+            lo = r0 - (0 if top else 1)
+            hi = r0 + nr + (0 if bot else 1)
+            d0 = 0 if top else 1
+            ncr = hi - lo - 1
+            ubh = ST[U, lo:hi, :]
+            rdot_b = rdot_b + (
+                _xl_lf_prod([ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2)
+                + _xl_lf_prod([ubh, ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2,
+                              scale=-1.0))[d0 : d0 + nr]
+        ST[B, r0 : r0 + nr, :] = rdot_b
+        ST[Z, r0 : r0 + nr, :] = 1.0 / (1.25 * plane(CENTER, 1.0, 0.0,
+                                                     r0, nr))
+    lmin, lmax = 0.5, 2.0
+    rho_c = (lmax - lmin) / (lmax + lmin)
+    rc2 = rho_c * rho_c
+    om2 = 1.0 / (1.0 - rc2 / 2.0)
+    # iter 1 (om=1, yold=ymid=0): ymid_1 = rdot * Mdinv  (yold slot P,
+    # ymid slot W, scratch ynew slot RN; scalar-only fori carry)
+    for (r0, top, bot) in BANDS:
+        ST[P, r0 : r0 + nr, :] = (ST[B, r0 : r0 + nr, :]
+                                  * ST[Z, r0 : r0 + nr, :])
+    if cheb_iters >= 2:
+        for (r0, top, bot) in BANDS:
+            _xl_stage(pad1, rows(P), r0, nr, n, top, bot)
+            rr = (ST[B, r0 : r0 + nr, :]
+                  - _xl_apply(mass_at, pad1, r0, nr, n))
+            ST[W, r0 : r0 + nr, :] = om2 * (rr * ST[Z, r0 : r0 + nr, :]
+                                            + ST[P, r0 : r0 + nr, :])
+
+        def cheb_body(k, om):
+            om = 1.0 / (1.0 - om * rc2 / 4.0)
+            for (r0, top, bot) in BANDS:
+                _xl_stage(pad1, rows(W), r0, nr, n, top, bot)
+                rr = (ST[B, r0 : r0 + nr, :]
+                      - _xl_apply(mass_at, pad1, r0, nr, n))
+                ST[RN, r0 : r0 + nr, :] = (
+                    om * (rr * ST[Z, r0 : r0 + nr, :]
+                          + ST[W, r0 : r0 + nr, :]
+                          - ST[P, r0 : r0 + nr, :])
+                    + ST[P, r0 : r0 + nr, :])
+            for (r0, top, bot) in BANDS:
+                ST[P, r0 : r0 + nr, :] = ST[W, r0 : r0 + nr, :]
+                ST[W, r0 : r0 + nr, :] = ST[RN, r0 : r0 + nr, :]
+            return om
+
+        jax.lax.fori_loop(2, cheb_iters, cheb_body,
+                          jnp.asarray(om2, dtype))
+    # du lives in ST[W]
+
+    # ---- fluxes + Zalesak + correction (helpers.py:1812-1872) -----------
+    for (r0, top, bot) in BANDS:
+        row = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 0) + r0
+        col = jax.lax.broadcasted_iota(jnp.int32, (nr, n), 1)
+        _xl_stage(pad1, rows(X), r0, nr, n, top, bot)
+        _xl_stage(pad2, rows(W), r0, nr, n, top, bot)
+        ul_b = ST[X, r0 : r0 + nr, :]
+        du_b = ST[W, r0 : r0 + nr, :]
+        p_pos = jnp.zeros((nr, n), dtype)
+        p_neg = jnp.zeros((nr, n), dtype)
+        u_max = ul_b
+        u_min = ul_b
+        for d in EDGE_NEIGHBOR_IDS:
+            di, dj = OFFSETS[d]
+            _xl_stage(pad3, lambda lo, hi: A7_ref[P7IDX[opposite(d)],
+                                                  lo:hi, :],
+                      r0, nr, n, top, bot)
+            Dd = jnp.maximum(
+                0.0, jnp.maximum(A7_ref[P7IDX[d], r0 : r0 + nr, :],
+                                 pad3[1 + di : 1 + di + nr,
+                                      1 + dj : 1 + dj + n]))
+            F = (mass_at(d, r0, nr)
+                 * (du_b - pad2[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n])
+                 + Dd * (ul_b - pad1[1 + di : 1 + di + nr,
+                                     1 + dj : 1 + dj + n]))
+            p_pos = p_pos + jnp.maximum(F, 0.0)
+            p_neg = p_neg + jnp.minimum(F, 0.0)
+            ok = ((row + di >= 0) & (row + di < n)
+                  & (col + dj >= 0) & (col + dj < n))
+            nbr = jnp.where(ok, pad1[1 + di : 1 + di + nr,
+                                     1 + dj : 1 + dj + n], ul_b)
+            u_max = jnp.maximum(u_max, nbr)
+            u_min = jnp.minimum(u_min, nbr)
+        mlb = ml_diag(r0, nr)
+        q_pos = u_max - ul_b
+        q_neg = u_min - ul_b
+        den_pos = dt * p_pos  # branch on the PRODUCT (f32 underflow; fct.py)
+        r_pos = jnp.where(
+            den_pos > 0.0,
+            jnp.minimum(1.0, mlb * q_pos
+                        / jnp.where(den_pos > 0.0, den_pos, 1.0)),
+            1.0,
+        )
+        den_neg = dt * p_neg
+        r_neg = jnp.where(
+            den_neg < 0.0,
+            jnp.minimum(1.0, mlb * q_neg
+                        / jnp.where(den_neg < 0.0, den_neg, 1.0)),
+            1.0,
+        )
+        ST[RP, r0 : r0 + nr, :] = r_pos
+        ST[RN, r0 : r0 + nr, :] = r_neg
+
+    for (r0, top, bot) in BANDS:
+        _xl_stage(pad1, rows(X), r0, nr, n, top, bot)
+        _xl_stage(pad2, rows(W), r0, nr, n, top, bot)
+        _xl_stage(pad4, rows(RP), r0, nr, n, top, bot, border=1.0)
+        _xl_stage(pad5, rows(RN), r0, nr, n, top, bot, border=1.0)
+        ul_b = ST[X, r0 : r0 + nr, :]
+        du_b = ST[W, r0 : r0 + nr, :]
+        r_pos = ST[RP, r0 : r0 + nr, :]
+        r_neg = ST[RN, r0 : r0 + nr, :]
+        fbar = jnp.zeros((nr, n), dtype)
+        for d in EDGE_NEIGHBOR_IDS:
+            di, dj = OFFSETS[d]
+            _xl_stage(pad3, lambda lo, hi: A7_ref[P7IDX[opposite(d)],
+                                                  lo:hi, :],
+                      r0, nr, n, top, bot)
+            Dd = jnp.maximum(
+                0.0, jnp.maximum(A7_ref[P7IDX[d], r0 : r0 + nr, :],
+                                 pad3[1 + di : 1 + di + nr,
+                                      1 + dj : 1 + dj + n]))
+            F = (mass_at(d, r0, nr)
+                 * (du_b - pad2[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n])
+                 + Dd * (ul_b - pad1[1 + di : 1 + di + nr,
+                                     1 + dj : 1 + dj + n]))
+            lim_p = jnp.minimum(r_pos, pad5[1 + di : 1 + di + nr,
+                                            1 + dj : 1 + dj + n])
+            lim_n = jnp.minimum(r_neg, pad4[1 + di : 1 + di + nr,
+                                            1 + dj : 1 + dj + n])
+            fbar = fbar + jnp.where(F > 0.0, lim_p * F,
+                                    jnp.where(F < 0.0, lim_n * F, 0.0))
+        ST[U, r0 : r0 + nr, :] = ul_b + dt * fbar / ml_diag(r0, nr)
+
+    cpu = pltpu.make_async_copy(ST.at[U], uout_ref.at[i], sem_io)
+    cpu.start()
+    cpu.wait()
+    cpv = pltpu.make_async_copy(ST.at[V], vout_ref.at[i], sem_io)
+    cpv.start()
+    cpv.wait()
+
+
+def fused_chemotaxis_forward_sweep_xl(
+        c_traj, u0, v0, *, h, dt, Dm, Df, delta, chi, eta, rescaling,
+        tol=1e-6, iters=60, cheb_iters=20, reaction=None, precond="dct",
+        nb=None, vmem_limit_mb=127, quad_degree=4, with_stats=False):
+    """Banded-lean (>= 1024^2) chemotaxis forward sweep: ONE pallas_call,
+    full-plane state in explicit VMEM slots, banded solver-loop bodies (see
+    the XL section header). Mathematically identical to
+    fused_chemotaxis_forward_sweep_lean, which tops out near 640^2 f32 on
+    real Mosaic (register-allocator spill pools)."""
+    n = u0.shape[-1]
+    steps = c_traj.shape[0] - 1
+    if nb is None:
+        nb = max(2, n // 128)
+    nr = n // nb
+    if n % nb or nr % 8:
+        raise ValueError(f"grid {n} not divisible into {nb} sublane-aligned "
+                         "bands")
+    wts4, bary4, grads = _quad_consts(quad_degree, h)
+    wts4 = wts4 * h * h
+    kern = functools.partial(
+        _fwd_sweep_kernel_xl, n=n, nb=nb, h2=h * h, dt=dt, Dm=Dm, Df=Df,
+        delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling, tol=tol,
+        iters=iters, cheb_iters=cheb_iters, wts4=wts4, bary4=bary4,
+        grads=grads, reaction=reaction, precond=precond,
+    )
+    dct_C, ilam_u, ilam_v = _dct_inputs(
+        n, h, dt, u0.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    u_traj, v_traj, inv, _park = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), u0.dtype),
+            _inv_shape(u0.dtype),
+            jax.ShapeDtypeStruct((7, n, n), u0.dtype),
+        ),
+        in_specs=[hbm, hbm, hbm, hbm, hbm, hbm],
+        out_specs=(hbm, hbm, _inv_spec(), hbm),
+        scratch_shapes=[
+            pltpu.VMEM((10, n, n), u0.dtype),       # ST register file
+            pltpu.VMEM((7, n, n), u0.dtype),        # per-step stencil
+            pltpu.VMEM((n, n), u0.dtype),           # DCT C
+            pltpu.VMEM((n, n), u0.dtype),           # ilam_u
+            pltpu.VMEM((n, n), u0.dtype),           # ilam_v
+            pltpu.VMEM((n, n), u0.dtype),           # control frame
+            pltpu.VMEM((nr + 2, n + 2), u0.dtype),  # band pads
+            pltpu.VMEM((nr + 2, n + 2), u0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), u0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), u0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), u0.dtype),
+            pltpu.VMEM((7, 8 * nb, n), u0.dtype),   # raw boundary rows
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
+    out = (jnp.concatenate([u0[None], u_traj], axis=0),
+           jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out

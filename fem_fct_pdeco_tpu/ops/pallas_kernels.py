@@ -46,13 +46,17 @@ def fits_vmem_synth(n: int, dtype=jnp.float32,
                     budget_bytes: int = 120 * 2**20) -> bool:
     """VMEM feasibility of the SYNTH whole-sweep kernels
     (pallas_fused.py: stationary operators synthesized in-kernel, compact
-    7-plane per-step stencils): 2x7 plane scratches + pads + state +
-    windows ≈ 34 field-sized arrays FIXED, plus ~8 arrays of live solver
-    state (measured: 512² f32 compiles at ~34 MB fixed; 1024² f32 OOMs at
-    134 MB fixed before any spill). Grids past this budget route to the
-    LEAN kernels (fits_vmem_lean) and only then fall back to XLA."""
+    7-plane per-step stencils). Calibrated against real-Mosaic scoped-VMEM
+    requirements (round 4, v5e): the 512² f32 synth kernel needs ~70 MB
+    scoped — ~25 MB of fixed scratches/windows plus ~45 MB of
+    register-allocator spill slots (each loop region gets its own
+    spill-slot pool; carries and stage temporaries both count, and the
+    pools do not reuse each other's slots). That is ~70 effective field
+    planes, which caps the single-block tier near 640² f32; the old
+    fixed-footprint-only model (42 planes) overpromised 768²+ and OOM'd at
+    compile time on hardware."""
     itemsize = jnp.dtype(dtype).itemsize
-    need = 42 * n * n * itemsize
+    need = 70 * n * n * itemsize
     return need <= budget_bytes
 
 
@@ -60,12 +64,29 @@ def fits_vmem_lean(n: int, dtype=jnp.float32,
                    budget_bytes: int = 122 * 2**20) -> bool:
     """VMEM feasibility of the LEAN whole-sweep kernels (pallas_fused.py:
     ONE resident 7-plane stencil buffer with the raw flux matrix parked in
-    an HBM scratch around the Krylov solve, artificial diffusion and
-    consistent mass never materialized, HBM-staged trajectory frames):
-    ~21 field-sized arrays fixed + ~8 live solver arrays. Sized so 1024²
-    f32 runs fused; past this the models fall back to XLA."""
+    an HBM output ref around the Krylov solve, artificial diffusion and
+    consistent mass never materialized, HBM-staged trajectory frames,
+    ref-state Krylov/Chebyshev). Calibrated like fits_vmem_synth: the
+    512² f32 lean kernel needs ~72 MB scoped on real Mosaic (spill-slot
+    pools dominate the fixed footprint), capping the tier near 640² f32 —
+    NOT the 1024² the fixed-footprint model promised. Grids past this cap
+    fall back to XLA until the banded (HBM-staged) kernels land."""
     itemsize = jnp.dtype(dtype).itemsize
-    need = 29 * n * n * itemsize
+    need = 72 * n * n * itemsize
+    return need <= budget_bytes
+
+
+def fits_vmem_xl(n: int, dtype=jnp.float32,
+                 budget_bytes: int = 123 * 2**20) -> bool:
+    """VMEM feasibility of the banded XL whole-sweep kernels
+    (pallas_fused.py: a (10, n, n) full-plane VMEM state file + the
+    (7, n, n) per-step stencil + DCT operands ≈ 21 field planes FIXED, with
+    every solver-loop body banded so the Mosaic spill pools are
+    (n/nb, n)-sized). ~30 effective planes total; sized so 1024² f32 runs
+    fused. Past this the models fall back to XLA (2048² would need the
+    HBM-streamed variant of the stencil/state, not yet built)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    need = 30 * n * n * itemsize
     return need <= budget_bytes
 
 

@@ -261,7 +261,7 @@ def test_armijo_batch_driver_equivalence(in_tmp):
     from fem_fct_pdeco_tpu.drivers import nonlinear_pdeco as d
 
     args = ["--T", "0.02", "--dx", "0.1", "--max-iter-gd", "3", "--tol", "1e-10"]
-    out1 = d.main(args)
+    out1 = d.main(args + ["--armijo-batch", "1"])
     out2 = d.main(args + ["--armijo-batch", "2"])
     h1, h2 = out1["result"].history, out2["result"].history
     assert h1["armijo_iters"] == h2["armijo_iters"]

@@ -136,10 +136,13 @@ def test_vmem_guard_falls_back_to_xla():
     from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
     from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
 
-    # Schnakenberg (stationary wind) IS synth-capable: 512² f64 exceeds the
+    # Schnakenberg (stationary wind) IS synth-capable: 448² f64 exceeds the
     # resident budget but keeps the fused backend on the synth kernels
-    n_big = 512
+    # (caps calibrated against real-Mosaic scoped-VMEM requirements,
+    # round 4: ~70 effective planes for the synth tier)
+    n_big = 448
     assert not fits_vmem(n_big, jnp.float64)
+    assert fits_vmem_synth(n_big, jnp.float64)
     model = SchnakenbergModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
     assert model.backend == "pallas_fused" and model._use_synth_sweep()
 
@@ -151,15 +154,19 @@ def test_vmem_guard_falls_back_to_xla():
             td_wind_fn=lambda x, y, t: (y, -x))
     assert model.backend == "xla"
 
-    # chemotaxis IS synth-capable: 512² f64 exceeds the resident budget but
-    # fits the synth one, so the fused backend is kept (and dispatches to
-    # the synth kernels)
-    assert fits_vmem_synth(n_big, jnp.float64)
-    model = ChemotaxisModel(Grid(0.0, 1.0, n_big), backend="pallas_fused")
+    # 512² f64 is past even the lean tier's calibrated requirement
+    # (~144 MB); chemotaxis keeps the fused backend through the banded XL
+    # tier, Schnakenberg (no XL kernel yet) falls back
+    assert not fits_vmem_synth(512, jnp.float64)
+    model = ChemotaxisModel(Grid(0.0, 1.0, 512), backend="pallas_fused")
     assert model.backend == "pallas_fused"
-    assert model._use_synth_sweep()
+    assert model._use_xl_sweep()
+    with _pytest.warns(UserWarning, match="VMEM"):
+        model = SchnakenbergModel(Grid(0.0, 1.0, 512),
+                                  backend="pallas_fused")
+    assert model.backend == "xla"
 
-    # beyond the synth budget even chemotaxis falls back
+    # beyond every tier's budget even chemotaxis falls back
     n_huge = 1600
     assert not fits_vmem_synth(n_huge, jnp.float64)
     with _pytest.warns(UserWarning, match="VMEM"):
@@ -802,3 +809,92 @@ def test_lane_aligned_assembly_matches_window():
     ua, va = run(True)
     assert float(jnp.abs(ua - uw).max()) < 1e-11
     assert float(jnp.abs(va - vw).max()) < 1e-11
+
+
+def test_xl_sweep_matches_xla_chemotaxis():
+    """Banded XL forward kernel (full-plane VMEM state slots + banded
+    solver-loop bodies, the >= 1024^2 tier) against the XLA path; the
+    adjoint at XL sizes routes to the XLA fallback, which must keep the
+    (result, stats) contract intact."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 32, 6, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    ml = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13),
+                         backend="pallas_fused")
+    ml.force_xl = True
+    assert ml._use_synth_sweep() and ml._use_xl_sweep()
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), mx.params.gamma)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    ul, vl = ml.forward(c, u0, v0, dt)
+    assert float(jnp.abs(ul - ux).max()) < 1e-9
+    assert float(jnp.abs(vl - vx).max()) < 1e-9
+    rep = ml.invariant_report()
+    assert rep is not None and rep["ok"]
+
+    uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+    px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
+    pl_, ql = ml.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
+    assert float(jnp.abs(pl_ - px).max()) < 1e-9
+    assert float(jnp.abs(ql - qx).max()) < 1e-9
+
+
+def test_xl_sweep_matches_xla_mimura():
+    """XL forward kernel with the Mimura m²(1-m) reaction terms (the banded
+    rhs/rdot quadrature path)."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.mimura import MimuraModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 32, 4, 1e-2
+    g = Grid(0.0, 2.0, n)
+    mx = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13))
+    ml = MimuraModel(g, solver_opts=SolverOpts(tol=1e-13),
+                     backend="pallas_fused")
+    ml.force_xl = True
+    m0np, f0np = mx.ic()
+    m0, f0 = jnp.asarray(m0np), jnp.asarray(f0np)
+    c = jnp.ones((steps + 1, n, n))
+
+    ux, vx = mx.forward(c, m0, f0, dt)
+    ul, vl = ml.forward(c, m0, f0, dt)
+    assert float(jnp.abs(ul - ux).max()) < 1e-9
+    assert float(jnp.abs(vl - vx).max()) < 1e-9
+
+
+def test_xl_sweep_jacobi_and_odd_bands():
+    """XL kernel with the Jacobi preconditioner and a non-default band
+    count (nb=4 at n=32 -> nr=8, the minimum sublane-aligned band)."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+        fused_chemotaxis_forward_sweep_xl)
+
+    n, steps, dt = 32, 4, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = ChemotaxisModel(g, rescaling=1.0, solver_opts=SolverOpts(tol=1e-13))
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), mx.params.gamma)
+    ux, vx = mx.forward(c, u0, v0, dt)
+    p = mx.params
+    for precond in ("jacobi", "dct"):
+        uxl, vxl = fused_chemotaxis_forward_sweep_xl(
+            c, u0, v0, h=g.h, dt=dt, Dm=p.Dm, Df=p.Df, delta=p.delta,
+            chi=p.chi, eta=p.eta, rescaling=1.0, tol=1e-13, iters=400,
+            nb=4, precond=precond)
+        assert float(jnp.abs(uxl - ux).max()) < 1e-9, precond
+        assert float(jnp.abs(vxl - vx).max()) < 1e-9, precond
