@@ -466,10 +466,7 @@ class ChemotaxisModel(ModelBase):
                 return tuple(res), stats
 
             return run_dist
-        # No XL adjoint kernel yet: at XL sizes the adjoint runs the
-        # step-based XLA path (spectral-preconditioned), which is what the
-        # pre-XL routing fell back to for the whole model anyway.
-        if self._uses_fused_sweep() and not self._use_xl_sweep():
+        if self._uses_fused_sweep():
             p = self.params
 
             def _terminal(u_traj, v_traj, uhat, vhat):
@@ -484,7 +481,11 @@ class ChemotaxisModel(ModelBase):
                 return pT, jnp.zeros_like(pT), mis_u, mis_v
 
             if self._use_synth_sweep():
-                if self._use_lean_sweep():
+                if self._use_xl_sweep():
+                    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                        fused_chemotaxis_adjoint_sweep_xl)
+                    sweep_fn = fused_chemotaxis_adjoint_sweep_xl
+                elif self._use_lean_sweep():
                     from fem_fct_pdeco_tpu.ops.pallas_fused import (
                         fused_chemotaxis_adjoint_sweep_lean)
                     sweep_fn = fused_chemotaxis_adjoint_sweep_lean

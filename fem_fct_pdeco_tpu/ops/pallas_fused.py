@@ -4694,124 +4694,27 @@ def _xl_bicgstab(ST, slots, S_at, pinv, diag_at, bsq, pad, BANDS, nr, n,
     jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), rho0, rho0))
 
 
-def _fwd_sweep_kernel_xl(
-    c_ref, u0_ref, v0_ref, dctC_in, ilamu_in, ilamv_in,
-    uout_ref, vout_ref, inv_ref, ahbm_ref,
-    ST, A7_ref, C_s, ilu_s, ilv_s, cstg_ref,
-    pad1, pad2, pad3, pad4, pad5, save_ref, sem_io, sem_park,
-    *, n, nb, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
-    cheb_iters, wts4, bary4, grads, reaction, precond,
-):
-    """Banded-lean chemotaxis forward step (the >= 1024^2 tier; identical
-    math to _fwd_sweep_kernel_lean / helpers.py:1321-1385). See the XL
-    section header for the memory model and the ST slot map."""
-    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
 
-    dtype = cstg_ref.dtype
-    BANDS, nr = _bands_of(n, nb)
-    plane, ml_diag = _make_synth_xl(n, dtype, h2)
+def _xl_fct_tail(ST, slots, A7_ref, ahbm_ref, save_ref, pads, sems,
+                 BANDS, nr, n, *, dt, tol, iters, cheb_iters, plane, ml_diag,
+                 mass_at, pinv, bsq, rhs_at=None, S_at=None, inv_ref=None,
+                 out_slot, dtype):
+    """Banded FCT step tail (shared by the XL forward and adjoint kernels):
+    park raw A (already assembled in A7_ref) to the HBM ref, transform
+    A -> Low in place band by band (optional non-flux planes ``S_at``),
+    min-rowsum telemetry, banded BiCGStab low-order solve (x0 preloaded in
+    the X slot, b in the B slot with ||b||^2 = ``bsq``), raw-A restore,
+    banded Chebyshev du/dt on M du = -A u_low + rhs (``rhs_at(r0, nr)``
+    band values, or zero), and the banded Zalesak limiter; the corrected
+    solution lands in ``out_slot``. Mirrors _fct_core's park mode
+    (helpers.py:1769-1872) with the XL memory model."""
+    X, R, Z, P, B, W, RP, RN = slots
+    pad1, pad2, pad3, pad4, pad5 = pads
+    sem_io, sem_park = sems
     i = pl.program_id(0)
-    U, V, X, R, Z, P, B, W, RP, RN = range(10)
 
     def rows(slot):
         return lambda lo, hi: ST[slot, lo:hi, :]
-
-    @pl.when(i == 0)
-    def _():
-        for src, dst in ((u0_ref, ST.at[U]), (v0_ref, ST.at[V]),
-                         (dctC_in, C_s), (ilamu_in, ilu_s),
-                         (ilamv_in, ilv_s)):
-            cp0 = pltpu.make_async_copy(src, dst, sem_io)
-            cp0.start()
-            cp0.wait()
-        _inv_init(inv_ref)
-
-    cp = pltpu.make_async_copy(c_ref.at[i], cstg_ref, sem_io)
-    cp.start()
-    cp.wait()
-
-    if precond == "dct":
-        pinv_u = _make_dct_pinv(C_s, ilu_s, dtype)
-        pinv_v = _make_dct_pinv(C_s, ilv_s, dtype)
-    else:
-        pinv_u = pinv_v = None
-
-    # ---- v half-step (helpers.py:1339-1342) -----------------------------
-    def matv_at(d, r0, nrw):
-        if d in ANTI_DIAGONAL_IDS:
-            return None
-        return plane(d, 1.0 + dt * delta, dt * Df, r0, nrw)
-
-    def mass_at(d, r0, nrw):
-        if d in ANTI_DIAGONAL_IDS:
-            return None
-        return plane(d, 1.0, 0.0, r0, nrw)
-
-    zero = jnp.asarray(0.0, dtype)
-    bsq = zero
-    for (r0, top, bot) in BANDS:
-        lo = r0 - (0 if top else 1)
-        hi = r0 + nr + (0 if bot else 1)
-        d0 = 0 if top else 1
-        ncr = hi - lo - 1
-        load = _xl_lf_prod([cstg_ref[lo:hi, :], ST[U, lo:hi, :]],
-                           ncr=ncr, ncc=n - 1, h2=h2)[d0 : d0 + nr]
-        _xl_stage(pad1, rows(V), r0, nr, n, top, bot)
-        bb = _xl_apply(mass_at, pad1, r0, nr, n) + (dt * inv_r) * load
-        ST[B, r0 : r0 + nr, :] = bb
-        bsq = bsq + jnp.sum(bb * bb)
-
-    # warm start x0 = 2 v_n - v_{n-1} from the HBM trajectory (out[i] is
-    # x_{i+1}, so x_{n-1} lives in slot i-2; discarded by the select at
-    # i <= 1 -- same contract as the lean kernels)
-    im2 = jnp.maximum(i - 2, 0)
-    cp = pltpu.make_async_copy(vout_ref.at[im2], ST.at[Z], sem_io)
-    cp.start()
-    cp.wait()
-    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[V, :, :] - ST[Z, :, :],
-                            ST[V, :, :])
-
-    def matv_diag(r0, nrw):
-        return plane(CENTER, 1.0 + dt * delta, dt * Df, r0, nrw)
-
-    _xl_cg(ST, (X, R, Z, P, B), matv_at, pinv_v, matv_diag, bsq, pad1,
-           BANDS, nr, n, tol, iters, dtype)
-    ST[V, :, :] = ST[X, :, :]  # v_{n+1}
-
-    # ---- u half-step: transport assembly (helpers.py:1350-1352) --------
-    for (r0, top, bot) in BANDS:
-        lo = r0 - (0 if top else 1)
-        hi = r0 + nr + (0 if bot else 1)
-        d0 = 0 if top else 1
-        ncr = hi - lo - 1
-        tr = _xl_asm_transport(ST[U, lo:hi, :], ST[V, lo:hi, :], ncr=ncr,
-                               ncc=n - 1, chi=chi, eta=eta, wts=wts4,
-                               bary=bary4, grads=grads)
-        for k7, d in enumerate(P7):
-            kp = plane(d, 0.0, Dm, r0, nr)
-            t = tr[d]
-            A7_ref[k7, r0 : r0 + nr, :] = (kp if t is None
-                                           else kp + t[d0 : d0 + nr])
-
-    # b = ML u_n + dt rhs  (rhs = m^2(1-m) IMEX terms for the Mimura
-    # reaction, helpers.py of mimura_data_helpers.py:19-109; zero for the
-    # plain Keller-Segel system)
-    bsq = zero
-    for (r0, top, bot) in BANDS:
-        ub = ST[U, r0 : r0 + nr, :]
-        bb = ml_diag(r0, nr) * ub
-        if reaction == "mimura":
-            lo = r0 - (0 if top else 1)
-            hi = r0 + nr + (0 if bot else 1)
-            d0 = 0 if top else 1
-            ncr = hi - lo - 1
-            ubh = ST[U, lo:hi, :]
-            rhs_b = (_xl_lf_prod([ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2)
-                     + _xl_lf_prod([ubh, ubh, ubh], ncr=ncr, ncc=n - 1,
-                                   h2=h2, scale=-1.0))[d0 : d0 + nr]
-            bb = bb + dt * rhs_b
-        ST[B, r0 : r0 + nr, :] = bb
-        bsq = bsq + jnp.sum(bb * bb)
 
     # park raw A in the HBM output ref, then transform A -> Low in place,
     # band by band: each band's Low planes are computed as values from the
@@ -4820,7 +4723,7 @@ def _fwd_sweep_kernel_xl(
     cp = pltpu.make_async_copy(A7_ref, ahbm_ref, sem_park)
     cp.start()
     cp.wait()
-    for bidx in range(1, nb):
+    for bidx in range(1, len(BANDS)):
         r0s = bidx * nr
         for k7 in range(7):
             save_ref[k7, 8 * bidx, :] = A7_ref[k7, r0s - 1, :]
@@ -4849,9 +4752,18 @@ def _fwd_sweep_kernel_xl(
             Dd = jnp.maximum(
                 0.0, jnp.maximum(Ad, pad1[1 + di : 1 + di + nr,
                                           1 + dj : 1 + dj + n]))
-            lowp[d] = dt * (Ad - Dd)
+            pl_d = Ad - Dd
+            if S_at is not None:
+                sd = S_at(d, r0, nr)
+                if sd is not None:
+                    pl_d = pl_d + sd
+            lowp[d] = dt * pl_d
             offsum = Dd if offsum is None else offsum + Dd
         cd = A7_ref[P7IDX[CENTER], r0 : r0 + nr, :] + offsum
+        if S_at is not None:
+            sc = S_at(CENTER, r0, nr)
+            if sc is not None:
+                cd = cd + sc
         lowp[CENTER] = ml_diag(r0, nr) + dt * cd
         rs = None
         for d, v in lowp.items():
@@ -4859,14 +4771,8 @@ def _fwd_sweep_kernel_xl(
             A7_ref[P7IDX[d], r0 : r0 + nr, :] = v
         mb = jnp.min(rs)
         minrs = mb if minrs is None else jnp.minimum(minrs, mb)
-    inv_ref[:, :] = jnp.minimum(inv_ref[:, :], minrs)
-
-    # warm start for the low-order solve
-    cp = pltpu.make_async_copy(uout_ref.at[im2], ST.at[Z], sem_io)
-    cp.start()
-    cp.wait()
-    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[U, :, :] - ST[Z, :, :],
-                            ST[U, :, :])
+    if inv_ref is not None:
+        inv_ref[:, :] = jnp.minimum(inv_ref[:, :], minrs)
 
     def low_at(d, r0, nrw):
         if d in _ZERO_PLANES:
@@ -4876,7 +4782,7 @@ def _fwd_sweep_kernel_xl(
     def low_diag(r0, nrw):
         return A7_ref[P7IDX[CENTER], r0 : r0 + nrw, :]
 
-    _xl_bicgstab(ST, (X, R, Z, P, RP, RN, B, W), low_at, pinv_u, low_diag,
+    _xl_bicgstab(ST, (X, R, Z, P, RP, RN, B, W), low_at, pinv, low_diag,
                  bsq, pad1, BANDS, nr, n, tol, iters, dtype)
     # u_low stays in ST[X]
 
@@ -4887,16 +4793,8 @@ def _fwd_sweep_kernel_xl(
     for (r0, top, bot) in BANDS:
         _xl_stage(pad1, rows(X), r0, nr, n, top, bot)
         rdot_b = -_xl_apply(low_at, pad1, r0, nr, n)
-        if reaction == "mimura":
-            lo = r0 - (0 if top else 1)
-            hi = r0 + nr + (0 if bot else 1)
-            d0 = 0 if top else 1
-            ncr = hi - lo - 1
-            ubh = ST[U, lo:hi, :]
-            rdot_b = rdot_b + (
-                _xl_lf_prod([ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2)
-                + _xl_lf_prod([ubh, ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2,
-                              scale=-1.0))[d0 : d0 + nr]
+        if rhs_at is not None:
+            rdot_b = rdot_b + rhs_at(r0, nr, top, bot)
         ST[B, r0 : r0 + nr, :] = rdot_b
         ST[Z, r0 : r0 + nr, :] = 1.0 / (1.25 * plane(CENTER, 1.0, 0.0,
                                                      r0, nr))
@@ -5019,7 +4917,154 @@ def _fwd_sweep_kernel_xl(
                                             1 + dj : 1 + dj + n])
             fbar = fbar + jnp.where(F > 0.0, lim_p * F,
                                     jnp.where(F < 0.0, lim_n * F, 0.0))
-        ST[U, r0 : r0 + nr, :] = ul_b + dt * fbar / ml_diag(r0, nr)
+        ST[out_slot, r0 : r0 + nr, :] = ul_b + dt * fbar / ml_diag(r0, nr)
+
+
+
+def _fwd_sweep_kernel_xl(
+    c_ref, u0_ref, v0_ref, dctC_in, ilamu_in, ilamv_in,
+    uout_ref, vout_ref, inv_ref, ahbm_ref,
+    ST, A7_ref, C_s, ilu_s, ilv_s, cstg_ref,
+    pad1, pad2, pad3, pad4, pad5, save_ref, sem_io, sem_park,
+    *, n, nb, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
+    cheb_iters, wts4, bary4, grads, reaction, precond,
+):
+    """Banded-lean chemotaxis forward step (the >= 1024^2 tier; identical
+    math to _fwd_sweep_kernel_lean / helpers.py:1321-1385). See the XL
+    section header for the memory model and the ST slot map."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = cstg_ref.dtype
+    BANDS, nr = _bands_of(n, nb)
+    plane, ml_diag = _make_synth_xl(n, dtype, h2)
+    i = pl.program_id(0)
+    U, V, X, R, Z, P, B, W, RP, RN = range(10)
+
+    def rows(slot):
+        return lambda lo, hi: ST[slot, lo:hi, :]
+
+    @pl.when(i == 0)
+    def _():
+        for src, dst in ((u0_ref, ST.at[U]), (v0_ref, ST.at[V]),
+                         (dctC_in, C_s), (ilamu_in, ilu_s),
+                         (ilamv_in, ilv_s)):
+            cp0 = pltpu.make_async_copy(src, dst, sem_io)
+            cp0.start()
+            cp0.wait()
+        _inv_init(inv_ref)
+
+    cp = pltpu.make_async_copy(c_ref.at[i], cstg_ref, sem_io)
+    cp.start()
+    cp.wait()
+
+    if precond == "dct":
+        pinv_u = _make_dct_pinv(C_s, ilu_s, dtype)
+        pinv_v = _make_dct_pinv(C_s, ilv_s, dtype)
+    else:
+        pinv_u = pinv_v = None
+
+    # ---- v half-step (helpers.py:1339-1342) -----------------------------
+    def matv_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0 + dt * delta, dt * Df, r0, nrw)
+
+    def mass_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0, 0.0, r0, nrw)
+
+    zero = jnp.asarray(0.0, dtype)
+    bsq = zero
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        load = _xl_lf_prod([cstg_ref[lo:hi, :], ST[U, lo:hi, :]],
+                           ncr=ncr, ncc=n - 1, h2=h2)[d0 : d0 + nr]
+        _xl_stage(pad1, rows(V), r0, nr, n, top, bot)
+        bb = _xl_apply(mass_at, pad1, r0, nr, n) + (dt * inv_r) * load
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+
+    # warm start x0 = 2 v_n - v_{n-1} from the HBM trajectory (out[i] is
+    # x_{i+1}, so x_{n-1} lives in slot i-2; discarded by the select at
+    # i <= 1 -- same contract as the lean kernels)
+    im2 = jnp.maximum(i - 2, 0)
+    cp = pltpu.make_async_copy(vout_ref.at[im2], ST.at[Z], sem_io)
+    cp.start()
+    cp.wait()
+    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[V, :, :] - ST[Z, :, :],
+                            ST[V, :, :])
+
+    def matv_diag(r0, nrw):
+        return plane(CENTER, 1.0 + dt * delta, dt * Df, r0, nrw)
+
+    _xl_cg(ST, (X, R, Z, P, B), matv_at, pinv_v, matv_diag, bsq, pad1,
+           BANDS, nr, n, tol, iters, dtype)
+    ST[V, :, :] = ST[X, :, :]  # v_{n+1}
+
+    # ---- u half-step: transport assembly (helpers.py:1350-1352) --------
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        tr = _xl_asm_transport(ST[U, lo:hi, :], ST[V, lo:hi, :], ncr=ncr,
+                               ncc=n - 1, chi=chi, eta=eta, wts=wts4,
+                               bary=bary4, grads=grads)
+        for k7, d in enumerate(P7):
+            kp = plane(d, 0.0, Dm, r0, nr)
+            t = tr[d]
+            A7_ref[k7, r0 : r0 + nr, :] = (kp if t is None
+                                           else kp + t[d0 : d0 + nr])
+
+    # b = ML u_n + dt rhs  (rhs = m^2(1-m) IMEX terms for the Mimura
+    # reaction, helpers.py of mimura_data_helpers.py:19-109; zero for the
+    # plain Keller-Segel system)
+    bsq = zero
+    for (r0, top, bot) in BANDS:
+        ub = ST[U, r0 : r0 + nr, :]
+        bb = ml_diag(r0, nr) * ub
+        if reaction == "mimura":
+            lo = r0 - (0 if top else 1)
+            hi = r0 + nr + (0 if bot else 1)
+            d0 = 0 if top else 1
+            ncr = hi - lo - 1
+            ubh = ST[U, lo:hi, :]
+            rhs_b = (_xl_lf_prod([ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2)
+                     + _xl_lf_prod([ubh, ubh, ubh], ncr=ncr, ncc=n - 1,
+                                   h2=h2, scale=-1.0))[d0 : d0 + nr]
+            bb = bb + dt * rhs_b
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+
+    # warm start for the low-order solve
+    cp = pltpu.make_async_copy(uout_ref.at[im2], ST.at[Z], sem_io)
+    cp.start()
+    cp.wait()
+    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[U, :, :] - ST[Z, :, :],
+                            ST[U, :, :])
+
+    if reaction == "mimura":
+        def rhs_at(r0, nrw, top, bot):
+            lo = r0 - (0 if top else 1)
+            hi = r0 + nrw + (0 if bot else 1)
+            d0 = 0 if top else 1
+            ncr = hi - lo - 1
+            ubh = ST[U, lo:hi, :]
+            return (_xl_lf_prod([ubh, ubh], ncr=ncr, ncc=n - 1, h2=h2)
+                    + _xl_lf_prod([ubh, ubh, ubh], ncr=ncr, ncc=n - 1,
+                                  h2=h2, scale=-1.0))[d0 : d0 + nrw]
+    else:
+        rhs_at = None
+    _xl_fct_tail(ST, (X, R, Z, P, B, W, RP, RN), A7_ref, ahbm_ref, save_ref,
+                 (pad1, pad2, pad3, pad4, pad5), (sem_io, sem_park),
+                 BANDS, nr, n, dt=dt, tol=tol, iters=iters,
+                 cheb_iters=cheb_iters, plane=plane, ml_diag=ml_diag,
+                 mass_at=mass_at, pinv=pinv_u, bsq=bsq, rhs_at=rhs_at,
+                 inv_ref=inv_ref, out_slot=U, dtype=dtype)
 
     cpu = pltpu.make_async_copy(ST.at[U], uout_ref.at[i], sem_io)
     cpu.start()
@@ -5091,4 +5136,338 @@ def fused_chemotaxis_forward_sweep_xl(
     )(c_traj[1:], u0, v0, dct_C, ilam_u, ilam_v)
     out = (jnp.concatenate([u0[None], u_traj], axis=0),
            jnp.concatenate([v0[None], v_traj], axis=0))
+    return out + (jnp.min(inv),) if with_stats else out
+
+
+def _xl_asm_adjoint(q_b, u_b, v_b, c_b, *, ncr, ncc, chi, eta, inv_r, wts,
+                    bary, grads, h2):
+    """Band-patch adjoint transport assembly: the transposed-pairing planes
+    -chi*((1-eta u)e^{-eta u} grad v_h . grad phi_TRIAL, phi_TEST) as a dict
+    d -> (ncr+1, ncc+1) (None where structurally zero), plus the p-load
+    (c_h q_h / r, phi_a) (helpers.py:1499-1505; _assemble_adjoint_A_and_load
+    on a rectangular patch)."""
+    out = {d: None for d in range(9)}
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        gvx = sum(_xl_corner(v_b, t, a, ncr, ncc) * grads[t, a, 0]
+                  for a in range(3))
+        gvy = sum(_xl_corner(v_b, t, a, ncr, ncc) * grads[t, a, 1]
+                  for a in range(3))
+        Va = [None] * 3
+        for q in range(len(wts)):
+            uq = (bary[q, 0] * _xl_corner(u_b, t, 0, ncr, ncc)
+                  + bary[q, 1] * _xl_corner(u_b, t, 1, ncr, ncc)
+                  + bary[q, 2] * _xl_corner(u_b, t, 2, ncr, ncc))
+            e = wts[q] * (1.0 - eta * uq) * jnp.exp(-eta * uq)
+            for a in range(3):
+                Va[a] = (bary[q, a] * e if Va[a] is None
+                         else Va[a] + bary[q, a] * e)
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                gb = ((-chi * grads[t, b, 0]) * gvx
+                      + (-chi * grads[t, b, 1]) * gvy)
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(gb * Va[a], ((ai, 1 - ai), (aj, 1 - aj)))
+                out[d] = placed if out[d] is None else out[d] + placed
+    load = _xl_lf_prod([c_b, q_b], ncr=ncr, ncc=ncc, h2=h2, scale=inv_r)
+    return out, load
+
+
+def _xl_q_load(p_b, u_b, *, ncr, ncc, chi, eta, wts, bary, grads):
+    """Band-patch q-equation load (chi u_h e^{-eta u_h} grad p_h . grad
+    phi_a) (helpers.py:1531-1532; _q_load on a rectangular patch)."""
+    load = None
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        gpx = sum(_xl_corner(p_b, t, a, ncr, ncc) * grads[t, a, 0]
+                  for a in range(3))
+        gpy = sum(_xl_corner(p_b, t, a, ncr, ncc) * grads[t, a, 1]
+                  for a in range(3))
+        gsum = None
+        for q in range(len(wts)):
+            uq = (bary[q, 0] * _xl_corner(u_b, t, 0, ncr, ncc)
+                  + bary[q, 1] * _xl_corner(u_b, t, 1, ncr, ncc)
+                  + bary[q, 2] * _xl_corner(u_b, t, 2, ncr, ncc))
+            g = wts[q] * chi * uq * jnp.exp(-eta * uq)
+            gsum = g if gsum is None else gsum + g
+        for a, (ai, aj) in enumerate(corners):
+            ga = grads[t, a, 0] * gpx + grads[t, a, 1] * gpy
+            placed = jnp.pad(gsum * ga, ((ai, 1 - ai), (aj, 1 - aj)))
+            load = placed if load is None else load + placed
+    return load
+
+
+def _xl_wm_prod(fields_b, *, ncr, ncc, h2, scale=1.0):
+    """Band-patch _wm_prod: 9 stencil plane values (ncr+1, ncc+1) of
+    scale * int (prod_k f_k,h) phi_a phi_b dx (None where zero)."""
+    k = len(fields_b)
+    T = _moments(k + 2) * h2
+    planes = [None] * 9
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        for a, (ai, aj) in enumerate(corners):
+            for b, (bi, bj) in enumerate(corners):
+                vab = None
+                for idx in np.ndindex(*((3,) * k)):
+                    w = scale * float(T[idx + (a, b)])
+                    p = _xl_corner(fields_b[0], t, idx[0], ncr, ncc)
+                    for m in range(1, k):
+                        p = p * _xl_corner(fields_b[m], t, idx[m], ncr, ncc)
+                    add = w * p
+                    vab = add if vab is None else vab + add
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(vab, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = (placed if planes[d] is None
+                             else planes[d] + placed)
+    return planes
+
+
+def _adj_sweep_kernel_xl(
+    u_ref, v_ref, c_ref, misu_ref, misv_ref, pT_ref, qT_ref,
+    dctC_in, ilamu_in, ilamv_in,
+    pout_ref, qout_ref, inv_ref, ahbm_ref,
+    ST, A7_ref, C_s, ilu_s, ilv_s,
+    pad1, pad2, pad3, pad4, pad5, save_ref, sem_io, sem_park,
+    *, n, nb, steps, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
+    cheb_iters, wts5, bary5, wts4, bary4, grads, has_mis, reaction, precond,
+):
+    """Banded XL chemotaxis adjoint step (identical math to
+    _adj_sweep_kernel_lean / helpers.py:1387-1581). ST slot map:
+    0 PC p carry | 1 QC q carry | 2 U u_n | 3 V v_n | 4 X | 5 R |
+    6 Z (rhat/z/warm) | 7 PK | 8 B (load/b/rdot) | 9 W (phat/du/misfit) |
+    10 RP | 11 RN; c_n stages through X (dead until the BiCGStab init)."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = C_s.dtype
+    BANDS, nr = _bands_of(n, nb)
+    plane, ml_diag = _make_synth_xl(n, dtype, h2)
+    i = pl.program_id(0)
+    ridx = steps - 1 - i
+    PC, QC, U, V, X, R, Z, PK, B, W, RP, RN = range(12)
+
+    def rows(slot):
+        return lambda lo, hi: ST[slot, lo:hi, :]
+
+    @pl.when(i == 0)
+    def _():
+        for src, dst in ((pT_ref, ST.at[PC]), (qT_ref, ST.at[QC]),
+                         (dctC_in, C_s), (ilamu_in, ilu_s),
+                         (ilamv_in, ilv_s)):
+            cp0 = pltpu.make_async_copy(src, dst, sem_io)
+            cp0.start()
+            cp0.wait()
+        _inv_init(inv_ref)
+
+    for src, dst in ((u_ref, ST.at[U]), (v_ref, ST.at[V]),
+                     (c_ref, ST.at[X])):
+        cp = pltpu.make_async_copy(src.at[ridx], dst, sem_io)
+        cp.start()
+        cp.wait()
+
+    if precond == "dct":
+        pinv_p = _make_dct_pinv(C_s, ilu_s, dtype)
+        pinv_q = _make_dct_pinv(C_s, ilv_s, dtype)
+    else:
+        pinv_p = pinv_q = None
+
+    def mass_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0, 0.0, r0, nrw)
+
+    # ---- p FCT half-step (helpers.py:1498-1510) -------------------------
+    # pass 1: Mat_p assembly -> A7 (reads v_n; v_n is DEAD afterwards, so
+    # its slot is reused for the rhs, which the tail's rdot stage re-reads)
+    if has_mis:
+        cp = pltpu.make_async_copy(misu_ref.at[ridx], ST.at[W], sem_io)
+        cp.start()
+        cp.wait()
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        tr, _ = _xl_asm_adjoint(
+            ST[QC, lo:hi, :], ST[U, lo:hi, :], ST[V, lo:hi, :],
+            ST[X, lo:hi, :], ncr=ncr, ncc=n - 1, chi=chi, eta=eta,
+            inv_r=inv_r, wts=wts5, bary=bary5, grads=grads, h2=h2)
+        for k7, d in enumerate(P7):
+            kp = plane(d, 0.0, Dm, r0, nr)
+            t = tr[d]
+            A7_ref[k7, r0 : r0 + nr, :] = (kp if t is None
+                                           else kp + t[d0 : d0 + nr])
+
+    # pass 2: rhs = (c q_np1 / r, phi) + mis_u -> the (freed) V slot
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        rhs_b = _xl_lf_prod([ST[X, lo:hi, :], ST[QC, lo:hi, :]], ncr=ncr,
+                            ncc=n - 1, h2=h2, scale=inv_r)[d0 : d0 + nr]
+        if has_mis:
+            rhs_b = rhs_b + ST[W, r0 : r0 + nr, :]
+        ST[V, r0 : r0 + nr, :] = rhs_b
+
+    def rhs_at(r0, nrw, top, bot):
+        return ST[V, r0 : r0 + nrw, :]
+
+    bsq = jnp.asarray(0.0, dtype)
+    for (r0, top, bot) in BANDS:
+        bb = (ml_diag(r0, nr) * ST[PC, r0 : r0 + nr, :]
+              + dt * ST[V, r0 : r0 + nr, :])
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+
+    if reaction == "mimura":
+        # per-band S planes memoized at trace time (one _xl_wm_prod pair
+        # per band, not per plane)
+        _s_cache = {}
+
+        def S_at(d, r0, nrw):
+            if r0 not in _s_cache:
+                top = r0 == 0
+                bot = r0 + nrw == n
+                lo = r0 - (0 if top else 1)
+                hi = r0 + nrw + (0 if bot else 1)
+                d0 = 0 if top else 1
+                ncr = hi - lo - 1
+                ub = ST[U, lo:hi, :]
+                s1 = _xl_wm_prod([ub], ncr=ncr, ncc=n - 1, h2=h2,
+                                 scale=-2.0)
+                s2 = _xl_wm_prod([ub, ub], ncr=ncr, ncc=n - 1, h2=h2,
+                                 scale=3.0)
+                planes = []
+                for dd in range(9):
+                    if s1[dd] is None and s2[dd] is None:
+                        planes.append(None)
+                        continue
+                    v = s1[dd] if s1[dd] is not None else 0.0
+                    if s2[dd] is not None:
+                        v = v + s2[dd]
+                    planes.append(v[d0 : d0 + nrw])
+                _s_cache[r0] = planes
+            return _s_cache[r0][d]
+    else:
+        S_at = None
+
+    ST[X, :, :] = ST[PC, :, :]  # x0 = p_{n+1} (c_n staged there is dead)
+    _xl_fct_tail(ST, (X, R, Z, PK, B, W, RP, RN), A7_ref, ahbm_ref,
+                 save_ref, (pad1, pad2, pad3, pad4, pad5),
+                 (sem_io, sem_park), BANDS, nr, n, dt=dt, tol=tol,
+                 iters=iters, cheb_iters=cheb_iters, plane=plane,
+                 ml_diag=ml_diag, mass_at=mass_at, pinv=pinv_p, bsq=bsq,
+                 rhs_at=rhs_at, S_at=S_at, inv_ref=inv_ref, out_slot=PC,
+                 dtype=dtype)
+    # p_n now in ST[PC]
+
+    # ---- q implicit half-step (helpers.py:1531-1538) --------------------
+    if has_mis:
+        cp = pltpu.make_async_copy(misv_ref.at[ridx], ST.at[W], sem_io)
+        cp.start()
+        cp.wait()
+
+    def matq_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0 + dt * delta, dt * Df, r0, nrw)
+
+    def matq_diag(r0, nrw):
+        return plane(CENTER, 1.0 + dt * delta, dt * Df, r0, nrw)
+
+    bsq = jnp.asarray(0.0, dtype)
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        qload = _xl_q_load(ST[PC, lo:hi, :], ST[U, lo:hi, :], ncr=ncr,
+                           ncc=n - 1, chi=chi, eta=eta, wts=wts4,
+                           bary=bary4, grads=grads)[d0 : d0 + nr]
+        if has_mis:
+            qload = qload + ST[W, r0 : r0 + nr, :]
+        _xl_stage(pad1, rows(QC), r0, nr, n, top, bot)
+        bb = _xl_apply(mass_at, pad1, r0, nr, n) + dt * qload
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+    ST[X, :, :] = ST[QC, :, :]  # x0 = q_{n+1}
+    _xl_cg(ST, (X, R, Z, PK, B), matq_at, pinv_q, matq_diag, bsq, pad1,
+           BANDS, nr, n, tol, iters, dtype)
+    ST[QC, :, :] = ST[X, :, :]
+
+    cpp = pltpu.make_async_copy(ST.at[PC], pout_ref.at[ridx], sem_io)
+    cpp.start()
+    cpp.wait()
+    cpq = pltpu.make_async_copy(ST.at[QC], qout_ref.at[ridx], sem_io)
+    cpq.start()
+    cpq.wait()
+
+
+def fused_chemotaxis_adjoint_sweep_xl(
+        u_traj, v_traj, c_traj, pT, qT, mis_u=None, mis_v=None, *, h, dt,
+        Dm, Df, delta, chi, eta, rescaling, tol=1e-6, iters=60,
+        cheb_iters=20, reaction=None, precond="dct", nb=None,
+        vmem_limit_mb=127, with_stats=False):
+    """Banded XL chemotaxis adjoint sweep (the >= 1024^2 tier; same
+    contract as fused_chemotaxis_adjoint_sweep_lean)."""
+    n = pT.shape[-1]
+    steps = u_traj.shape[0] - 1
+    if nb is None:
+        nb = max(2, n // 128)
+    nr = n // nb
+    if n % nb or nr % 8:
+        raise ValueError(f"grid {n} not divisible into {nb} sublane-aligned "
+                         "bands")
+    wts5, bary5, grads = _quad_consts(5, h)
+    wts5 = wts5 * h * h
+    wts4, bary4, _ = _quad_consts(4, h)
+    wts4 = wts4 * h * h
+    has_mis = mis_u is not None
+    kern = functools.partial(
+        _adj_sweep_kernel_xl, n=n, nb=nb, steps=steps, h2=h * h, dt=dt,
+        Dm=Dm, Df=Df, delta=delta, chi=chi, eta=eta, inv_r=1.0 / rescaling,
+        tol=tol, iters=iters, cheb_iters=cheb_iters, wts5=wts5, bary5=bary5,
+        wts4=wts4, bary4=bary4, grads=grads, has_mis=has_mis,
+        reaction=reaction, precond=precond,
+    )
+    dct_C, ilam_p, ilam_q = _dct_inputs(
+        n, h, dt, pT.dtype, [(Dm, 1.0), (Df, 1.0 + dt * delta)])
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    if not has_mis:
+        mis_u = jnp.zeros((1, n, n), dtype=pT.dtype)
+        mis_v = mis_u
+    p_traj, q_traj, inv, _park = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            jax.ShapeDtypeStruct((steps, n, n), pT.dtype),
+            _inv_shape(pT.dtype),
+            jax.ShapeDtypeStruct((7, n, n), pT.dtype),
+        ),
+        in_specs=[hbm] * 10,
+        out_specs=(hbm, hbm, _inv_spec(), hbm),
+        scratch_shapes=[
+            pltpu.VMEM((12, n, n), pT.dtype),       # ST register file
+            pltpu.VMEM((7, n, n), pT.dtype),        # per-step stencil
+            pltpu.VMEM((n, n), pT.dtype),           # DCT C
+            pltpu.VMEM((n, n), pT.dtype),           # ilam_p
+            pltpu.VMEM((n, n), pT.dtype),           # ilam_q
+            pltpu.VMEM((nr + 2, n + 2), pT.dtype),  # band pads
+            pltpu.VMEM((nr + 2, n + 2), pT.dtype),
+            pltpu.VMEM((nr + 2, n + 2), pT.dtype),
+            pltpu.VMEM((nr + 2, n + 2), pT.dtype),
+            pltpu.VMEM((nr + 2, n + 2), pT.dtype),
+            pltpu.VMEM((7, 8 * nb, n), pT.dtype),   # raw boundary rows
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(u_traj[:-1], v_traj[:-1], c_traj[:-1], mis_u, mis_v, pT, qT,
+      dct_C, ilam_p, ilam_q)
+    out = (jnp.concatenate([p_traj, pT[None]], axis=0),
+           jnp.concatenate([q_traj, qT[None]], axis=0))
     return out + (jnp.min(inv),) if with_stats else out

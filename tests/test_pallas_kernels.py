@@ -840,11 +840,15 @@ def test_xl_sweep_matches_xla_chemotaxis():
     rep = ml.invariant_report()
     assert rep is not None and rep["ok"]
 
-    uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
-    px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
-    pl_, ql = ml.adjoint(ux, vx, uhat, vhat, c, dt, "finaltime")
-    assert float(jnp.abs(pl_ - px).max()) < 1e-9
-    assert float(jnp.abs(ql - qx).max()) < 1e-9
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, c, dt, optim)
+        pl_, ql = ml.adjoint(ux, vx, uhat, vhat, c, dt, optim)
+        assert float(jnp.abs(pl_ - px).max()) < 1e-9, optim
+        assert float(jnp.abs(ql - qx).max()) < 1e-9, optim
 
 
 def test_xl_sweep_matches_xla_mimura():
@@ -870,6 +874,13 @@ def test_xl_sweep_matches_xla_mimura():
     ul, vl = ml.forward(c, m0, f0, dt)
     assert float(jnp.abs(ul - ux).max()) < 1e-9
     assert float(jnp.abs(vl - vx).max()) < 1e-9
+
+    # adjoint with the mimura non-flux S planes in the banded Low transform
+    mhat, fhat = 1.01 * ux[-1], 1.02 * vx[-1]
+    px, qx = mx.adjoint(ux, vx, mhat, fhat, c, dt, "finaltime")
+    pl_, ql = ml.adjoint(ux, vx, mhat, fhat, c, dt, "finaltime")
+    assert float(jnp.abs(pl_ - px).max()) < 1e-9
+    assert float(jnp.abs(ql - qx).max()) < 1e-9
 
 
 def test_xl_sweep_jacobi_and_odd_bands():
