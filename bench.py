@@ -201,10 +201,10 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
     out = {}
 
     from fem_fct_pdeco_tpu.ops.pallas_kernels import (
-        fits_vmem, fits_vmem_lean, fits_vmem_synth)
+        fits_vmem, fits_vmem_lean, fits_vmem_synth, fits_vmem_xl)
 
     if include_fused and not (fits_vmem(n) or fits_vmem_synth(n)
-                              or fits_vmem_lean(n)):
+                              or fits_vmem_lean(n) or fits_vmem_xl(n)):
         # single-block fused tier capped near 640^2 f32 by real-Mosaic
         # scoped-VMEM requirements (see fits_vmem_lean); report the XLA
         # number honestly instead of asserting on the routing fallback

@@ -80,6 +80,9 @@ class AdvectionModel(ModelBase):
     # budget (there is no separate synth kernel for this family)
     _synth_capable = True
     _lean_capable = True
+    # the scalar sweep also auto-dispatches to its banded XL variant past
+    # the lean tier's calibrated VMEM cap (>= ~672^2 f32)
+    _xl_capable = True
 
     def __init__(self, grid, eps: float, wind_fn, dtype=jnp.float64,
                  solver_opts: SolverOpts | None = None, divw_fn=None,

@@ -80,7 +80,7 @@ class ModelBase:
     def _use_xl_sweep(self):
         """Pick the banded XL kernels when even the lean ones exceed the
         calibrated single-block VMEM requirement (fits_vmem_lean)."""
-        if not getattr(self, "_xl_capable", False):
+        if not getattr(self, "_xl_capable", False) or self._synth_blocked():
             return False
         if self.force_xl:
             return True

@@ -33,6 +33,9 @@ class NonlinearModel(ModelBase):
     # resident VMEM budget (see AdvectionModel)
     _synth_capable = True
     _lean_capable = True
+    # the scalar sweep also auto-dispatches to its banded XL variant past
+    # the lean tier's calibrated VMEM cap (>= ~672^2 f32)
+    _xl_capable = True
 
     def __init__(self, grid, eps: float = 1e-4, speed: float = 1.0,
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,

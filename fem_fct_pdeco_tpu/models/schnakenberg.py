@@ -62,6 +62,10 @@ class SchnakenbergModel(ModelBase):
     # force_synth/force_lean test hooks live on ModelBase
     _lean_capable = True
 
+    # banded XL kernels cover the family past the lean tier's calibrated
+    # VMEM cap (stationary-wind only, like the synth/lean tiers)
+    _xl_capable = True
+
     def _synth_blocked(self):
         # td kernels carry their own in-kernel assembly
         return self.td_wind_fn is not None
@@ -231,7 +235,11 @@ class SchnakenbergModel(ModelBase):
                 if self._use_synth_sweep():
                     from fem_fct_pdeco_tpu.models.schnakenberg import (
                         schnak_wind as _w)
-                    if self._use_lean_sweep():
+                    if self._use_xl_sweep():
+                        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                            fused_schnak_forward_sweep_xl)
+                        sweep_fn = fused_schnak_forward_sweep_xl
+                    elif self._use_lean_sweep():
                         from fem_fct_pdeco_tpu.ops.pallas_fused import (
                             fused_schnak_forward_sweep_lean)
                         sweep_fn = fused_schnak_forward_sweep_lean
@@ -351,7 +359,11 @@ class SchnakenbergModel(ModelBase):
                 if self._use_synth_sweep():
                     from fem_fct_pdeco_tpu.models.schnakenberg import (
                         schnak_wind as _w)
-                    if self._use_lean_sweep():
+                    if self._use_xl_sweep():
+                        from fem_fct_pdeco_tpu.ops.pallas_fused import (
+                            fused_schnak_adjoint_sweep_xl)
+                        sweep_fn = fused_schnak_adjoint_sweep_xl
+                    elif self._use_lean_sweep():
                         from fem_fct_pdeco_tpu.ops.pallas_fused import (
                             fused_schnak_adjoint_sweep_lean)
                         sweep_fn = fused_schnak_adjoint_sweep_lean

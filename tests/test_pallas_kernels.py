@@ -593,27 +593,30 @@ def test_lean_sweeps_match_xla_mimura():
 
 
 def test_lean_routing_and_vmem_budgets():
-    """1024² f32 keeps backend='pallas_fused' and routes to the lean
-    kernels; the synth budget now reflects the measured 1024² OOM."""
+    """Tier routing against the hardware-calibrated VMEM caps (round 4):
+    the single-block synth/lean tiers cap near 640² f32; 1024² routes to
+    the banded XL kernels for every XL-capable family."""
     import jax.numpy as jnp
 
     from fem_fct_pdeco_tpu.grid import Grid
     from fem_fct_pdeco_tpu.models.chemotaxis import ChemotaxisModel
     from fem_fct_pdeco_tpu.ops.pallas_kernels import (
-        fits_vmem_lean, fits_vmem_synth)
+        fits_vmem_lean, fits_vmem_synth, fits_vmem_xl)
 
     assert fits_vmem_synth(512, jnp.float32)
-    assert not fits_vmem_synth(1024, jnp.float32)
-    assert fits_vmem_lean(1024, jnp.float32)
-    assert not fits_vmem_lean(2048, jnp.float32)
+    assert not fits_vmem_synth(768, jnp.float32)
+    assert fits_vmem_lean(640, jnp.float32)
+    assert not fits_vmem_lean(1024, jnp.float32)
+    assert fits_vmem_xl(1024, jnp.float32)
+    assert not fits_vmem_xl(2048, jnp.float32)
 
     model = ChemotaxisModel(Grid(0.0, 1.0, 1024), backend="pallas_fused",
                             dtype=jnp.float32)
     assert model.backend == "pallas_fused"
-    assert model._use_synth_sweep() and model._use_lean_sweep()
+    assert model._use_synth_sweep() and model._use_xl_sweep()
 
-    # scalar families keep the fused backend up to the lean budget too
-    # (the scalar sweep auto-dispatches to its lean variant internally)
+    # scalar families keep the fused backend through the XL tier too (the
+    # scalar sweep auto-dispatches internally)
     from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
 
     m = NonlinearModel(Grid(0.0, 1.0, 1024), backend="pallas_fused",
@@ -909,3 +912,89 @@ def test_xl_sweep_jacobi_and_odd_bands():
             nb=4, precond=precond)
         assert float(jnp.abs(uxl - ux).max()) < 1e-9, precond
         assert float(jnp.abs(vxl - vx).max()) < 1e-9, precond
+
+
+def test_xl_sweeps_match_xla_schnak():
+    """Banded XL Schnakenberg forward + adjoint vs the XLA path (the wind
+    convection assembled per band with global-row-offset quadrature
+    coordinates; non-flux gamma*M - 2*gamma*M_uv planes in the banded Low
+    transform)."""
+    import jax.numpy as jnp
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.schnakenberg import SchnakenbergModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+
+    n, steps, dt = 32, 5, 5e-4
+    g = Grid(0.0, 1.0, n)
+    mx = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13))
+    ml = SchnakenbergModel(g, solver_opts=SolverOpts(tol=1e-13),
+                           backend="pallas_fused")
+    ml.force_xl = True
+    assert ml._use_synth_sweep() and ml._use_xl_sweep()
+    u0np, v0np = mx.ic()
+    u0, v0 = jnp.asarray(u0np), jnp.asarray(v0np)
+    c = jnp.full((steps + 1, n, n), mx.params.c_a)
+
+    ux, vx = mx.forward(c, u0, v0, dt)
+    ul, vl = ml.forward(c, u0, v0, dt)
+    assert float(jnp.abs(ul - ux).max()) < 1e-9
+    assert float(jnp.abs(vl - vx).max()) < 1e-9
+
+    for optim in ("finaltime", "alltime"):
+        if optim == "finaltime":
+            uhat, vhat = 1.01 * ux[-1], 1.02 * vx[-1]
+        else:
+            uhat, vhat = 1.01 * ux, 1.02 * vx
+        px, qx = mx.adjoint(ux, vx, uhat, vhat, dt, optim)
+        pl_, ql = ml.adjoint(ux, vx, uhat, vhat, dt, optim)
+        assert float(jnp.abs(pl_ - px).max()) < 1e-9, optim
+        assert float(jnp.abs(ql - qx).max()) < 1e-9, optim
+
+
+def test_xl_scalar_sweep_matches_resident():
+    """fused_scalar_fct_sweep_xl (banded XL single-field sweep, canonical
+    stationary flux matrix in HBM, rhs re-derived from the preserved b)
+    matches the resident scalar sweep on every mode combination."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.nonlinear import NonlinearModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+        fused_scalar_fct_sweep, fused_scalar_fct_sweep_xl)
+
+    n, steps, dt = 32, 4, 1e-3
+    g = Grid(0.0, 1.0, n)
+    m = NonlinearModel(g, solver_opts=SolverOpts(tol=1e-13))
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(m.ic())
+    kw = dict(h=g.h, dt=dt, tol=1e-13, iters=300, nb=4)
+    kwr = dict(h=g.h, dt=dt, tol=1e-13, iters=300)
+
+    # state-mode (nonflux +1, mass load)
+    load = jnp.asarray(rng.standard_normal((steps, 1, n, n)))
+    a = fused_scalar_fct_sweep(load, x0, m.A_state, m.M, m.M_diag,
+                               m.ML_diag, nonflux_mode=+1, **kwr)
+    b = fused_scalar_fct_sweep_xl(load, x0, m.A_state, m.M, m.M_diag,
+                                  m.ML_diag, nonflux_mode=+1, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+    # adjoint-mode (reverse, nonflux -1, precomputed loads + stored state)
+    load2 = jnp.asarray(rng.standard_normal((steps, 2, n, n)))
+    a = fused_scalar_fct_sweep(load2, x0, m.A_adjoint, m.M, m.M_diag,
+                               m.ML_diag, nonflux_mode=-1, load_is_mass=False,
+                               reverse=True, **kwr)
+    b = fused_scalar_fct_sweep_xl(load2, x0, m.A_adjoint, m.M, m.M_diag,
+                                  m.ML_diag, nonflux_mode=-1,
+                                  load_is_mass=False, reverse=True, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+    # reaction channel (MMS finaltime-exact g(t) IMEX term)
+    load3 = jnp.asarray(rng.standard_normal((steps, 2, n, n)))
+    a = fused_scalar_fct_sweep(load3, x0, m.A_state, m.M, m.M_diag,
+                               m.ML_diag, reaction=True, **kwr)
+    b = fused_scalar_fct_sweep_xl(load3, x0, m.A_state, m.M, m.M_diag,
+                                  m.ML_diag, reaction=True, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
