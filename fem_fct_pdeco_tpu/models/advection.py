@@ -398,9 +398,11 @@ class DriftControlModel(ModelBase):
     _HOISTED_OPS = ModelBase._HOISTED_OPS + ("Nrot",)
 
     # fused_drift_fct_sweep auto-dispatches to its lean variant past the
-    # resident VMEM budget (see AdvectionModel)
+    # resident VMEM budget, and to its banded XL variant past the lean
+    # tier's calibrated cap (see AdvectionModel)
     _synth_capable = True
     _lean_capable = True
+    _xl_capable = True
 
     def __init__(self, grid, eps: float, om: float, drift=(1.0, 1.0),
                  dtype=jnp.float64, solver_opts: SolverOpts | None = None,

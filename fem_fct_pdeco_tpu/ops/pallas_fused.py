@@ -3336,9 +3336,20 @@ def fused_drift_fct_sweep(frames, x0, A_base, M, M_diag, ML_diag, *,
     ``reverse=True``: backward sweep (adjoint). Returns (steps, n, n)
     frames excluding the initial/terminal state.
 
-    Grids past the resident VMEM budget dispatch to the lean variant."""
-    from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+    Grids past the resident VMEM budget dispatch to the lean variant,
+    and past the lean tier's calibrated cap to the banded XL variant."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+        fits_vmem, fits_vmem_lean)
 
+    n_ = x0.shape[-1]
+    nb_ = max(2, n_ // 128)
+    if (not fits_vmem_lean(n_, x0.dtype) and n_ % nb_ == 0
+            and (n_ // nb_) % 8 == 0):
+        return fused_drift_fct_sweep_xl(
+            frames, x0, A_base, M, M_diag, ML_diag, h=h, dt=dt, sign=sign,
+            drift=drift, tol=tol, iters=iters, cheb_iters=cheb_iters,
+            warm=warm, reverse=reverse, has_mis=has_mis,
+            with_stats=with_stats)
     if not fits_vmem(x0.shape[-1], x0.dtype):
         return fused_drift_fct_sweep_lean(
             frames, x0, A_base, M, M_diag, ML_diag, h=h, dt=dt, sign=sign,
@@ -6194,4 +6205,173 @@ def fused_scalar_fct_sweep_xl(load_traj, x0, A_flux, M, M_diag, ML_diag, *,
         ),
         interpret=_interp(),
     )(load_traj, x0, A7c)
+    return (out, jnp.min(inv)) if with_stats else out
+
+
+def _xl_drift_planes(c_b, *, ncr, ncc, h2, m, grads):
+    """Band-patch _drift_planes: Adrift1 + Adrift2 planes
+    d -> (ncr+1, ncc+1) for the control patch ``c_b``
+    (advection_solidbody_FCT_PDECO_finaltime.py:187-188)."""
+    T2 = _moments(2)
+    planes = [None] * 9
+    for t in range(2):
+        corners = TRI_CORNERS[t]
+        cc = [_xl_corner(c_b, t, a, ncr, ncc) for a in range(3)]
+        gcx = sum(cc[a] * grads[t][a][0] for a in range(3))
+        gcy = sum(cc[a] * grads[t][a][1] for a in range(3))
+        mg = m[0] * gcx + m[1] * gcy
+        Sb = [
+            sum(cc[cid] * float(T2[cid, b]) for cid in range(3))
+            for b in range(3)
+        ]
+        for a, (ai, aj) in enumerate(corners):
+            gam = m[0] * grads[t][a][0] + m[1] * grads[t][a][1]
+            for b, (bi, bj) in enumerate(corners):
+                E = h2 * (float(T2[a, b]) * mg + gam * Sb[b])
+                d = _offset_index(bi - ai, bj - aj)
+                placed = jnp.pad(E, ((ai, 1 - ai), (aj, 1 - aj)))
+                planes[d] = (placed if planes[d] is None
+                             else planes[d] + placed)
+    return planes
+
+
+def _drift_sweep_kernel_xl(
+    frames_ref, x0_ref, Abase7_ref,
+    out_ref, inv_ref, ahbm_ref,
+    ST, A7_ref, pad1, pad2, pad3, pad4, pad5, save_ref, sem_io, sem_park,
+    *, n, nb, steps, dt, sign, m, tol, iters, cheb_iters, h2, has_mis,
+    grads, reverse,
+):
+    """Banded XL drift-control FCT step (identical math to
+    _drift_sweep_kernel_lean): stationary eps*K -/+ N_rot fetched from the
+    HBM input, per-step Adrift(c_i) assembled on top per band, then the
+    shared XL tail (the per-step raw A IS parked to the HBM output).
+    Slot map as _scalar_sweep_kernel_xl (c_i stages through V, the
+    misfit load through W and into b; rhs re-derived from b)."""
+    from fem_fct_pdeco_tpu.ops.pallas_kernels import ANTI_DIAGONAL_IDS
+
+    dtype = x0_ref.dtype
+    BANDS, nr = _bands_of(n, nb)
+    plane, ml_diag = _make_synth_xl(n, dtype, h2)
+    i = pl.program_id(0)
+    U, V, X, R, Z, P, B, W, RP, RN = range(10)
+    F = frames_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        cp0 = pltpu.make_async_copy(x0_ref, ST.at[U], sem_io)
+        cp0.start()
+        cp0.wait()
+        _inv_init(inv_ref)
+
+    idx = steps - 1 - i if reverse else i
+    cp = pltpu.make_async_copy(frames_ref.at[idx, 0], ST.at[V], sem_io)
+    cp.start()
+    cp.wait()
+    if has_mis:
+        cp = pltpu.make_async_copy(frames_ref.at[idx, F - 1], ST.at[W],
+                                   sem_io)
+        cp.start()
+        cp.wait()
+
+    cp = pltpu.make_async_copy(Abase7_ref, A7_ref, sem_park)
+    cp.start()
+    cp.wait()
+
+    def mass_at(d, r0, nrw):
+        if d in ANTI_DIAGONAL_IDS:
+            return None
+        return plane(d, 1.0, 0.0, r0, nrw)
+
+    bsq = jnp.asarray(0.0, dtype)
+    for (r0, top, bot) in BANDS:
+        lo = r0 - (0 if top else 1)
+        hi = r0 + nr + (0 if bot else 1)
+        d0 = 0 if top else 1
+        ncr = hi - lo - 1
+        Adp = _xl_drift_planes(ST[V, lo:hi, :], ncr=ncr, ncc=n - 1, h2=h2,
+                               m=m, grads=grads)
+        for k7, d in enumerate(P7):
+            if Adp[d] is not None:
+                A7_ref[k7, r0 : r0 + nr, :] = (
+                    A7_ref[k7, r0 : r0 + nr, :]
+                    + sign * Adp[d][d0 : d0 + nr])
+        rhs_b = (ST[W, r0 : r0 + nr, :] if has_mis
+                 else jnp.zeros((nr, n), dtype))
+        bb = ml_diag(r0, nr) * ST[U, r0 : r0 + nr, :] + dt * rhs_b
+        ST[B, r0 : r0 + nr, :] = bb
+        bsq = bsq + jnp.sum(bb * bb)
+
+    def rhs_at(r0, nrw, top, bot):
+        return ((ST[B, r0 : r0 + nrw, :]
+                 - ml_diag(r0, nrw) * ST[U, r0 : r0 + nrw, :]) / dt)
+
+    prev_slot = jnp.clip(idx + 2 if reverse else idx - 2, 0, steps - 1)
+    cp = pltpu.make_async_copy(out_ref.at[prev_slot], ST.at[Z], sem_io)
+    cp.start()
+    cp.wait()
+    ST[X, :, :] = jnp.where(i > 1, 2.0 * ST[U, :, :] - ST[Z, :, :],
+                            ST[U, :, :])
+
+    _xl_fct_tail(ST, (X, R, Z, P, B, W, RP, RN), A7_ref, ahbm_ref, save_ref,
+                 (pad1, pad2, pad3, pad4, pad5), (sem_io, sem_park),
+                 BANDS, nr, n, dt=dt, tol=tol, iters=iters,
+                 cheb_iters=cheb_iters, plane=plane, ml_diag=ml_diag,
+                 mass_at=mass_at, pinv=None, bsq=bsq, rhs_at=rhs_at,
+                 inv_ref=inv_ref, out_slot=U, dtype=dtype)
+
+    cp = pltpu.make_async_copy(ST.at[U], out_ref.at[idx], sem_io)
+    cp.start()
+    cp.wait()
+
+
+def fused_drift_fct_sweep_xl(frames, x0, A_base, M, M_diag, ML_diag, *,
+                             h, dt, sign, drift=(1.0, 1.0), tol=1e-6,
+                             iters=60, cheb_iters=20, warm=True,
+                             has_mis=False, reverse=False, nb=None,
+                             vmem_limit_mb=127, with_stats=False):
+    """Banded XL variant of fused_drift_fct_sweep (same contract as
+    fused_drift_fct_sweep_lean)."""
+    n = x0.shape[-1]
+    steps = frames.shape[0]
+    if nb is None:
+        nb = max(2, n // 128)
+    nr = n // nb
+    if n % nb or nr % 8:
+        raise ValueError(f"grid {n} not divisible into {nb} sublane-aligned "
+                         "bands")
+    A7c = A_base[jnp.asarray(P7)]
+    grads = _basis_gradients(h)
+    kern = functools.partial(
+        _drift_sweep_kernel_xl, n=n, nb=nb, steps=steps, dt=dt,
+        sign=float(sign), m=tuple(float(v) for v in drift), tol=tol,
+        iters=iters, cheb_iters=cheb_iters, h2=h * h, has_mis=has_mis,
+        grads=grads, reverse=reverse,
+    )
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    out, inv, _park = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        out_shape=(jax.ShapeDtypeStruct((steps, n, n), x0.dtype),
+                   _inv_shape(x0.dtype),
+                   jax.ShapeDtypeStruct((7, n, n), x0.dtype)),
+        in_specs=[hbm, hbm, hbm],
+        out_specs=(hbm, _inv_spec(), hbm),
+        scratch_shapes=[
+            pltpu.VMEM((10, n, n), x0.dtype),
+            pltpu.VMEM((7, n, n), x0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), x0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), x0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), x0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), x0.dtype),
+            pltpu.VMEM((nr + 2, n + 2), x0.dtype),
+            pltpu.VMEM((7, 8 * nb, n), x0.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+        ),
+        interpret=_interp(),
+    )(frames, x0, A7c)
     return (out, jnp.min(inv)) if with_stats else out

@@ -998,3 +998,43 @@ def test_xl_scalar_sweep_matches_resident():
     b = fused_scalar_fct_sweep_xl(load3, x0, m.A_state, m.M, m.M_diag,
                                   m.ML_diag, reaction=True, **kw)
     assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+
+def test_xl_drift_sweep_matches_resident():
+    """fused_drift_fct_sweep_xl (banded per-step Adrift assembly + the
+    shared XL tail) matches the resident drift sweep, forward and
+    reverse/misfit modes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_fct_pdeco_tpu.grid import Grid
+    from fem_fct_pdeco_tpu.models.advection import DriftControlModel
+    from fem_fct_pdeco_tpu.ops.linalg import SolverOpts
+    from fem_fct_pdeco_tpu.ops.pallas_fused import (
+        fused_drift_fct_sweep, fused_drift_fct_sweep_xl)
+
+    n, steps, dt = 32, 4, 1e-3
+    g = Grid(0.0, 1.0, n)
+    m = DriftControlModel(g, eps=1e-4, om=2 * np.pi, drift=(1.0, 1.0),
+                          solver_opts=SolverOpts(tol=1e-13))
+    rng = np.random.default_rng(3)
+    X, Y = g.xy
+    x0 = jnp.asarray(np.exp(-50.0 * ((X - 0.5) ** 2 + (Y - 0.5) ** 2)))
+    A_base = m.eps * m.K - m.Nrot
+    kw = dict(h=g.h, dt=dt, tol=1e-13, iters=300, drift=m.drift)
+
+    frames = jnp.asarray(rng.standard_normal((steps, 1, n, n)))
+    a = fused_drift_fct_sweep(frames, x0, A_base, m.M, m.M_diag, m.ML_diag,
+                              sign=-1.0, **kw)
+    b = fused_drift_fct_sweep_xl(frames, x0, A_base, m.M, m.M_diag,
+                                 m.ML_diag, sign=-1.0, nb=4, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
+
+    A_adj = m.eps * m.K + m.Nrot
+    frames2 = jnp.asarray(rng.standard_normal((steps, 2, n, n)))
+    a = fused_drift_fct_sweep(frames2, x0, A_adj, m.M, m.M_diag, m.ML_diag,
+                              sign=+1.0, reverse=True, has_mis=True, **kw)
+    b = fused_drift_fct_sweep_xl(frames2, x0, A_adj, m.M, m.M_diag,
+                                 m.ML_diag, sign=+1.0, reverse=True,
+                                 has_mis=True, nb=4, **kw)
+    assert float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-30)) < 1e-9
