@@ -4594,9 +4594,14 @@ def _xl_cg(ST, slots, S_at, pinv, diag_at, bsq, pad, BANDS, nr, n, tol,
 
     def apply_pinv():
         if pinv is not None:
-            z = pinv(ST[R, :, :])
+            # read r ONCE: the streamed (HBM slot file) tier stages
+            # full-plane reads through a single VMEM scratch, so a second
+            # ST[R] read would re-DMA the plane (and the VMEM tier saves a
+            # load too)
+            r = ST[R, :, :]
+            z = pinv(r)
             ST[Z, :, :] = z
-            return jnp.sum(ST[R, :, :] * z)
+            return jnp.sum(r * z)
         rz = zero
         for (r0, top, bot) in BANDS:
             rb = ST[R, r0 : r0 + nr, :]
