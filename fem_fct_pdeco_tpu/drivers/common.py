@@ -322,7 +322,14 @@ def run_pdeco(problem: PDECOProblem, cfg: ExperimentConfig) -> dict:
         "out_folder_name": cfg.out_folder,
     }
     if cfg.registry_csv:
-        append_results_row(cfg.registry_csv, row)
+        # A bare filename lands under out_folder so driver/test runs never
+        # dirty the working tree; an explicit path (any directory
+        # component, e.g. "./Chtx_FT_simulation_results.csv" for the
+        # reference's repo-root registry layout) is honored verbatim.
+        path = cfg.registry_csv
+        if not os.path.dirname(path):
+            path = os.path.join(cfg.out_folder, path)
+        append_results_row(path, row)
 
     print("\nExit:")
     print(f"  status={res.status} iterations={res.iterations} cost={res.cost:.6e}")

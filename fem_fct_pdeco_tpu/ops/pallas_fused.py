@@ -4594,10 +4594,8 @@ def _xl_cg(ST, slots, S_at, pinv, diag_at, bsq, pad, BANDS, nr, n, tol,
 
     def apply_pinv():
         if pinv is not None:
-            # read r ONCE: the streamed (HBM slot file) tier stages
-            # full-plane reads through a single VMEM scratch, so a second
-            # ST[R] read would re-DMA the plane (and the VMEM tier saves a
-            # load too)
+            # read r ONCE: saves one full-plane VMEM load, and r is
+            # reused for the r·z dot product below
             r = ST[R, :, :]
             z = pinv(r)
             ST[Z, :, :] = z

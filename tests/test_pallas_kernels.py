@@ -155,15 +155,21 @@ def test_vmem_guard_falls_back_to_xla():
     assert model.backend == "xla"
 
     # 512² f64 is past even the lean tier's calibrated requirement
-    # (~144 MB); chemotaxis keeps the fused backend through the banded XL
-    # tier, Schnakenberg (no XL kernel yet) falls back
+    # (~144 MB); chemotaxis AND (since the round-4 XL coverage) stationary
+    # -wind Schnakenberg keep the fused backend through the banded XL tier
     assert not fits_vmem_synth(512, jnp.float64)
     model = ChemotaxisModel(Grid(0.0, 1.0, 512), backend="pallas_fused")
     assert model.backend == "pallas_fused"
     assert model._use_xl_sweep()
+    model = SchnakenbergModel(Grid(0.0, 1.0, 512), backend="pallas_fused")
+    assert model.backend == "pallas_fused"
+    assert model._use_xl_sweep()
+    # ... while the td-wind variant (resident-only kernels, no synth/lean/
+    # XL tier) is a genuine fall-back at the same size
     with _pytest.warns(UserWarning, match="VMEM"):
-        model = SchnakenbergModel(Grid(0.0, 1.0, 512),
-                                  backend="pallas_fused")
+        model = SchnakenbergModel(
+            Grid(0.0, 1.0, 512), backend="pallas_fused",
+            td_wind_fn=lambda x, y, t: (y, -x))
     assert model.backend == "xla"
 
     # beyond every tier's budget even chemotaxis falls back
