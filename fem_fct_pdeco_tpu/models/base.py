@@ -44,10 +44,14 @@ class ModelBase:
     # ... and the banded "XL" tier (full-plane VMEM state slots + banded
     # solver-loop bodies; the >= 1024^2 single-chip kernels)
     _xl_capable: bool = False
-    # test hooks forcing the synth/lean/xl kernel tiers at any grid size
+    # ... and the HBM-streamed "XXL" tier (slot file + stencils in HBM,
+    # banded VMEM staging; the >= 2048^2 single-chip kernels, forward only)
+    _xxl_capable: bool = False
+    # test hooks forcing the synth/lean/xl/xxl kernel tiers at any grid size
     force_synth = False
     force_lean = False
     force_xl = False
+    force_xxl = False
 
     def _synth_blocked(self) -> bool:
         """Model-specific reason the synth/lean tiers don't apply (e.g. the
@@ -55,12 +59,18 @@ class ModelBase:
         assembly). Default: never blocked."""
         return False
 
+    def _xxl_blocked(self) -> bool:
+        """Model-specific reason the XXL streamed tier doesn't apply (e.g.
+        reaction hooks the streamed kernels don't carry). Default: never."""
+        return False
+
     def _use_synth_sweep(self):
         """Pick the synth whole-sweep kernels when the resident ones exceed
         VMEM (the resident variants are slightly faster at small n)."""
         if self._synth_blocked():
             return False
-        if self.force_synth or self.force_lean or self.force_xl:
+        if (self.force_synth or self.force_lean or self.force_xl
+                or self.force_xxl):
             return True
         from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
 
@@ -71,7 +81,7 @@ class ModelBase:
         VMEM (the synth variants are faster: resident D + mass)."""
         if self.force_lean:
             return True
-        if self.force_synth or self.force_xl:
+        if self.force_synth or self.force_xl or self.force_xxl:
             return False
         from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_synth
 
@@ -84,7 +94,7 @@ class ModelBase:
             return False
         if self.force_xl:
             return True
-        if self.force_lean or self.force_synth:
+        if self.force_lean or self.force_synth or self.force_xxl:
             return False
         from fem_fct_pdeco_tpu.ops.pallas_kernels import (
             fits_vmem_lean, fits_vmem_xl)
@@ -94,6 +104,26 @@ class ModelBase:
         divisible = n % nb == 0 and (n // nb) % 8 == 0
         return (not fits_vmem_lean(n, self.dtype) and divisible
                 and fits_vmem_xl(n, self.dtype))
+
+    def _use_xxl_sweep(self):
+        """Pick the HBM-streamed XXL kernels when even the XL slot file
+        exceeds VMEM (fits_vmem_xl; >= 2048^2 f32). Forward sweeps only —
+        adjoint sweeps at this scale use the XLA path."""
+        if (not getattr(self, "_xxl_capable", False) or self._synth_blocked()
+                or self._xxl_blocked()):
+            return False
+        if self.force_xxl:
+            return True
+        if self.force_lean or self.force_synth or self.force_xl:
+            return False
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem_xl
+        from fem_fct_pdeco_tpu.ops.pallas_xxl import fits_hbm_xxl
+
+        n = self.grid.n
+        nb = max(4, n // 128)
+        divisible = n % nb == 0 and (n // nb) % 8 == 0
+        return (not fits_vmem_xl(n, self.dtype) and divisible
+                and fits_hbm_xxl(n, self.dtype))
 
     def __init__(
         self,
@@ -157,12 +187,17 @@ class ModelBase:
             # to the larger synth budget — and, for families that also have
             # the lean (HBM-parked raw A) or banded XL kernels, up to those
             # tiers' budgets
+            from fem_fct_pdeco_tpu.ops.pallas_xxl import fits_hbm_xxl
+
             synth_ok = (backend == "pallas_fused" and self._synth_capable
                         and (fits_vmem_synth(grid.n, dtype)
                              or (getattr(self, "_lean_capable", False)
                                  and fits_vmem_lean(grid.n, dtype))
                              or (getattr(self, "_xl_capable", False)
-                                 and fits_vmem_xl(grid.n, dtype))))
+                                 and fits_vmem_xl(grid.n, dtype))
+                             or (getattr(self, "_xxl_capable", False)
+                                 and not self._xxl_blocked()
+                                 and fits_hbm_xxl(grid.n, dtype))))
             if not fits_vmem(grid.n, dtype) and not synth_ok:
                 import warnings
 

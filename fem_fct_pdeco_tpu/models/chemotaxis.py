@@ -234,6 +234,15 @@ class ChemotaxisModel(ModelBase):
     # calibrated VMEM cap (>= 1024^2 f32; adjoint falls back to XLA there)
     _xl_capable = True
 
+    # ... and the HBM-streamed XXL forward kernel for grids past the XL
+    # slot file's VMEM cap (>= 2048^2 f32, plain Keller-Segel only;
+    # ops/pallas_xxl.py). Adjoint sweeps fall back to XLA at this scale.
+    _xxl_capable = True
+
+    def _xxl_blocked(self):
+        # the streamed kernels don't carry the IMEX reaction hooks
+        return self._fused_reaction is not None
+
     # experimental Mosaic-layout lever: resident fused forward assembly on
     # rolled full planes (pallas_fused._assemble_forward_A_aligned). Set
     # BEFORE the first forward() — the jitted sweep is cached per dt.
@@ -278,7 +287,11 @@ class ChemotaxisModel(ModelBase):
         if self._uses_fused_sweep():
             p = self.params
             if self._use_synth_sweep():
-                if self._use_xl_sweep():
+                if self._use_xxl_sweep():
+                    from fem_fct_pdeco_tpu.ops.pallas_xxl import (
+                        fused_chemotaxis_forward_sweep_xxl)
+                    sweep_fn = fused_chemotaxis_forward_sweep_xxl
+                elif self._use_xl_sweep():
                     from fem_fct_pdeco_tpu.ops.pallas_fused import (
                         fused_chemotaxis_forward_sweep_xl)
                     sweep_fn = fused_chemotaxis_forward_sweep_xl
@@ -340,6 +353,10 @@ class ChemotaxisModel(ModelBase):
         if (
             self.backend == "pallas_fused"
             and type(self)._reaction_nonflux_adj is ChemotaxisModel._reaction_nonflux_adj
+            # XXL-sized grids (>= 2048^2 f32) exceed the per-step fused
+            # kernels' VMEM too: the adjoint runs the XLA step path there
+            # (the streamed tier is forward-only, ops/pallas_xxl.py)
+            and not self._use_xxl_sweep()
         ):
             return self._adjoint_step_fused(dt, optim)
         p = self.params
@@ -466,7 +483,10 @@ class ChemotaxisModel(ModelBase):
                 return tuple(res), stats
 
             return run_dist
-        if self._uses_fused_sweep():
+        # the streamed (XXL) tier is forward-only: its adjoint runs the
+        # XLA step path below (the fused adjoint tiers all exceed VMEM at
+        # XXL grid sizes)
+        if self._uses_fused_sweep() and not self._use_xxl_sweep():
             p = self.params
 
             def _terminal(u_traj, v_traj, uhat, vhat):
