@@ -307,10 +307,14 @@ def tpu_large_grid_steps_per_sec(n: int = 1024, steps: int = 50,
 
 
 def tpu_large_grid_adjoint_steps_per_sec(n: int = 1024, steps: int = 50) -> dict:
-    """Adjoint sweep throughput at 1024² on the banded XL fused kernels —
-    the other half of every PDECO iteration's wall-clock (helpers.py:599-698
-    semantics). Guarded against the XLA adjoint over the first reverse
-    steps so a silently wrong kernel can't post a fast number."""
+    """Adjoint sweep throughput at 1024² — the other half of every PDECO
+    iteration's wall-clock (helpers.py:599-698 semantics).
+
+    The banded XL ADJOINT kernel does NOT fit real-Mosaic VMEM at 1024² f32
+    (measured round 5: 138.06 MB scoped vs the 128 MB capacity, after a
+    44-minute compile — fits_vmem_xl_adjoint), so the production adjoint at
+    this size is the spectral-preconditioned XLA path, measured here on the
+    trajectory produced by the FUSED forward sweep (the PDECO pairing)."""
     import jax
     import jax.numpy as jnp
 
@@ -335,34 +339,21 @@ def tpu_large_grid_adjoint_steps_per_sec(n: int = 1024, steps: int = 50) -> dict
     u, v = model.forward(c, u0, v0, DT)
     jax.block_until_ready((u, v))
     uhat, vhat = 1.01 * u[-1], 1.02 * v[-1]
-    p, q = model.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
+    mx = mk("xla")
+    p, q = mx.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
     jax.block_until_ready((p, q))
     assert bool(jnp.isfinite(p).all()) and bool(jnp.isfinite(q).all())
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        o = model.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
+        o = mx.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
         _sync(o)
         best = min(best, time.perf_counter() - t0)
     out[f"adjoint_steps_per_sec_{n}"] = round(steps / best, 3)
-    try:
-        mx = mk("xla")
-        px, qx = mx.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
-        # adjoint sweeps run backward: p[0] is the LAST computed frame —
-        # compare a frame near the terminal condition (few solves deep)
-        rel = float(jnp.abs(p[-5] - px[-5]).max()
-                    / max(float(jnp.abs(px[-5]).max()), 1e-30))
-        assert rel < 1e-2, rel
-        out[f"adjoint_fused_vs_xla_rel_{n}"] = rel
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            o = mx.adjoint(u, v, uhat, vhat, c, DT, "finaltime")
-            _sync(o)
-            best = min(best, time.perf_counter() - t0)
-        out[f"adjoint_steps_per_sec_{n}_xla"] = round(steps / best, 3)
-    except Exception as e:
-        out[f"adjoint_xla_error_{n}"] = f"{type(e).__name__}: {e}"
+    out[f"adjoint_{n}_backend"] = (
+        "xla_spectral (the banded XL adjoint needs 138.06 MB scoped VMEM "
+        "at 1024^2 f32 — over the 128 MB capacity, measured on v5e; "
+        "fits_vmem_xl_adjoint routes it here)")
     return out
 
 

@@ -120,7 +120,7 @@ class ModelBase:
         from fem_fct_pdeco_tpu.ops.pallas_xxl import fits_hbm_xxl
 
         n = self.grid.n
-        nb = max(4, n // 128)
+        nb = max(4, n // 64)
         divisible = n % nb == 0 and (n // nb) % 8 == 0
         return (not fits_vmem_xl(n, self.dtype) and divisible
                 and fits_hbm_xxl(n, self.dtype))

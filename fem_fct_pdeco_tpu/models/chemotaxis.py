@@ -350,13 +350,15 @@ class ChemotaxisModel(ModelBase):
     # ------------------------------------------------------------------
 
     def _adjoint_step(self, dt, optim: str):
+        from fem_fct_pdeco_tpu.ops.pallas_kernels import fits_vmem
+
         if (
             self.backend == "pallas_fused"
             and type(self)._reaction_nonflux_adj is ChemotaxisModel._reaction_nonflux_adj
-            # XXL-sized grids (>= 2048^2 f32) exceed the per-step fused
-            # kernels' VMEM too: the adjoint runs the XLA step path there
-            # (the streamed tier is forward-only, ops/pallas_xxl.py)
-            and not self._use_xxl_sweep()
+            # the per-step fused kernels are the RESIDENT tier: grids past
+            # fits_vmem (and in particular the XL/XXL-sized ones, whose
+            # whole-sweep adjoints don't fit either) run the XLA step path
+            and fits_vmem(self.grid.n, self.dtype)
         ):
             return self._adjoint_step_fused(dt, optim)
         p = self.params
@@ -485,8 +487,18 @@ class ChemotaxisModel(ModelBase):
             return run_dist
         # the streamed (XXL) tier is forward-only: its adjoint runs the
         # XLA step path below (the fused adjoint tiers all exceed VMEM at
-        # XXL grid sizes)
-        if self._uses_fused_sweep() and not self._use_xxl_sweep():
+        # XXL grid sizes). The XL ADJOINT's own hardware-measured VMEM
+        # requirement (fits_vmem_xl_adjoint: 138 MB at 1024² f32, OOM on
+        # v5e) is ~4 planes past the forward's, so XL-sized grids keep the
+        # fused forward but run the XLA adjoint too.
+        use_fused_adj = self._uses_fused_sweep() and not self._use_xxl_sweep()
+        if use_fused_adj and self._use_xl_sweep() and not self.force_xl:
+            from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+                fits_vmem_xl_adjoint)
+
+            if not fits_vmem_xl_adjoint(self.grid.n, self.dtype):
+                use_fused_adj = False
+        if use_fused_adj:
             p = self.params
 
             def _terminal(u_traj, v_traj, uhat, vhat):

@@ -344,7 +344,17 @@ class SchnakenbergModel(ModelBase):
                     return tuple(res), stats
 
                 return run_dist
-            if self.backend == "pallas_fused":
+            use_fused_adj = self.backend == "pallas_fused"
+            if use_fused_adj and self._use_xl_sweep() and not self.force_xl:
+                # the 12-slot XL ADJOINT file exceeds VMEM where the
+                # forward fits (hardware-calibrated on the chemotaxis
+                # twin, fits_vmem_xl_adjoint) — run the XLA adjoint there
+                from fem_fct_pdeco_tpu.ops.pallas_kernels import (
+                    fits_vmem_xl_adjoint)
+
+                if not fits_vmem_xl_adjoint(self.grid.n, self.dtype):
+                    use_fused_adj = False
+            if use_fused_adj:
                 def _terminal(u_traj, v_traj, uhat, vhat):
                     if optim == "finaltime":
                         return (uhat - u_traj[-1], vhat - v_traj[-1],

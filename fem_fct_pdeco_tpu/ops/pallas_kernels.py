@@ -90,6 +90,19 @@ def fits_vmem_xl(n: int, dtype=jnp.float32,
     return need <= budget_bytes
 
 
+def fits_vmem_xl_adjoint(n: int, dtype=jnp.float32,
+                         budget_bytes: int = 123 * 2**20) -> bool:
+    """Hardware-measured scoped-VMEM requirement of the banded XL ADJOINT
+    kernels: the 12-slot state file plus misfit/trajectory staging needs
+    138.06 MB at 1024² f32 on real Mosaic (v5e, round 5 — a 44-minute
+    compile that then OOM'd by 10 MB), i.e. ~34 effective field planes vs
+    the 10-slot forward's ~30. The adjoint therefore does NOT fit where
+    the XL forward does; grids past this cap run the XLA adjoint path
+    (spectral-preconditioned) while keeping the XL forward fused."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return 34 * n * n * itemsize <= budget_bytes
+
+
 def _interp() -> bool:
     """Interpret mode off-TPU (tests run the kernels on CPU)."""
     return jax.default_backend() != "tpu"

@@ -76,7 +76,8 @@ def _fwd_sweep_kernel_xxl(
     c_ref, u0_ref, v0_ref, c2_in, ilamu_in, ilamv_in,
     uout_ref, vout_ref, inv_ref, sth_ref, a7h_ref, low7_ref,
     C2_s, ILU_s, ILV_s, ACC1, ACC2, cmsk_s,
-    pad1, pad2, pad3, pad4, pad5, braw1, braw2, braw3, braw4,
+    pad1, pad2, pad3, pad4, pad5, rpad1, rpad2,
+    braw1, braw2, braw3, braw4,
     a7raw, lowbuf, h7a, h7b, hta, htb,
     sem_io,
     *, n, nb, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
@@ -95,6 +96,14 @@ def _fwd_sweep_kernel_xxl(
 
     # ---- DMA plumbing ---------------------------------------------------
 
+    def ds8(start, size):
+        """Sublane-dim dynamic slice with the 8-row alignment HINT Mosaic's
+        divisibility prover needs for traced band offsets (r0 = bi*nr with
+        nr % 8 == 0; the prover can't derive this through the fori arg)."""
+        if isinstance(start, int):
+            return pl.ds(start, size)
+        return pl.ds(pl.multiple_of(start, 8), size)
+
     def _dma(src, dst):
         cp = pltpu.make_async_copy(src, dst, sem_io)
         cp.start()
@@ -107,21 +116,21 @@ def _fwd_sweep_kernel_xxl(
 
     def read_band(view, r0, dst):
         """Band body rows [r0, r0+nr) of an (n, n) HBM view -> dst."""
-        _dma_all((view.at[pl.ds(r0, nr), :], dst))
+        _dma_all((view.at[ds8(r0, nr), :], dst))
 
     def write_band(view, r0, src):
-        _dma_all((src, view.at[pl.ds(r0, nr), :]))
+        _dma_all((src, view.at[ds8(r0, nr), :]))
 
     def stage_pad(view, r0, pad, braw, *, top, bot, border=0.0):
         """Fill the (nr+2, n+2) band pad with rows r0-1..r0+nr of an (n, n)
         HBM view (``border`` outside the domain). The body DMA and the two
         8-row halo chunks are all 8-row-aligned; halo rows land via VMEM
         stores (unaligned VMEM stores are fine; unaligned DMA is not)."""
-        cps = [_dma(view.at[pl.ds(r0, nr), :], braw)]
+        cps = [_dma(view.at[ds8(r0, nr), :], braw)]
         if not top:
-            cps.append(_dma(view.at[pl.ds(r0 - 8, 8), :], hta))
+            cps.append(_dma(view.at[ds8(r0 - 8, 8), :], hta))
         if not bot:
-            cps.append(_dma(view.at[pl.ds(r0 + nr, 8), :], htb))
+            cps.append(_dma(view.at[ds8(r0 + nr, 8), :], htb))
         for cp in cps:
             cp.wait()
         pad[:, :] = jnp.full_like(pad, border)
@@ -131,14 +140,34 @@ def _fwd_sweep_kernel_xxl(
         if not bot:
             pad[nr + 1 : nr + 2, 1 : n + 1] = htb[0:1, :]
 
+    def stage_rpad(view, r0, rpad, braw, *, top, bot):
+        """Row-halo-only staging at LANE OFFSET 0 (a (nr+2, n) window of
+        the plane): the assembly/load-vector helpers (_xl_lf_prod,
+        _xl_asm_transport) use jnp.pad internally, which real Mosaic can
+        only lower when the operands carry no lane offset — the shifted
+        (column-apron) pads are for stencil applies only."""
+        cps = [_dma(view.at[ds8(r0, nr), :], braw)]
+        if not top:
+            cps.append(_dma(view.at[ds8(r0 - 8, 8), :], hta))
+        if not bot:
+            cps.append(_dma(view.at[ds8(r0 + nr, 8), :], htb))
+        for cp in cps:
+            cp.wait()
+        rpad[:, :] = jnp.zeros_like(rpad)
+        rpad[1 : nr + 1, :] = braw[:, :]
+        if not top:
+            rpad[0:1, :] = hta[7:8, :]
+        if not bot:
+            rpad[nr + 1 : nr + 2, :] = htb[0:1, :]
+
     def stage_a7(hbm7, r0, *, top, bot, halo):
         """Raw/low stencil band: (7, nr, n) body into ``a7raw`` (+ 8-row
         halo chunks into h7a/h7b when ``halo``)."""
-        cps = [_dma(hbm7.at[:, pl.ds(r0, nr), :], a7raw)]
+        cps = [_dma(hbm7.at[:, ds8(r0, nr), :], a7raw)]
         if halo and not top:
-            cps.append(_dma(hbm7.at[:, pl.ds(r0 - 8, 8), :], h7a))
+            cps.append(_dma(hbm7.at[:, ds8(r0 - 8, 8), :], h7a))
         if halo and not bot:
-            cps.append(_dma(hbm7.at[:, pl.ds(r0 + nr, 8), :], h7b))
+            cps.append(_dma(hbm7.at[:, ds8(r0 + nr, 8), :], h7b))
         for cp in cps:
             cp.wait()
 
@@ -241,29 +270,29 @@ def _fwd_sweep_kernel_xxl(
             read_band(sth_ref.at[src], r0, braw1)
             w1 = _mm10(braw1[:, :].astype(bf16), C2_s[1])      # R_j @ C^T
             ACC1[:, :] = ACC1[:, :] + _mm00(
-                C2_s[1, pl.ds(r0, nr), :], w1.astype(bf16))    # C[:,j] @ w1
+                C2_s[1, ds8(r0, nr), :], w1.astype(bf16))    # C[:,j] @ w1
             return c
 
         for_bands(p1)
         ACC2[:, :] = jnp.zeros_like(ACC2)
 
         def p2(r0, top, bot, c):
-            m = ACC1[pl.ds(r0, nr), :] * il_s[pl.ds(r0, nr), :].astype(dtype)
+            m = ACC1[ds8(r0, nr), :] * il_s[ds8(r0, nr), :].astype(dtype)
             w2 = _mm10(m.astype(bf16), C2_s[0])                # M_i @ C
             ACC2[:, :] = ACC2[:, :] + _mm00(
-                C2_s[0, pl.ds(r0, nr), :], w2.astype(bf16))    # C^T[:,i] @ w2
+                C2_s[0, ds8(r0, nr), :], w2.astype(bf16))    # C^T[:,i] @ w2
             return c
 
         for_bands(p2)
 
         def p3(r0, top, bot, c):
             read_band(sth_ref.at[src], r0, braw1)
-            zb = ACC2[pl.ds(r0, nr), :]
+            zb = ACC2[ds8(r0, nr), :]
             braw2[:, :] = zb
-            cps = [_dma(braw2, sth_ref.at[dst, pl.ds(r0, nr), :])]
+            cps = [_dma(braw2, sth_ref.at[dst, ds8(r0, nr), :])]
             if copy_to is not None:
                 braw3[:, :] = zb
-                cps.append(_dma(braw3, sth_ref.at[copy_to, pl.ds(r0, nr), :]))
+                cps.append(_dma(braw3, sth_ref.at[copy_to, ds8(r0, nr), :]))
             rz = jnp.sum(braw1[:, :] * zb)
             for cp in cps:
                 cp.wait()
@@ -278,10 +307,10 @@ def _fwd_sweep_kernel_xxl(
             read_band(sth_ref.at[src], r0, braw1)
             zb = braw1[:, :] / diag_at(r0, top=top, bot=bot)
             braw2[:, :] = zb
-            cps = [_dma(braw2, sth_ref.at[dst, pl.ds(r0, nr), :])]
+            cps = [_dma(braw2, sth_ref.at[dst, ds8(r0, nr), :])]
             if copy_to is not None:
                 braw3[:, :] = zb
-                cps.append(_dma(braw3, sth_ref.at[copy_to, pl.ds(r0, nr), :]))
+                cps.append(_dma(braw3, sth_ref.at[copy_to, ds8(r0, nr), :]))
             rz = jnp.sum(braw1[:, :] * zb)
             for cp in cps:
                 cp.wait()
@@ -339,15 +368,15 @@ def _fwd_sweep_kernel_xxl(
             alpha = _safe_div(rz, pAp)
 
             def pb(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Xs, pl.ds(r0, nr), :], braw1),
-                         (sth_ref.at[Ps, pl.ds(r0, nr), :], braw2),
-                         (sth_ref.at[Rs, pl.ds(r0, nr), :], braw3),
-                         (sth_ref.at[APs, pl.ds(r0, nr), :], braw4))
+                _dma_all((sth_ref.at[Xs, ds8(r0, nr), :], braw1),
+                         (sth_ref.at[Ps, ds8(r0, nr), :], braw2),
+                         (sth_ref.at[Rs, ds8(r0, nr), :], braw3),
+                         (sth_ref.at[APs, ds8(r0, nr), :], braw4))
                 braw1[:, :] = braw1[:, :] + alpha * braw2[:, :]
                 rb = braw3[:, :] - alpha * braw4[:, :]
                 braw3[:, :] = rb
-                _dma_all((braw1, sth_ref.at[Xs, pl.ds(r0, nr), :]),
-                         (braw3, sth_ref.at[Rs, pl.ds(r0, nr), :]))
+                _dma_all((braw1, sth_ref.at[Xs, ds8(r0, nr), :]),
+                         (braw3, sth_ref.at[Rs, ds8(r0, nr), :]))
                 return cc + jnp.sum(rb * rb)
 
             rn2 = for_bands(pb)
@@ -358,8 +387,8 @@ def _fwd_sweep_kernel_xxl(
             beta = _safe_div(rz2, rz)
 
             def pc(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Zs, pl.ds(r0, nr), :], braw1),
-                         (sth_ref.at[Ps, pl.ds(r0, nr), :], braw2))
+                _dma_all((sth_ref.at[Zs, ds8(r0, nr), :], braw1),
+                         (sth_ref.at[Ps, ds8(r0, nr), :], braw2))
                 braw2[:, :] = braw1[:, :] + beta * braw2[:, :]
                 write_band(sth_ref.at[Ps], r0, braw2)
                 return cc
@@ -383,9 +412,9 @@ def _fwd_sweep_kernel_xxl(
             braw2[:, :] = rb
             braw3[:, :] = rb
             braw4[:, :] = rb
-            _dma_all((braw2, sth_ref.at[Rs, pl.ds(r0, nr), :]),
-                     (braw3, sth_ref.at[RHs, pl.ds(r0, nr), :]),
-                     (braw4, sth_ref.at[Ps, pl.ds(r0, nr), :]))
+            _dma_all((braw2, sth_ref.at[Rs, ds8(r0, nr), :]),
+                     (braw3, sth_ref.at[RHs, ds8(r0, nr), :]),
+                     (braw4, sth_ref.at[Ps, ds8(r0, nr), :]))
             return c + jnp.sum(rb * rb)
 
         rho0 = for_bands(init)
@@ -421,14 +450,14 @@ def _fwd_sweep_kernel_xxl(
             alpha = _safe_div(rho, rhv)
 
             def pb(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Xs, pl.ds(r0, nr), :], braw1),
-                         (sth_ref.at[PHs, pl.ds(r0, nr), :], braw2),
-                         (sth_ref.at[Rs, pl.ds(r0, nr), :], braw3),
-                         (sth_ref.at[VVs, pl.ds(r0, nr), :], braw4))
+                _dma_all((sth_ref.at[Xs, ds8(r0, nr), :], braw1),
+                         (sth_ref.at[PHs, ds8(r0, nr), :], braw2),
+                         (sth_ref.at[Rs, ds8(r0, nr), :], braw3),
+                         (sth_ref.at[VVs, ds8(r0, nr), :], braw4))
                 braw1[:, :] = braw1[:, :] + alpha * braw2[:, :]
                 braw3[:, :] = braw3[:, :] - alpha * braw4[:, :]
-                _dma_all((braw1, sth_ref.at[Xs, pl.ds(r0, nr), :]),
-                         (braw3, sth_ref.at[Rs, pl.ds(r0, nr), :]))
+                _dma_all((braw1, sth_ref.at[Xs, ds8(r0, nr), :]),
+                         (braw3, sth_ref.at[Rs, ds8(r0, nr), :]))
                 return cc
 
             for_bands(pb)
@@ -451,15 +480,15 @@ def _fwd_sweep_kernel_xxl(
 
             def pd(r0, top, bot, cc):
                 rho2, rn2 = cc
-                _dma_all((sth_ref.at[Xs, pl.ds(r0, nr), :], braw1),
-                         (sth_ref.at[PHs, pl.ds(r0, nr), :], braw2),
-                         (sth_ref.at[Rs, pl.ds(r0, nr), :], braw3),
-                         (sth_ref.at[Ts, pl.ds(r0, nr), :], braw4))
+                _dma_all((sth_ref.at[Xs, ds8(r0, nr), :], braw1),
+                         (sth_ref.at[PHs, ds8(r0, nr), :], braw2),
+                         (sth_ref.at[Rs, ds8(r0, nr), :], braw3),
+                         (sth_ref.at[Ts, ds8(r0, nr), :], braw4))
                 braw1[:, :] = braw1[:, :] + omega * braw2[:, :]
                 rb = braw3[:, :] - omega * braw4[:, :]
                 braw3[:, :] = rb
-                _dma_all((braw1, sth_ref.at[Xs, pl.ds(r0, nr), :]),
-                         (braw3, sth_ref.at[Rs, pl.ds(r0, nr), :]))
+                _dma_all((braw1, sth_ref.at[Xs, ds8(r0, nr), :]),
+                         (braw3, sth_ref.at[Rs, ds8(r0, nr), :]))
                 read_band(sth_ref.at[RHs], r0, braw2)
                 return (rho2 + jnp.sum(braw2[:, :] * rb),
                         rn2 + jnp.sum(rb * rb))
@@ -468,9 +497,9 @@ def _fwd_sweep_kernel_xxl(
             beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
 
             def pe(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Rs, pl.ds(r0, nr), :], braw1),
-                         (sth_ref.at[Ps, pl.ds(r0, nr), :], braw2),
-                         (sth_ref.at[VVs, pl.ds(r0, nr), :], braw3))
+                _dma_all((sth_ref.at[Rs, ds8(r0, nr), :], braw1),
+                         (sth_ref.at[Ps, ds8(r0, nr), :], braw2),
+                         (sth_ref.at[VVs, ds8(r0, nr), :], braw3))
                 braw2[:, :] = braw1[:, :] + beta * (
                     braw2[:, :] - omega * braw3[:, :])
                 write_band(sth_ref.at[Ps], r0, braw2)
@@ -499,20 +528,20 @@ def _fwd_sweep_kernel_xxl(
 
     # ---- v half-step (helpers.py:1339-1342) ------------------------------
     def vb(r0, top, bot, c):
-        stage_pad(c_ref.at[i], r0, pad1, braw1, top=top, bot=bot)
-        stage_pad(sth_ref.at[U], r0, pad2, braw1, top=top, bot=bot)
+        stage_rpad(c_ref.at[i], r0, rpad1, braw1, top=top, bot=bot)
+        stage_rpad(sth_ref.at[U], r0, rpad2, braw1, top=top, bot=bot)
         stage_pad(sth_ref.at[V], r0, pad3, braw1, top=top, bot=bot)
         if top:
             load = _xl_lf_prod(
-                [pad1[1 : nr + 2, 1 : n + 1], pad2[1 : nr + 2, 1 : n + 1]],
+                [rpad1[1 : nr + 2, :], rpad2[1 : nr + 2, :]],
                 ncr=nr, ncc=n - 1, h2=h2)[0:nr]
         elif bot:
             load = _xl_lf_prod(
-                [pad1[0 : nr + 1, 1 : n + 1], pad2[0 : nr + 1, 1 : n + 1]],
+                [rpad1[0 : nr + 1, :], rpad2[0 : nr + 1, :]],
                 ncr=nr, ncc=n - 1, h2=h2)[1 : nr + 1]
         else:
             load = _xl_lf_prod(
-                [pad1[0 : nr + 2, 1 : n + 1], pad2[0 : nr + 2, 1 : n + 1]],
+                [rpad1[0 : nr + 2, :], rpad2[0 : nr + 2, :]],
                 ncr=nr + 1, ncc=n - 1, h2=h2)[1 : nr + 1]
         bb = (apply_at(mass_at, pad3, r0, top=top, bot=bot)
               + (dt * inv_r) * load)
@@ -528,8 +557,8 @@ def _fwd_sweep_kernel_xxl(
 
     def warm(traj_ref, cur_slot):
         def w(r0, top, bot, c):
-            _dma_all((traj_ref.at[im2, pl.ds(r0, nr), :], braw1),
-                     (sth_ref.at[cur_slot, pl.ds(r0, nr), :], braw2))
+            _dma_all((traj_ref.at[im2, ds8(r0, nr), :], braw1),
+                     (sth_ref.at[cur_slot, ds8(r0, nr), :], braw2))
             braw3[:, :] = jnp.where(i > 1,
                                     2.0 * braw2[:, :] - braw1[:, :],
                                     braw2[:, :])
@@ -551,19 +580,19 @@ def _fwd_sweep_kernel_xxl(
 
     # ---- u half-step: transport assembly (helpers.py:1350-1352) ----------
     def asm(r0, top, bot, c):
-        stage_pad(sth_ref.at[U], r0, pad1, braw1, top=top, bot=bot)
-        stage_pad(sth_ref.at[V], r0, pad2, braw1, top=top, bot=bot)
+        stage_rpad(sth_ref.at[U], r0, rpad1, braw1, top=top, bot=bot)
+        stage_rpad(sth_ref.at[V], r0, rpad2, braw1, top=top, bot=bot)
         if top:
-            wu = pad1[1 : nr + 2, 1 : n + 1]
-            wv = pad2[1 : nr + 2, 1 : n + 1]
+            wu = rpad1[1 : nr + 2, :]
+            wv = rpad2[1 : nr + 2, :]
             ncr, d0 = nr, 0
         elif bot:
-            wu = pad1[0 : nr + 1, 1 : n + 1]
-            wv = pad2[0 : nr + 1, 1 : n + 1]
+            wu = rpad1[0 : nr + 1, :]
+            wv = rpad2[0 : nr + 1, :]
             ncr, d0 = nr, 1
         else:
-            wu = pad1[0 : nr + 2, 1 : n + 1]
-            wv = pad2[0 : nr + 2, 1 : n + 1]
+            wu = rpad1[0 : nr + 2, :]
+            wv = rpad2[0 : nr + 2, :]
             ncr, d0 = nr + 1, 1
         tr = _xl_asm_transport(wu, wv, ncr=ncr, ncc=n - 1, chi=chi, eta=eta,
                                wts=wts4, bary=bary4, grads=grads)
@@ -572,7 +601,7 @@ def _fwd_sweep_kernel_xxl(
             t = tr[d]
             a7raw[k7, :, :] = (jnp.broadcast_to(kp, (nr, n)) if t is None
                                else kp + t[d0 : d0 + nr])
-        _dma_all((a7raw, a7h_ref.at[:, pl.ds(r0, nr), :]))
+        _dma_all((a7raw, a7h_ref.at[:, ds8(r0, nr), :]))
         return c
 
     for_bands(asm)
@@ -609,7 +638,7 @@ def _fwd_sweep_kernel_xxl(
               + dt * (a7raw[P7IDX[CENTER], :, :] + offsum))
         lowbuf[P7IDX[CENTER], :, :] = cd
         rs = rs + cd
-        _dma_all((lowbuf, low7_ref.at[:, pl.ds(r0, nr), :]))
+        _dma_all((lowbuf, low7_ref.at[:, ds8(r0, nr), :]))
         return jnp.minimum(c, jnp.min(rs))
 
     minrs = for_bands(trans, jnp.asarray(np.finfo(np.float32).max, dtype))
@@ -633,8 +662,8 @@ def _fwd_sweep_kernel_xxl(
         braw2[:, :] = rdot
         # iter 1 (om=1, yold=ymid=0): y1 = rdot * Mdinv
         braw3[:, :] = rdot * mdinv(r0, top=top, bot=bot)
-        _dma_all((braw2, sth_ref.at[B, pl.ds(r0, nr), :]),
-                 (braw3, sth_ref.at[P, pl.ds(r0, nr), :]))
+        _dma_all((braw2, sth_ref.at[B, ds8(r0, nr), :]),
+                 (braw3, sth_ref.at[P, ds8(r0, nr), :]))
         return c
 
     for_bands(cheb_prep)
@@ -648,8 +677,8 @@ def _fwd_sweep_kernel_xxl(
 
         def p(r0, top, bot, c):
             stage_pad(sth_ref.at[ymid], r0, pad1, braw1, top=top, bot=bot)
-            _dma_all((sth_ref.at[B, pl.ds(r0, nr), :], braw2),
-                     (sth_ref.at[yold, pl.ds(r0, nr), :], braw3))
+            _dma_all((sth_ref.at[B, ds8(r0, nr), :], braw2),
+                     (sth_ref.at[yold, ds8(r0, nr), :], braw3))
             rr = braw2[:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
             ym = pad1[1 : nr + 1, 1 : n + 1]
             braw4[:, :] = (om * (rr * mdinv(r0, top=top, bot=bot)
@@ -755,8 +784,8 @@ def _fwd_sweep_kernel_xxl(
                         / jnp.where(den_neg < 0.0, den_neg, 1.0)), 1.0)
         braw1[:, :] = r_pos
         braw2[:, :] = r_neg
-        _dma_all((braw1, sth_ref.at[RP, pl.ds(r0, nr), :]),
-                 (braw2, sth_ref.at[RN, pl.ds(r0, nr), :]))
+        _dma_all((braw1, sth_ref.at[RP, ds8(r0, nr), :]),
+                 (braw2, sth_ref.at[RN, ds8(r0, nr), :]))
         return c
 
     for_bands(flux1)
@@ -814,7 +843,10 @@ def fused_chemotaxis_forward_sweep_xxl(
     n = u0.shape[-1]
     steps = c_traj.shape[0] - 1
     if nb is None:
-        nb = max(4, n // 128)
+        # nr = 64 keeps the per-region register-allocator spill pools small
+        # (measured at 2048^2: nr=128 -> 68 MB of spill slots alone, VMEM
+        # OOM by 31 MB; the pools scale with the band height)
+        nb = max(4, n // 64)
     nr = n // nb
     if n % nb or nr % 8 or nb < 2 or (nb > 2 and nr < 8):
         raise ValueError(f"grid {n} not divisible into {nb} sublane-aligned "
@@ -860,6 +892,8 @@ def fused_chemotaxis_forward_sweep_xxl(
             pltpu.VMEM((nr + 2, n + 2), dtype),
             pltpu.VMEM((nr + 2, n + 2), dtype),
             pltpu.VMEM((nr + 2, n + 2), dtype),
+            pltpu.VMEM((nr + 2, n), dtype),            # lane-offset-0 pads
+            pltpu.VMEM((nr + 2, n), dtype),
             pltpu.VMEM((nr, n), dtype),                # band buffers
             pltpu.VMEM((nr, n), dtype),
             pltpu.VMEM((nr, n), dtype),
