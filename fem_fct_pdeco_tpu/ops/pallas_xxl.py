@@ -78,7 +78,7 @@ def _fwd_sweep_kernel_xxl(
     C2_s, ILU_s, ILV_s, ACC1, ACC2, cmsk_s,
     pad1, pad2, pad3, pad4, pad5, rpad1, rpad2,
     braw1, braw2, braw3, braw4,
-    a7raw, lowbuf, h7a, h7b, hta, htb,
+    a7raw, lowbuf, a7x, bx1, bx2,
     sem_io,
     *, n, nb, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
     cheb_iters, wts4, bary4, grads, precond,
@@ -121,64 +121,85 @@ def _fwd_sweep_kernel_xxl(
     def write_band(view, r0, src):
         _dma_all((src, view.at[ds8(r0, nr), :]))
 
-    def stage_pad(view, r0, pad, braw, *, top, bot, border=0.0):
-        """Fill the (nr+2, n+2) band pad with rows r0-1..r0+nr of an (n, n)
-        HBM view (``border`` outside the domain). The body DMA and the two
-        8-row halo chunks are all 8-row-aligned; halo rows land via VMEM
-        stores (unaligned VMEM stores are fine; unaligned DMA is not)."""
-        cps = [_dma(view.at[ds8(r0, nr), :], braw)]
-        if not top:
-            cps.append(_dma(view.at[ds8(r0 - 8, 8), :], hta))
-        if not bot:
-            cps.append(_dma(view.at[ds8(r0 + nr, 8), :], htb))
-        for cp in cps:
-            cp.wait()
-        pad[:, :] = jnp.full_like(pad, border)
-        pad[1 : nr + 1, 1 : n + 1] = braw[:, :]
-        if not top:
-            pad[0:1, 1 : n + 1] = hta[7:8, :]
-        if not bot:
-            pad[nr + 1 : nr + 2, 1 : n + 1] = htb[0:1, :]
+    def stage_start(view, r0, bx, *, top, bot):
+        """ONE 8-row-aligned DMA covering the band body AND both halo rows
+        (over-reading one 8-row chunk per interior side): rows land in
+        ``bx`` with the band's row r0 at index 0 (top band) or 8."""
+        o = 0 if top else 8
+        rows = nr + 8 if (top or bot) else nr + 16
+        if top and bot:
+            rows = nr
+        return _dma(view.at[ds8(r0 - o, rows), :], bx.at[0:rows, :])
 
-    def stage_rpad(view, r0, rpad, braw, *, top, bot):
+    def pad_fill(pad, bx, *, top, bot, border=0.0):
+        """(nr+2, n+2) shift pad from a staged ``bx``: the data window is
+        ONE VMEM store; border stores touch only the apron columns and the
+        missing edge rows."""
+        pad[:, 0:1] = jnp.full_like(pad[:, 0:1], border)
+        pad[:, n + 1 : n + 2] = jnp.full_like(pad[:, n + 1 : n + 2], border)
+        if top:
+            pad[0:1, 1 : n + 1] = jnp.full_like(pad[0:1, 1 : n + 1], border)
+            pad[1 : nr + 2, 1 : n + 1] = bx[0 : nr + 1, :]
+        elif bot:
+            pad[nr + 1 : nr + 2, 1 : n + 1] = jnp.full_like(
+                pad[nr + 1 : nr + 2, 1 : n + 1], border)
+            pad[0 : nr + 1, 1 : n + 1] = bx[7 : nr + 8, :]
+        else:
+            pad[0 : nr + 2, 1 : n + 1] = bx[7 : nr + 9, :]
+
+    def stage_pad(view, r0, pad, bx, *, top, bot, border=0.0):
+        stage_start(view, r0, bx, top=top, bot=bot).wait()
+        pad_fill(pad, bx, top=top, bot=bot, border=border)
+
+    def rpad_fill(rpad, bx, *, top, bot):
+        if top:
+            rpad[0:1, :] = jnp.zeros_like(rpad[0:1, :])
+            rpad[1 : nr + 2, :] = bx[0 : nr + 1, :]
+        elif bot:
+            rpad[nr + 1 : nr + 2, :] = jnp.zeros_like(rpad[0:1, :])
+            rpad[0 : nr + 1, :] = bx[7 : nr + 8, :]
+        else:
+            rpad[0 : nr + 2, :] = bx[7 : nr + 9, :]
+
+    def stage_rpad(view, r0, rpad, bx, *, top, bot):
         """Row-halo-only staging at LANE OFFSET 0 (a (nr+2, n) window of
         the plane): the assembly/load-vector helpers (_xl_lf_prod,
         _xl_asm_transport) use jnp.pad internally, which real Mosaic can
         only lower when the operands carry no lane offset — the shifted
         (column-apron) pads are for stencil applies only."""
-        cps = [_dma(view.at[ds8(r0, nr), :], braw)]
-        if not top:
-            cps.append(_dma(view.at[ds8(r0 - 8, 8), :], hta))
-        if not bot:
-            cps.append(_dma(view.at[ds8(r0 + nr, 8), :], htb))
-        for cp in cps:
-            cp.wait()
-        rpad[:, :] = jnp.zeros_like(rpad)
-        rpad[1 : nr + 1, :] = braw[:, :]
-        if not top:
-            rpad[0:1, :] = hta[7:8, :]
-        if not bot:
-            rpad[nr + 1 : nr + 2, :] = htb[0:1, :]
+        stage_start(view, r0, bx, top=top, bot=bot).wait()
+        rpad_fill(rpad, bx, top=top, bot=bot)
 
     def stage_a7(hbm7, r0, *, top, bot, halo):
-        """Raw/low stencil band: (7, nr, n) body into ``a7raw`` (+ 8-row
-        halo chunks into h7a/h7b when ``halo``)."""
-        cps = [_dma(hbm7.at[:, ds8(r0, nr), :], a7raw)]
-        if halo and not top:
-            cps.append(_dma(hbm7.at[:, ds8(r0 - 8, 8), :], h7a))
-        if halo and not bot:
-            cps.append(_dma(hbm7.at[:, ds8(r0 + nr, 8), :], h7b))
-        for cp in cps:
-            cp.wait()
+        """Stencil band staging: solver applies (``halo=False``) read the
+        exact (7, nr, n) body into ``a7raw``; the halo-needing passes read
+        one (7, nr+8|16, n) window into ``a7x`` (band row r0 at index
+        0 / 8 as in stage_start)."""
+        if not halo:
+            _dma(hbm7.at[:, ds8(r0, nr), :], a7raw).wait()
+            return
+        o = 0 if top else 8
+        rows = nr + 8 if (top or bot) else nr + 16
+        _dma(hbm7.at[:, ds8(r0 - o, rows), :], a7x.at[:, 0:rows, :]).wait()
+
+    def a7_body(k7, *, top):
+        """Body rows of plane ``k7`` of the halo-staged (a7x) band."""
+        o = 0 if top else 8
+        return a7x[k7, o : o + nr, :]
 
     def a7_pad(pad, k7, *, top, bot):
-        """Pad plane ``k7`` of the staged stencil band with its halo rows."""
-        pad[:, :] = jnp.zeros_like(pad)
-        pad[1 : nr + 1, 1 : n + 1] = a7raw[k7, :, :]
-        if not top:
-            pad[0:1, 1 : n + 1] = h7a[k7, 7:8, :]
-        if not bot:
-            pad[nr + 1 : nr + 2, 1 : n + 1] = h7b[k7, 0:1, :]
+        """Shift pad of plane ``k7`` of the halo-staged (a7x) band."""
+        pad[:, 0:1] = jnp.zeros_like(pad[:, 0:1])
+        pad[:, n + 1 : n + 2] = jnp.zeros_like(pad[:, n + 1 : n + 2])
+        if top:
+            pad[0:1, 1 : n + 1] = jnp.zeros_like(pad[0:1, 1 : n + 1])
+            pad[1 : nr + 2, 1 : n + 1] = a7x[k7, 0 : nr + 1, :]
+        elif bot:
+            pad[nr + 1 : nr + 2, 1 : n + 1] = jnp.zeros_like(
+                pad[nr + 1 : nr + 2, 1 : n + 1])
+            pad[0 : nr + 1, 1 : n + 1] = a7x[k7, 7 : nr + 8, :]
+        else:
+            pad[0 : nr + 2, 1 : n + 1] = a7x[k7, 7 : nr + 9, :]
 
     def for_bands(body, carry0=None):
         """Top band unrolled / fori over interior bands / bottom band
@@ -334,7 +355,7 @@ def _fwd_sweep_kernel_xxl(
 
         def init(r0, top, bot, c):
             maybe_stage7(r0, top, bot)
-            stage_pad(sth_ref.at[Xs], r0, pad1, braw1, top=top, bot=bot)
+            stage_pad(sth_ref.at[Xs], r0, pad1, bx1, top=top, bot=bot)
             ax = apply_at(S_at, pad1, r0, top=top, bot=bot)
             read_band(sth_ref.at[APs], r0, braw2)
             rb = braw2[:, :] - ax
@@ -358,7 +379,7 @@ def _fwd_sweep_kernel_xxl(
 
             def pa(r0, top, bot, cc):
                 maybe_stage7(r0, top, bot)
-                stage_pad(sth_ref.at[Ps], r0, pad1, braw1, top=top, bot=bot)
+                stage_pad(sth_ref.at[Ps], r0, pad1, bx1, top=top, bot=bot)
                 ap = apply_at(S_at, pad1, r0, top=top, bot=bot)
                 braw2[:, :] = ap
                 write_band(sth_ref.at[APs], r0, braw2)
@@ -405,7 +426,7 @@ def _fwd_sweep_kernel_xxl(
 
         def init(r0, top, bot, c):
             stage_a7(stencil7, r0, top=top, bot=bot, halo=False)
-            stage_pad(sth_ref.at[Xs], r0, pad1, braw1, top=top, bot=bot)
+            stage_pad(sth_ref.at[Xs], r0, pad1, bx1, top=top, bot=bot)
             ax = apply_at(S_at, pad1, r0, top=top, bot=bot)
             read_band(sth_ref.at[Bs], r0, braw2)
             rb = braw2[:, :] - ax
@@ -438,7 +459,7 @@ def _fwd_sweep_kernel_xxl(
 
             def pa(r0, top, bot, cc):
                 stage_a7(stencil7, r0, top=top, bot=bot, halo=False)
-                stage_pad(sth_ref.at[PHs], r0, pad1, braw1, top=top, bot=bot)
+                stage_pad(sth_ref.at[PHs], r0, pad1, bx1, top=top, bot=bot)
                 vb = apply_at(S_at, pad1, r0, top=top, bot=bot)
                 braw2[:, :] = vb
                 read_band(sth_ref.at[RHs], r0, braw3)
@@ -466,7 +487,7 @@ def _fwd_sweep_kernel_xxl(
             def pc(r0, top, bot, cc):
                 ts, tt = cc
                 stage_a7(stencil7, r0, top=top, bot=bot, halo=False)
-                stage_pad(sth_ref.at[PHs], r0, pad1, braw1, top=top, bot=bot)
+                stage_pad(sth_ref.at[PHs], r0, pad1, bx1, top=top, bot=bot)
                 tb = apply_at(S_at, pad1, r0, top=top, bot=bot)
                 braw2[:, :] = tb
                 read_band(sth_ref.at[Rs], r0, braw3)
@@ -528,9 +549,9 @@ def _fwd_sweep_kernel_xxl(
 
     # ---- v half-step (helpers.py:1339-1342) ------------------------------
     def vb(r0, top, bot, c):
-        stage_rpad(c_ref.at[i], r0, rpad1, braw1, top=top, bot=bot)
-        stage_rpad(sth_ref.at[U], r0, rpad2, braw1, top=top, bot=bot)
-        stage_pad(sth_ref.at[V], r0, pad3, braw1, top=top, bot=bot)
+        stage_rpad(c_ref.at[i], r0, rpad1, bx1, top=top, bot=bot)
+        stage_rpad(sth_ref.at[U], r0, rpad2, bx2, top=top, bot=bot)
+        stage_pad(sth_ref.at[V], r0, pad3, bx1, top=top, bot=bot)
         if top:
             load = _xl_lf_prod(
                 [rpad1[1 : nr + 2, :], rpad2[1 : nr + 2, :]],
@@ -580,8 +601,8 @@ def _fwd_sweep_kernel_xxl(
 
     # ---- u half-step: transport assembly (helpers.py:1350-1352) ----------
     def asm(r0, top, bot, c):
-        stage_rpad(sth_ref.at[U], r0, rpad1, braw1, top=top, bot=bot)
-        stage_rpad(sth_ref.at[V], r0, rpad2, braw1, top=top, bot=bot)
+        stage_rpad(sth_ref.at[U], r0, rpad1, bx1, top=top, bot=bot)
+        stage_rpad(sth_ref.at[V], r0, rpad2, bx2, top=top, bot=bot)
         if top:
             wu = rpad1[1 : nr + 2, :]
             wv = rpad2[1 : nr + 2, :]
@@ -627,7 +648,7 @@ def _fwd_sweep_kernel_xxl(
                 continue
             a7_pad(pad1, P7IDX[opposite(d)], top=top, bot=bot)
             di, dj = OFFSETS[d]
-            Ad = a7raw[P7IDX[d], :, :]
+            Ad = a7_body(P7IDX[d], top=top)
             Dd = jnp.maximum(0.0, jnp.maximum(
                 Ad, pad1[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n]))
             pl_d = dt * (Ad - Dd)
@@ -635,7 +656,7 @@ def _fwd_sweep_kernel_xxl(
             offsum = Dd if offsum is None else offsum + Dd
             rs = pl_d if rs is None else rs + pl_d
         cd = (ml_at(r0, top=top, bot=bot)
-              + dt * (a7raw[P7IDX[CENTER], :, :] + offsum))
+              + dt * (a7_body(P7IDX[CENTER], top=top) + offsum))
         lowbuf[P7IDX[CENTER], :, :] = cd
         rs = rs + cd
         _dma_all((lowbuf, low7_ref.at[:, ds8(r0, nr), :]))
@@ -657,7 +678,7 @@ def _fwd_sweep_kernel_xxl(
 
     def cheb_prep(r0, top, bot, c):
         stage_a7(a7h_ref, r0, top=top, bot=bot, halo=False)
-        stage_pad(sth_ref.at[X], r0, pad1, braw1, top=top, bot=bot)
+        stage_pad(sth_ref.at[X], r0, pad1, bx1, top=top, bot=bot)
         rdot = -apply_at(staged_at, pad1, r0, top=top, bot=bot)
         braw2[:, :] = rdot
         # iter 1 (om=1, yold=ymid=0): y1 = rdot * Mdinv
@@ -676,7 +697,7 @@ def _fwd_sweep_kernel_xxl(
         """ynew = om*(Mdinv*(b - M ymid) + ymid - yold) + yold, banded."""
 
         def p(r0, top, bot, c):
-            stage_pad(sth_ref.at[ymid], r0, pad1, braw1, top=top, bot=bot)
+            stage_pad(sth_ref.at[ymid], r0, pad1, bx1, top=top, bot=bot)
             _dma_all((sth_ref.at[B, ds8(r0, nr), :], braw2),
                      (sth_ref.at[yold, ds8(r0, nr), :], braw3))
             rr = braw2[:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
@@ -698,7 +719,7 @@ def _fwd_sweep_kernel_xxl(
         om2 = 1.0 / (1.0 - rc2 / 2.0)
 
         def p_it2(r0, top, bot, c):
-            stage_pad(sth_ref.at[P], r0, pad1, braw1, top=top, bot=bot)
+            stage_pad(sth_ref.at[P], r0, pad1, bx1, top=top, bot=bot)
             read_band(sth_ref.at[B], r0, braw2)
             rr = braw2[:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
             braw4[:, :] = om2 * (rr * mdinv(r0, top=top, bot=bot)
@@ -735,8 +756,8 @@ def _fwd_sweep_kernel_xxl(
 
     def flux1(r0, top, bot, c):
         stage_a7(a7h_ref, r0, top=top, bot=bot, halo=True)
-        stage_pad(sth_ref.at[X], r0, pad1, braw1, top=top, bot=bot)
-        stage_pad(sth_ref.at[du_slot], r0, pad2, braw1, top=top, bot=bot)
+        stage_pad(sth_ref.at[X], r0, pad1, bx1, top=top, bot=bot)
+        stage_pad(sth_ref.at[du_slot], r0, pad2, bx1, top=top, bot=bot)
         ul_b = pad1[1 : nr + 1, 1 : n + 1]
         du_b = pad2[1 : nr + 1, 1 : n + 1]
         if top or bot:
@@ -750,7 +771,7 @@ def _fwd_sweep_kernel_xxl(
             di, dj = OFFSETS[d]
             a7_pad(pad3, P7IDX[opposite(d)], top=top, bot=bot)
             Dd = jnp.maximum(0.0, jnp.maximum(
-                a7raw[P7IDX[d], :, :],
+                a7_body(P7IDX[d], top=top),
                 pad3[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n]))
             F = (mass_at(d, r0, top=top, bot=bot)
                  * (du_b - pad2[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n])
@@ -792,22 +813,22 @@ def _fwd_sweep_kernel_xxl(
 
     def flux2(r0, top, bot, c):
         stage_a7(a7h_ref, r0, top=top, bot=bot, halo=True)
-        stage_pad(sth_ref.at[X], r0, pad1, braw1, top=top, bot=bot)
-        stage_pad(sth_ref.at[du_slot], r0, pad2, braw1, top=top, bot=bot)
-        stage_pad(sth_ref.at[RP], r0, pad4, braw1, top=top, bot=bot,
+        stage_pad(sth_ref.at[X], r0, pad1, bx1, top=top, bot=bot)
+        stage_pad(sth_ref.at[du_slot], r0, pad2, bx1, top=top, bot=bot)
+        stage_pad(sth_ref.at[RP], r0, pad4, bx1, top=top, bot=bot,
                   border=1.0)
         ul_b = pad1[1 : nr + 1, 1 : n + 1]
         du_b = pad2[1 : nr + 1, 1 : n + 1]
         r_pos = pad4[1 : nr + 1, 1 : n + 1]
         fbar = jnp.zeros((nr, n), dtype)
-        stage_pad(sth_ref.at[RN], r0, pad5, braw1, top=top, bot=bot,
+        stage_pad(sth_ref.at[RN], r0, pad5, bx1, top=top, bot=bot,
                   border=1.0)
         r_neg = pad5[1 : nr + 1, 1 : n + 1]
         for d in EDGE_NEIGHBOR_IDS:
             di, dj = OFFSETS[d]
             a7_pad(pad3, P7IDX[opposite(d)], top=top, bot=bot)
             Dd = jnp.maximum(0.0, jnp.maximum(
-                a7raw[P7IDX[d], :, :],
+                a7_body(P7IDX[d], top=top),
                 pad3[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n]))
             F = (mass_at(d, r0, top=top, bot=bot)
                  * (du_b - pad2[1 + di : 1 + di + nr, 1 + dj : 1 + dj + n])
@@ -900,10 +921,9 @@ def fused_chemotaxis_forward_sweep_xxl(
             pltpu.VMEM((nr, n), dtype),
             pltpu.VMEM((7, nr, n), dtype),             # staged stencil band
             pltpu.VMEM((7, nr, n), dtype),             # Low band out
-            pltpu.VMEM((7, 8, n), dtype),              # stencil halo chunks
-            pltpu.VMEM((7, 8, n), dtype),
-            pltpu.VMEM((8, n), dtype),                 # field halo chunks
-            pltpu.VMEM((8, n), dtype),
+            pltpu.VMEM((7, nr + 16, n), dtype),        # halo-staged stencil
+            pltpu.VMEM((nr + 16, n), dtype),           # staging landings
+            pltpu.VMEM((nr + 16, n), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
