@@ -77,9 +77,9 @@ def _fwd_sweep_kernel_xxl(
     uout_ref, vout_ref, inv_ref, sth_ref, a7h_ref, low7_ref,
     C2_s, ILU_s, ILV_s, ACC1, ACC2, cmsk_s,
     pad1, pad2, pad3, pad4, pad5, rpad1, rpad2,
-    braw1, braw2, braw3, braw4,
-    a7raw, lowbuf, a7x, bx1, bx2,
-    sem_io,
+    braw1, braw2, braw3, braw4, braw1b, braw2b, braw3b, braw4b,
+    a7raw, a7rawb, lowbuf, a7x, bx1, bx2,
+    sem_io, sem_a, sem_b,
     *, n, nb, h2, dt, Dm, Df, delta, chi, eta, inv_r, tol, iters,
     cheb_iters, wts4, bary4, grads, precond,
 ):
@@ -215,6 +215,116 @@ def _fwd_sweep_kernel_xxl(
             carry = body((nb - 1) * nr, False, True, carry)
         return carry
 
+    # ---- software-pipelined band passes -----------------------------------
+    # The serial stage-wait-compute structure above exposes the HBM->VMEM
+    # DMA latency on every one of the ~140 band passes per step (the main
+    # measured overhead vs the bandwidth roofline at 2048^2). The solver-
+    # LOOP passes below instead issue band k+1's read DMAs into the
+    # ALTERNATE buffer set before band k computes, so reads are always in
+    # flight under compute. Writes still wait inline: a write's staging
+    # buffer is only reused two bands later, after its wait. Safe because
+    # no pipelined pass halo-reads a slot it writes (verified per pass),
+    # so a prefetch never races the previous band's store.
+    #
+    # A pass is (reads, compute): ``reads(r0, bs)`` returns the (pure,
+    # un-started) copy descriptors for the band at row r0 into buffer set
+    # ``bs``; the runner starts them one band ahead and re-constructs them
+    # to wait (the standard Pallas deferred-wait pattern — the wait only
+    # needs the same (src, dst, sem) triple). Every staged halo window is
+    # a uniform (nr+16, n) read from a clamped 8-aligned start, so the
+    # band's rows sit at a STATIC in-buffer offset o in {0, 8, 16}.
+    PIPE = nb >= 4 and nb % 2 == 0
+
+    def _clip8(x):
+        hi = n - nr - 16
+        if isinstance(x, int):
+            return max(0, min(x, hi))
+        return pl.multiple_of(jnp.clip(x, 0, hi), 8)
+
+    def _halo_cp(view, r0, bs):
+        return pltpu.make_async_copy(
+            view.at[pl.ds(_clip8(r0 - 8), nr + 16), :], bs[4], bs[6])
+
+    def _body_cp(view, r0, dst, bs):
+        return pltpu.make_async_copy(view.at[ds8(r0, nr), :], dst, bs[6])
+
+    def _a7_cp(hbm7, r0, bs):
+        return pltpu.make_async_copy(
+            hbm7.at[:, ds8(r0, nr), :], bs[5], bs[6])
+
+    SET0 = (braw1, braw2, braw3, braw4, bx1, a7raw, sem_a)
+    SET1 = (braw1b, braw2b, braw3b, braw4b, bx2, a7rawb, sem_b)
+
+    def pad_fill_p(pad, bs, o, *, top, bot, border=0.0):
+        """(nr+2, n+2) shift pad from the set's staged halo window, whose
+        band row r0 sits at in-buffer offset ``o``."""
+        bxp = bs[4]
+        pad[:, 0:1] = jnp.full_like(pad[:, 0:1], border)
+        pad[:, n + 1 : n + 2] = jnp.full_like(pad[:, n + 1 : n + 2], border)
+        if top:
+            pad[0:1, 1 : n + 1] = jnp.full_like(pad[0:1, 1 : n + 1], border)
+            pad[1 : nr + 2, 1 : n + 1] = bxp[0 : nr + 1, :]
+        elif bot:
+            pad[nr + 1 : nr + 2, 1 : n + 1] = jnp.full_like(
+                pad[nr + 1 : nr + 2, 1 : n + 1], border)
+            pad[0 : nr + 1, 1 : n + 1] = bxp[o - 1 : o + nr, :]
+        else:
+            pad[0 : nr + 2, 1 : n + 1] = bxp[o - 1 : o + nr + 1, :]
+
+    def staged_at_of(bs):
+        a7b = bs[5]
+
+        def f(d, r0, *, top, bot):
+            return a7b[P7IDX[d], :, :] if d in P7IDX else None
+
+        return f
+
+    def for_bands_pipe(reads, compute, carry0=None):
+        """Top band unrolled / fori over interior band PAIRS / bottom band
+        unrolled, with band k+1's reads in flight during band k's compute.
+        ``compute(r0, top, bot, o, bs, carry)``."""
+        carry = zero if carry0 is None else carry0
+
+        def start(r0, bs):
+            for cp in reads(r0, bs):
+                cp.start()
+
+        def wait(r0, bs):
+            for cp in reads(r0, bs):
+                cp.wait()
+
+        def comp(r0, top, bot, o, bs, c):
+            wait(r0, bs)
+            return compute(r0, top, bot, o, bs, c)
+
+        if not PIPE:
+            def body(r0, top, bot, c):
+                start(r0, SET0)
+                o = 0 if top else (16 if bot else 8)
+                return comp(r0, top, bot, o, SET0, c)
+            return for_bands(body, carry)
+
+        last = (nb - 1) * nr
+        start(0, SET0)
+        start(nr, SET1)
+        carry = comp(0, True, False, 0, SET0, carry)
+        start(2 * nr, SET0)
+
+        def pair(j, c):
+            k1 = (2 * j + 1) * nr
+            c = comp(k1, False, False, 8, SET1, c)
+            start(jnp.minimum(k1 + 2 * nr, last), SET1)
+            c = comp(k1 + nr, False, False, 8, SET0, c)
+            # the final pair's second prefetch clamps to a (drained,
+            # unconsumed) duplicate of the bottom band: one band of waste
+            # per pass buys a branch-free fori body
+            start(jnp.minimum(k1 + 3 * nr, last), SET0)
+            return c
+
+        carry = jax.lax.fori_loop(0, (nb - 2) // 2, pair, carry)
+        wait(last, SET0)  # drain the dangling duplicate prefetch
+        return comp(last, False, True, 16, SET1, carry)
+
     # ---- synthesized stationary planes -----------------------------------
     # interior bands: the row masks are identically 1, so an alpha*M+beta*K
     # plane reduces to a column PROFILE (1, n) read from the cmsk ref
@@ -284,17 +394,21 @@ def _fwd_sweep_kernel_xxl(
 
     def pinv_dct(src, dst, il_s, copy_to=None):
         """STH[dst] = P^{-1} STH[src]; returns sum(src * dst). When
-        ``copy_to`` is given, also writes STH[copy_to] = STH[dst]."""
+        ``copy_to`` is given, also writes STH[copy_to] = STH[dst]. The two
+        HBM-reading passes are pipelined so the src-band DMA overlaps the
+        MXU transform of the previous band."""
         ACC1[:, :] = jnp.zeros_like(ACC1)
 
-        def p1(r0, top, bot, c):
-            read_band(sth_ref.at[src], r0, braw1)
-            w1 = _mm10(braw1[:, :].astype(bf16), C2_s[1])      # R_j @ C^T
+        def p1_reads(r0, bs):
+            return [_body_cp(sth_ref.at[src], r0, bs[0], bs)]
+
+        def p1(r0, top, bot, o, bs, c):
+            w1 = _mm10(bs[0][:, :].astype(bf16), C2_s[1])      # R_j @ C^T
             ACC1[:, :] = ACC1[:, :] + _mm00(
                 C2_s[1, ds8(r0, nr), :], w1.astype(bf16))    # C[:,j] @ w1
             return c
 
-        for_bands(p1)
+        for_bands_pipe(p1_reads, p1)
         ACC2[:, :] = jnp.zeros_like(ACC2)
 
         def p2(r0, top, bot, c):
@@ -304,22 +418,24 @@ def _fwd_sweep_kernel_xxl(
                 C2_s[0, ds8(r0, nr), :], w2.astype(bf16))    # C^T[:,i] @ w2
             return c
 
-        for_bands(p2)
+        for_bands(p2)  # VMEM-only: no HBM reads to hide
 
-        def p3(r0, top, bot, c):
-            read_band(sth_ref.at[src], r0, braw1)
+        def p3_reads(r0, bs):
+            return [_body_cp(sth_ref.at[src], r0, bs[0], bs)]
+
+        def p3(r0, top, bot, o, bs, c):
             zb = ACC2[ds8(r0, nr), :]
-            braw2[:, :] = zb
-            cps = [_dma(braw2, sth_ref.at[dst, ds8(r0, nr), :])]
+            bs[1][:, :] = zb
+            cps = [_dma(bs[1], sth_ref.at[dst, ds8(r0, nr), :])]
             if copy_to is not None:
-                braw3[:, :] = zb
-                cps.append(_dma(braw3, sth_ref.at[copy_to, ds8(r0, nr), :]))
-            rz = jnp.sum(braw1[:, :] * zb)
+                bs[2][:, :] = zb
+                cps.append(_dma(bs[2], sth_ref.at[copy_to, ds8(r0, nr), :]))
+            rz = jnp.sum(bs[0][:, :] * zb)
             for cp in cps:
                 cp.wait()
             return c + rz
 
-        return for_bands(p3)
+        return for_bands_pipe(p3_reads, p3)
 
     def pinv_jac(src, dst, diag_at, copy_to=None, stage_cb=None):
         def p(r0, top, bot, c):
@@ -374,47 +490,62 @@ def _fwd_sweep_kernel_xxl(
             k, rz, rn2 = c
             return (k < iters) & (rn2 > atol2)
 
+        sat_of = ((lambda bs: staged_at_of(bs)) if stencil7 is not None
+                  else (lambda bs: S_at))
+
         def body(c):
             k, rz, _ = c
 
-            def pa(r0, top, bot, cc):
-                maybe_stage7(r0, top, bot)
-                stage_pad(sth_ref.at[Ps], r0, pad1, bx1, top=top, bot=bot)
-                ap = apply_at(S_at, pad1, r0, top=top, bot=bot)
-                braw2[:, :] = ap
-                write_band(sth_ref.at[APs], r0, braw2)
-                return cc + jnp.sum(pad1[1 : nr + 1, 1 : n + 1] * ap)
+            def pa_reads(r0, bs):
+                cps = [_halo_cp(sth_ref.at[Ps], r0, bs)]
+                if stencil7 is not None:
+                    cps.append(_a7_cp(stencil7, r0, bs))
+                return cps
 
-            pAp = for_bands(pa)
+            def pa(r0, top, bot, o, bs, cc):
+                pad_fill_p(pad1, bs, o, top=top, bot=bot)
+                ap = apply_at(sat_of(bs), pad1, r0, top=top, bot=bot)
+                bs[1][:, :] = ap
+                cpw = _dma(bs[1], sth_ref.at[APs, ds8(r0, nr), :])
+                red = jnp.sum(pad1[1 : nr + 1, 1 : n + 1] * ap)
+                cpw.wait()
+                return cc + red
+
+            pAp = for_bands_pipe(pa_reads, pa)
             alpha = _safe_div(rz, pAp)
 
-            def pb(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Xs, ds8(r0, nr), :], braw1),
-                         (sth_ref.at[Ps, ds8(r0, nr), :], braw2),
-                         (sth_ref.at[Rs, ds8(r0, nr), :], braw3),
-                         (sth_ref.at[APs, ds8(r0, nr), :], braw4))
-                braw1[:, :] = braw1[:, :] + alpha * braw2[:, :]
-                rb = braw3[:, :] - alpha * braw4[:, :]
-                braw3[:, :] = rb
-                _dma_all((braw1, sth_ref.at[Xs, ds8(r0, nr), :]),
-                         (braw3, sth_ref.at[Rs, ds8(r0, nr), :]))
+            def pb_reads(r0, bs):
+                return [_body_cp(sth_ref.at[Xs], r0, bs[0], bs),
+                        _body_cp(sth_ref.at[Ps], r0, bs[1], bs),
+                        _body_cp(sth_ref.at[Rs], r0, bs[2], bs),
+                        _body_cp(sth_ref.at[APs], r0, bs[3], bs)]
+
+            def pb(r0, top, bot, o, bs, cc):
+                bs[0][:, :] = bs[0][:, :] + alpha * bs[1][:, :]
+                rb = bs[2][:, :] - alpha * bs[3][:, :]
+                bs[2][:, :] = rb
+                _dma_all((bs[0], sth_ref.at[Xs, ds8(r0, nr), :]),
+                         (bs[2], sth_ref.at[Rs, ds8(r0, nr), :]))
                 return cc + jnp.sum(rb * rb)
 
-            rn2 = for_bands(pb)
+            rn2 = for_bands_pipe(pb_reads, pb)
             if il_s is not None:
                 rz2 = pinv_dct(Rs, Zs, il_s)
             else:
                 rz2 = pinv_jac(Rs, Zs, diag_at, stage_cb=stage_cb)
             beta = _safe_div(rz2, rz)
 
-            def pc(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Zs, ds8(r0, nr), :], braw1),
-                         (sth_ref.at[Ps, ds8(r0, nr), :], braw2))
-                braw2[:, :] = braw1[:, :] + beta * braw2[:, :]
-                write_band(sth_ref.at[Ps], r0, braw2)
+            def pc_reads(r0, bs):
+                return [_body_cp(sth_ref.at[Zs], r0, bs[0], bs),
+                        _body_cp(sth_ref.at[Ps], r0, bs[1], bs)]
+
+            def pc(r0, top, bot, o, bs, cc):
+                bs[1][:, :] = bs[0][:, :] + beta * bs[1][:, :]
+                cpw = _dma(bs[1], sth_ref.at[Ps, ds8(r0, nr), :])
+                cpw.wait()
                 return cc
 
-            for_bands(pc)
+            for_bands_pipe(pc_reads, pc)
             return k + 1, rz2, rn2
 
         jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), rz0, rn0))
@@ -457,76 +588,95 @@ def _fwd_sweep_kernel_xxl(
             k, rho, _ = c
             precond(Ps)
 
-            def pa(r0, top, bot, cc):
-                stage_a7(stencil7, r0, top=top, bot=bot, halo=False)
-                stage_pad(sth_ref.at[PHs], r0, pad1, bx1, top=top, bot=bot)
-                vb = apply_at(S_at, pad1, r0, top=top, bot=bot)
-                braw2[:, :] = vb
-                read_band(sth_ref.at[RHs], r0, braw3)
-                rhv = jnp.sum(braw3[:, :] * vb)
-                write_band(sth_ref.at[VVs], r0, braw2)
+            def pa_reads(r0, bs):
+                return [_a7_cp(stencil7, r0, bs),
+                        _halo_cp(sth_ref.at[PHs], r0, bs),
+                        _body_cp(sth_ref.at[RHs], r0, bs[0], bs)]
+
+            def pa(r0, top, bot, o, bs, cc):
+                pad_fill_p(pad1, bs, o, top=top, bot=bot)
+                vb = apply_at(staged_at_of(bs), pad1, r0, top=top, bot=bot)
+                bs[1][:, :] = vb
+                cpw = _dma(bs[1], sth_ref.at[VVs, ds8(r0, nr), :])
+                rhv = jnp.sum(bs[0][:, :] * vb)
+                cpw.wait()
                 return cc + rhv
 
-            rhv = for_bands(pa)
+            rhv = for_bands_pipe(pa_reads, pa)
             alpha = _safe_div(rho, rhv)
 
-            def pb(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Xs, ds8(r0, nr), :], braw1),
-                         (sth_ref.at[PHs, ds8(r0, nr), :], braw2),
-                         (sth_ref.at[Rs, ds8(r0, nr), :], braw3),
-                         (sth_ref.at[VVs, ds8(r0, nr), :], braw4))
-                braw1[:, :] = braw1[:, :] + alpha * braw2[:, :]
-                braw3[:, :] = braw3[:, :] - alpha * braw4[:, :]
-                _dma_all((braw1, sth_ref.at[Xs, ds8(r0, nr), :]),
-                         (braw3, sth_ref.at[Rs, ds8(r0, nr), :]))
+            def pb_reads(r0, bs):
+                return [_body_cp(sth_ref.at[Xs], r0, bs[0], bs),
+                        _body_cp(sth_ref.at[PHs], r0, bs[1], bs),
+                        _body_cp(sth_ref.at[Rs], r0, bs[2], bs),
+                        _body_cp(sth_ref.at[VVs], r0, bs[3], bs)]
+
+            def pb(r0, top, bot, o, bs, cc):
+                bs[0][:, :] = bs[0][:, :] + alpha * bs[1][:, :]
+                bs[2][:, :] = bs[2][:, :] - alpha * bs[3][:, :]
+                _dma_all((bs[0], sth_ref.at[Xs, ds8(r0, nr), :]),
+                         (bs[2], sth_ref.at[Rs, ds8(r0, nr), :]))
                 return cc
 
-            for_bands(pb)
+            for_bands_pipe(pb_reads, pb)
             precond(Rs)  # shat (s lives in R)
 
-            def pc(r0, top, bot, cc):
+            def pc_reads(r0, bs):
+                return [_a7_cp(stencil7, r0, bs),
+                        _halo_cp(sth_ref.at[PHs], r0, bs),
+                        _body_cp(sth_ref.at[Rs], r0, bs[0], bs)]
+
+            def pc(r0, top, bot, o, bs, cc):
                 ts, tt = cc
-                stage_a7(stencil7, r0, top=top, bot=bot, halo=False)
-                stage_pad(sth_ref.at[PHs], r0, pad1, bx1, top=top, bot=bot)
-                tb = apply_at(S_at, pad1, r0, top=top, bot=bot)
-                braw2[:, :] = tb
-                read_band(sth_ref.at[Rs], r0, braw3)
-                ts = ts + jnp.sum(tb * braw3[:, :])
+                pad_fill_p(pad1, bs, o, top=top, bot=bot)
+                tb = apply_at(staged_at_of(bs), pad1, r0, top=top, bot=bot)
+                bs[1][:, :] = tb
+                cpw = _dma(bs[1], sth_ref.at[Ts, ds8(r0, nr), :])
+                ts = ts + jnp.sum(tb * bs[0][:, :])
                 tt = tt + jnp.sum(tb * tb)
-                write_band(sth_ref.at[Ts], r0, braw2)
+                cpw.wait()
                 return ts, tt
 
-            ts, tt = for_bands(pc, (zero, zero))
+            ts, tt = for_bands_pipe(pc_reads, pc, (zero, zero))
             omega = _safe_div(ts, tt)
 
-            def pd(r0, top, bot, cc):
+            def pd_reads(r0, bs):
+                # fifth body read lands in the set's halo buffer (no halo
+                # read in this pass, so its first nr rows are free)
+                return [_body_cp(sth_ref.at[Xs], r0, bs[0], bs),
+                        _body_cp(sth_ref.at[PHs], r0, bs[1], bs),
+                        _body_cp(sth_ref.at[Rs], r0, bs[2], bs),
+                        _body_cp(sth_ref.at[Ts], r0, bs[3], bs),
+                        pltpu.make_async_copy(
+                            sth_ref.at[RHs, ds8(r0, nr), :],
+                            bs[4].at[0:nr, :], bs[6])]
+
+            def pd(r0, top, bot, o, bs, cc):
                 rho2, rn2 = cc
-                _dma_all((sth_ref.at[Xs, ds8(r0, nr), :], braw1),
-                         (sth_ref.at[PHs, ds8(r0, nr), :], braw2),
-                         (sth_ref.at[Rs, ds8(r0, nr), :], braw3),
-                         (sth_ref.at[Ts, ds8(r0, nr), :], braw4))
-                braw1[:, :] = braw1[:, :] + omega * braw2[:, :]
-                rb = braw3[:, :] - omega * braw4[:, :]
-                braw3[:, :] = rb
-                _dma_all((braw1, sth_ref.at[Xs, ds8(r0, nr), :]),
-                         (braw3, sth_ref.at[Rs, ds8(r0, nr), :]))
-                read_band(sth_ref.at[RHs], r0, braw2)
-                return (rho2 + jnp.sum(braw2[:, :] * rb),
+                bs[0][:, :] = bs[0][:, :] + omega * bs[1][:, :]
+                rb = bs[2][:, :] - omega * bs[3][:, :]
+                bs[2][:, :] = rb
+                _dma_all((bs[0], sth_ref.at[Xs, ds8(r0, nr), :]),
+                         (bs[2], sth_ref.at[Rs, ds8(r0, nr), :]))
+                return (rho2 + jnp.sum(bs[4][0:nr, :] * rb),
                         rn2 + jnp.sum(rb * rb))
 
-            rho2, rn2 = for_bands(pd, (zero, zero))
+            rho2, rn2 = for_bands_pipe(pd_reads, pd, (zero, zero))
             beta = _safe_div(rho2, rho) * _safe_div(alpha, omega)
 
-            def pe(r0, top, bot, cc):
-                _dma_all((sth_ref.at[Rs, ds8(r0, nr), :], braw1),
-                         (sth_ref.at[Ps, ds8(r0, nr), :], braw2),
-                         (sth_ref.at[VVs, ds8(r0, nr), :], braw3))
-                braw2[:, :] = braw1[:, :] + beta * (
-                    braw2[:, :] - omega * braw3[:, :])
-                write_band(sth_ref.at[Ps], r0, braw2)
+            def pe_reads(r0, bs):
+                return [_body_cp(sth_ref.at[Rs], r0, bs[0], bs),
+                        _body_cp(sth_ref.at[Ps], r0, bs[1], bs),
+                        _body_cp(sth_ref.at[VVs], r0, bs[2], bs)]
+
+            def pe(r0, top, bot, o, bs, cc):
+                bs[1][:, :] = bs[0][:, :] + beta * (
+                    bs[1][:, :] - omega * bs[2][:, :])
+                cpw = _dma(bs[1], sth_ref.at[Ps, ds8(r0, nr), :])
+                cpw.wait()
                 return cc
 
-            for_bands(pe)
+            for_bands_pipe(pe_reads, pe)
             return k + 1, rho2, rn2
 
         jax.lax.while_loop(cond, body,
@@ -676,38 +826,47 @@ def _fwd_sweep_kernel_xxl(
     def mdinv(r0, *, top, bot):
         return 1.0 / (1.25 * plane_at(CENTER, 1.0, 0.0, r0, top=top, bot=bot))
 
-    def cheb_prep(r0, top, bot, c):
-        stage_a7(a7h_ref, r0, top=top, bot=bot, halo=False)
-        stage_pad(sth_ref.at[X], r0, pad1, bx1, top=top, bot=bot)
-        rdot = -apply_at(staged_at, pad1, r0, top=top, bot=bot)
-        braw2[:, :] = rdot
+    def cheb_prep_reads(r0, bs):
+        return [_a7_cp(a7h_ref, r0, bs),
+                _halo_cp(sth_ref.at[X], r0, bs)]
+
+    def cheb_prep(r0, top, bot, o, bs, c):
+        pad_fill_p(pad1, bs, o, top=top, bot=bot)
+        rdot = -apply_at(staged_at_of(bs), pad1, r0, top=top, bot=bot)
+        bs[1][:, :] = rdot
         # iter 1 (om=1, yold=ymid=0): y1 = rdot * Mdinv
-        braw3[:, :] = rdot * mdinv(r0, top=top, bot=bot)
-        _dma_all((braw2, sth_ref.at[B, ds8(r0, nr), :]),
-                 (braw3, sth_ref.at[P, ds8(r0, nr), :]))
+        bs[2][:, :] = rdot * mdinv(r0, top=top, bot=bot)
+        _dma_all((bs[1], sth_ref.at[B, ds8(r0, nr), :]),
+                 (bs[2], sth_ref.at[P, ds8(r0, nr), :]))
         return c
 
-    for_bands(cheb_prep)
+    for_bands_pipe(cheb_prep_reads, cheb_prep)
 
     lmin, lmax = 0.5, 2.0
     rho_c = (lmax - lmin) / (lmax + lmin)
     rc2 = rho_c * rho_c
 
     def cheb_step(ymid, yold, ynew, om):
-        """ynew = om*(Mdinv*(b - M ymid) + ymid - yold) + yold, banded."""
+        """ynew = om*(Mdinv*(b - M ymid) + ymid - yold) + yold, banded
+        (pipelined: ynew is never ymid, so the next band's halo prefetch of
+        ymid can't race this band's ynew store)."""
 
-        def p(r0, top, bot, c):
-            stage_pad(sth_ref.at[ymid], r0, pad1, bx1, top=top, bot=bot)
-            _dma_all((sth_ref.at[B, ds8(r0, nr), :], braw2),
-                     (sth_ref.at[yold, ds8(r0, nr), :], braw3))
-            rr = braw2[:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
+        def p_reads(r0, bs):
+            return [_halo_cp(sth_ref.at[ymid], r0, bs),
+                    _body_cp(sth_ref.at[B], r0, bs[1], bs),
+                    _body_cp(sth_ref.at[yold], r0, bs[2], bs)]
+
+        def p(r0, top, bot, o, bs, c):
+            pad_fill_p(pad1, bs, o, top=top, bot=bot)
+            rr = bs[1][:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
             ym = pad1[1 : nr + 1, 1 : n + 1]
-            braw4[:, :] = (om * (rr * mdinv(r0, top=top, bot=bot)
-                                 + ym - braw3[:, :]) + braw3[:, :])
-            write_band(sth_ref.at[ynew], r0, braw4)
+            bs[3][:, :] = (om * (rr * mdinv(r0, top=top, bot=bot)
+                                 + ym - bs[2][:, :]) + bs[2][:, :])
+            cpw = _dma(bs[3], sth_ref.at[ynew, ds8(r0, nr), :])
+            cpw.wait()
             return c
 
-        for_bands(p)
+        for_bands_pipe(p_reads, p)
 
     # iter 2: yold = 0, ymid = y1 (slot P) -> W; thereafter pairs of steps
     # with fixed alternating roles (P, W) so no swap pass is needed; result
@@ -718,16 +877,20 @@ def _fwd_sweep_kernel_xxl(
     if cheb_iters >= 2:
         om2 = 1.0 / (1.0 - rc2 / 2.0)
 
-        def p_it2(r0, top, bot, c):
-            stage_pad(sth_ref.at[P], r0, pad1, bx1, top=top, bot=bot)
-            read_band(sth_ref.at[B], r0, braw2)
-            rr = braw2[:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
-            braw4[:, :] = om2 * (rr * mdinv(r0, top=top, bot=bot)
+        def p_it2_reads(r0, bs):
+            return [_halo_cp(sth_ref.at[P], r0, bs),
+                    _body_cp(sth_ref.at[B], r0, bs[1], bs)]
+
+        def p_it2(r0, top, bot, o, bs, c):
+            pad_fill_p(pad1, bs, o, top=top, bot=bot)
+            rr = bs[1][:, :] - apply_at(mass_at, pad1, r0, top=top, bot=bot)
+            bs[3][:, :] = om2 * (rr * mdinv(r0, top=top, bot=bot)
                                  + pad1[1 : nr + 1, 1 : n + 1])
-            write_band(sth_ref.at[W], r0, braw4)
+            cpw = _dma(bs[3], sth_ref.at[W, ds8(r0, nr), :])
+            cpw.wait()
             return c
 
-        for_bands(p_it2)
+        for_bands_pipe(p_it2_reads, p_it2)
         du_slot = W
 
         npairs = (cheb_iters - 2) // 2
@@ -915,16 +1078,23 @@ def fused_chemotaxis_forward_sweep_xxl(
             pltpu.VMEM((nr + 2, n + 2), dtype),
             pltpu.VMEM((nr + 2, n), dtype),            # lane-offset-0 pads
             pltpu.VMEM((nr + 2, n), dtype),
-            pltpu.VMEM((nr, n), dtype),                # band buffers
+            pltpu.VMEM((nr, n), dtype),                # band buffers (set 0)
             pltpu.VMEM((nr, n), dtype),
             pltpu.VMEM((nr, n), dtype),
             pltpu.VMEM((nr, n), dtype),
-            pltpu.VMEM((7, nr, n), dtype),             # staged stencil band
+            pltpu.VMEM((nr, n), dtype),                # band buffers (set 1)
+            pltpu.VMEM((nr, n), dtype),
+            pltpu.VMEM((nr, n), dtype),
+            pltpu.VMEM((nr, n), dtype),
+            pltpu.VMEM((7, nr, n), dtype),             # staged stencil (set 0)
+            pltpu.VMEM((7, nr, n), dtype),             # staged stencil (set 1)
             pltpu.VMEM((7, nr, n), dtype),             # Low band out
             pltpu.VMEM((7, nr + 16, n), dtype),        # halo-staged stencil
-            pltpu.VMEM((nr + 16, n), dtype),           # staging landings
+            pltpu.VMEM((nr + 16, n), dtype),           # halo landings (per set)
             pltpu.VMEM((nr + 16, n), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),               # serial-pass DMAs
+            pltpu.SemaphoreType.DMA(()),               # pipelined reads, set 0
+            pltpu.SemaphoreType.DMA(()),               # pipelined reads, set 1
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
