@@ -68,8 +68,9 @@ def tpu_admissible_dt_steps_per_sec(dt: float = 5e-4) -> dict:
     256^2 dt=1e-3 horizon genuinely loses the low-order M-matrix row-sum
     property late in the 500-step run (the reference warns and continues,
     helpers.py:1784-1810); this variant shows the throughput AND a
-    non-negative min-rowsum at dt=5e-4 so the headline carries no silent
-    invariant violation."""
+    roundoff-level min-rowsum at dt=5e-4 (measured -3.8e-8, ~0.25% of the
+    lumped-mass scale, vs -2.6e-5 at dt=1e-3) so the headline carries no
+    silent invariant violation."""
     import jax
     import jax.numpy as jnp
 
