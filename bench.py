@@ -422,8 +422,11 @@ def _tpu_large_grid_with_timeout() -> dict:
     (compile-cache hits return in minutes; a cold cache is cut off at
     ``LG_FUSED_TIMEOUT_S`` or the remaining global budget), falling back to
     an XLA-path-only measurement — also in a subprocess, so the driver
-    process never holds a TPU client."""
-    out = _stage("--large-grid-only", LG_FUSED_TIMEOUT_S, "large_grid_error")
+    process never holds a TPU client. The fused attempt leaves ~300 s of
+    the global budget on the table so a timeout still has room to record
+    the XLA fallback number instead of starving it."""
+    fused_cap = min(LG_FUSED_TIMEOUT_S, max(60, int(_remaining()) - 300))
+    out = _stage("--large-grid-only", fused_cap, "large_grid_error")
     if "large_grid_error" in out and "timed out" in out["large_grid_error"]:
         fused_err = ("fused stage " + out["large_grid_error"]
                      + " (cold-cache mosaic compile?); XLA-path number "
@@ -814,13 +817,18 @@ def main():
     _after(_stage("--extras-only",                        # PDECO/schnak/dist
                   int(os.environ.get("FEMFCT_EXTRAS_TIMEOUT_S", "1200")),
                   "extras_error"))
-    _after(_tpu_large_grid_with_timeout())                # 1024^2 fwd fused
-    _after(_stage("--large-grid-adjoint-only",            # 1024^2 adjoint
-                  int(os.environ.get("FEMFCT_LG_ADJ_TIMEOUT_S", "2700")),
-                  "large_grid_adjoint_error"))
+    # The 1024^2 FUSED stage genuinely goes last: its cold-cache Mosaic
+    # compile is ~27 min, far beyond every other stage's cold compile
+    # (XXL's banded-fori structure compiles in ~4 min at 2048^2, the
+    # 1024^2 adjoint rides the XLA path), so on a wiped cache it would
+    # otherwise starve the cheap fused evidence behind it.
     _after(_stage("--xl-grid-fused-only",                 # 2048^2 XXL fused
                   int(os.environ.get("FEMFCT_XXL_TIMEOUT_S", "2700")),
                   "xl_grid_fused_error"))
+    _after(_stage("--large-grid-adjoint-only",            # 1024^2 adjoint
+                  int(os.environ.get("FEMFCT_LG_ADJ_TIMEOUT_S", "2700")),
+                  "large_grid_adjoint_error"))
+    _after(_tpu_large_grid_with_timeout())                # 1024^2 fwd fused
 
 
 if __name__ == "__main__":
