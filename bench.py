@@ -825,10 +825,14 @@ def main():
     _after(_stage("--xl-grid-fused-only",                 # 2048^2 XXL fused
                   int(os.environ.get("FEMFCT_XXL_TIMEOUT_S", "2700")),
                   "xl_grid_fused_error"))
+    # Of the two remaining long cold compiles only one can fit a 2400 s
+    # budget: the fused 1024^2 forward (~27 min cold) outranks the 1024^2
+    # XLA adjoint (~15+ min cold) as evidence, so it goes first and the
+    # adjoint stage records a skip note when the budget is spent.
+    _after(_tpu_large_grid_with_timeout())                # 1024^2 fwd fused
     _after(_stage("--large-grid-adjoint-only",            # 1024^2 adjoint
                   int(os.environ.get("FEMFCT_LG_ADJ_TIMEOUT_S", "2700")),
                   "large_grid_adjoint_error"))
-    _after(_tpu_large_grid_with_timeout())                # 1024^2 fwd fused
 
 
 if __name__ == "__main__":
